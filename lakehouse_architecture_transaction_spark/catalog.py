@@ -1,0 +1,60 @@
+"""Table catalog over the parquet test lake.
+
+The engine's "catalog" layer: named tables backed by parquet
+directories (stand-in for the reference's Glue Data Catalog over S3 —
+reference README.md "AWS Glue Data Catalog" row). Reads are plain
+``spark.read.parquet`` so Catalyst gets pushdown/pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Small dimension tables that should be broadcast in joins at any scale
+#: (TPC-H ratios: region=5 rows, nation=25; supplier/part grow slowly).
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which the Spark
+        # vectorized reader rejects; read nanos as long and convert to
+        # micros (same truncation DuckDB applies reading the file).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view for the SQL API."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,213 @@
+"""Deduplication operators: exact, fingerprint, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+The reference deduplicates by primary key with ``dropDuplicates([pk])``
+(reference scripts/glue/script.py:194-196) — nondeterministic about
+WHICH duplicate survives. Here exact dedup is a window row_number with
+an explicit survivor order, so re-runs (and the SQL oracle) agree.
+
+The near-dup family is the large-scale extension surface: everything
+is built on the md5-derived 32-bit hash (functions/hashing.py) so the
+DuckDB oracle reproduces results exactly.
+
+Scale notes (100 TB):
+- exact dedup: one hash-shuffle on the key — the minimum possible.
+- MinHash: explode to (doc, shingle) pairs, ONE groupBy(doc) computes
+  all K permutation minima map-side-combined; LSH banding turns the
+  O(n^2) pair space into per-bucket joins. Hot buckets (boilerplate
+  docs) are the skew risk — AQE skew join plus a bucket-size cap.
+- SimHash: per-token bit contributions aggregated in one groupBy —
+  no self-join at all; near-dup = hamming distance on 32-bit ints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_transaction_spark.functions.hashing import MERSENNE_P, h32_col, perm_coeffs
+
+# ---------------------------------------------------------------- exact
+
+
+def dedup_exact(df: DataFrame, keys: list[str], order_by: list[str] | None = None) -> DataFrame:
+    """Keep exactly one row per key, deterministically.
+
+    ``order_by`` defines the survivor (first row in that order); it
+    defaults to the remaining columns so the choice is total. One
+    shuffle on ``keys`` — same cost as ``dropDuplicates`` but
+    reproducible (parity: reference scripts/glue/script.py:196).
+    """
+    order_cols = order_by or [c for c in df.columns if c not in keys]
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc_nulls_last() for c in order_cols])
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def exact_text_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact-content dedup: md5(text) → keep the min id per hash.
+
+    Hash-groupBy keeps the shuffle payload at (hash, id) width even
+    when documents are megabytes wide.
+    """
+    hashed = df.select(F.md5(F.col(text_col)).alias("__h"), F.col(id_col))
+    keep = hashed.groupBy("__h").agg(F.min(id_col).alias(id_col)).select(id_col)
+    return df.join(keep, on=id_col, how="inner")
+
+
+# ------------------------------------------------------------ tokenizing
+#
+# Shared expression builders. These return Spark Column expressions via
+# F.expr so the SAME semantic definition is mirrored in the DuckDB
+# oracle strings (plans/pipeline_ops.py) — whitespace tokens, unicode
+# preserved, empties dropped.
+
+
+def tokens_expr(text_col: str) -> Column:
+    """Whitespace tokens, empties removed."""
+    return F.expr(f"filter(split({text_col}, '\\\\s+'), x -> x != '')")
+
+
+def norm_tokens_expr(text_col: str) -> Column:
+    """Casefolded tokens with non-alphanumerics stripped (\\p{{L}}/\\p{{N}}
+    classes work identically in Java regex and RE2)."""
+    return F.expr(
+        f"filter(split(regexp_replace(lower({text_col}), '[^\\\\p{{L}}\\\\p{{N}} ]', ''), ' +'), x -> x != '')"
+    )
+
+
+def shingle_expr(tokens: Column, n: int) -> Column:
+    """Distinct word n-gram shingles from a token array."""
+    return F.array_distinct(
+        F.when(F.size(tokens) < n, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tokens) - n),
+                lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+            )
+        )
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Collision fingerprint: md5 of the sorted distinct normalized
+    token set. Word-order-insensitive near-dup clustering in ONE
+    narrow shuffle (classic key-collision / OpenRefine fingerprint).
+    """
+    toks = norm_tokens_expr(text_col)
+    return df.select(
+        F.col(id_col),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias("fingerprint"),
+    )
+
+
+# ------------------------------------------------------------- MinHash
+
+
+def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    toks = tokens_expr(text_col)
+    return df.select(F.col(id_col), F.explode(shingle_expr(toks, n)).alias("shingle"))
+
+
+def minhash_signature(df: DataFrame, text_col: str, id_col: str, num_perms: int = 16, n: int = 3) -> DataFrame:
+    """MinHash signature: one row per doc, columns m0..m{K-1}.
+
+    Universal-hash permutations over the md5-derived shingle hash;
+    a single groupBy computes all K minima with map-side combine, so
+    the shuffle carries K longs per (partition, doc) — not the
+    shingles themselves.
+    """
+    pairs = _doc_shingles(df, text_col, id_col, n).withColumn("__h", h32_col(F.col("shingle")))
+    aggs = [
+        F.min((F.col("__h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"m{i}")
+        for i, (a, b) in enumerate(perm_coeffs(num_perms))
+    ]
+    return pairs.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, num_perms: int = 16, bands: int = 4
+) -> DataFrame:
+    """LSH banding over a MinHash signature → distinct candidate pairs
+    (a < b). Docs sharing any band signature become candidates; the
+    join runs per band bucket, keeping the pair space near-linear.
+    """
+    rows = num_perms // bands
+    band_frames = []
+    for b in range(bands):
+        cols = [f"m{b * rows + r}" for r in range(rows)]
+        key = F.md5(F.concat_ws("-", *[F.col(c).cast("string") for c in cols]))
+        band_frames.append(sig.select(F.col(id_col), F.lit(b).alias("band"), key.alias("bkey")))
+    buckets = band_frames[0]
+    for bf in band_frames[1:]:
+        buckets = buckets.unionByName(bf)
+    a = buckets.alias("a")
+    bb = buckets.alias("b")
+    pairs = (
+        a.join(bb, on=["band", "bkey"], how="inner")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+# ------------------------------------------------------------- Jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.2
+) -> DataFrame:
+    """Exact n-gram-shingle Jaccard similarity pair mining.
+
+    explode → self-join on shingle → |A∩B| per pair; |A|,|B| from the
+    per-doc shingle counts. The join is keyed on the shingle, so only
+    docs sharing at least one shingle ever meet — the O(n²) pair space
+    is never materialized. Jaccard emitted as a double division of
+    exact counts (cross-engine bit-identical).
+    """
+    sh = _doc_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle", how="inner")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# -------------------------------------------------------------- SimHash
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
+    """SimHash per document over whitespace tokens (with multiplicity).
+
+    Each token contributes ±1 per bit of its 32-bit hash; the sign of
+    the per-bit sum forms the fingerprint. Implemented as ONE explode +
+    groupBy with `bits` integer sums — map-side combinable, no join.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok"))
+    hashed = toks.withColumn("__h", h32_col(F.col("tok")))
+    sums = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{j}")
+            for j in range(bits)
+        ]
+    )
+    val: Column = F.lit(0).cast("long")
+    for j in range(bits):
+        val = val + F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return sums.select(F.col(id_col), val.alias("simhash"))

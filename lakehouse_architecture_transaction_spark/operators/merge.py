@@ -1,0 +1,42 @@
+"""Delta-style MERGE (upsert) as a join-based DataFrame operator.
+
+Parity with the reference's Delta merge (reference
+scripts/glue/script.py:204-227): ``whenMatchedUpdateAll`` +
+``whenNotMatchedInsertAll`` on a primary-key equality condition.
+delta-spark isn't in this image, so the engine expresses the same
+semantics as a full-outer join that prefers the source row — exactly
+what Delta's merge produces for update-all/insert-all, minus the
+transaction log. ``lakehouse/table.py`` wires this into a persistent
+parquet table (and uses real Delta when importable).
+
+Scale: one shuffle on the merge key for each side (or broadcast when
+the update batch is small — the common CDC case, which Catalyst/AQE
+picks automatically). Delta/Iceberg at scale add file-level pruning on
+top; the logical plan is the same.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """Rows from ``source`` replace matching ``target`` rows (matched →
+    update-all); unmatched source rows are inserted; unmatched target
+    rows are kept. Columns must match by name.
+    """
+    if set(target.columns) != set(source.columns):
+        raise ValueError(f"column mismatch: {target.columns} vs {source.columns}")
+    t = target.alias("t")
+    s = source.alias("s")
+    cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
+    joined = t.join(s, on=cond, how="full_outer")
+    # A source row with a null non-key value must still win over the
+    # matched target value (update-all semantics), so pick by match
+    # flag rather than coalesce of the value columns.
+    matched = F.col(f"s.{keys[0]}").isNotNull()
+    picked = [
+        F.when(matched, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c) for c in target.columns
+    ]
+    return joined.select(*picked)

@@ -1,0 +1,151 @@
+"""Embedding similarity search: brute-force cosine top-k and a
+sign-LSH bucketed approximate variant.
+
+Determinism discipline: per-element products accumulate in DECIMAL
+(exact, order-independent), and the final cosine is a double division
+of exactly-equal quantities — so the DuckDB oracle reproduces scores
+bit-for-bit (see plans/registry.py docstring).
+
+Scale notes (100 TB corpus):
+- brute force is O(|Q|·N): the query set is broadcast, the corpus
+  streams once, top-k per query via window — the right baseline when
+  |Q| is small.
+- sign-LSH buckets the corpus by the sign pattern of the leading
+  dimensions (a random-hyperplane LSH with axis-aligned planes):
+  candidates share a bucket, cutting N per query by ~2^bits. At real
+  scale you'd use trained IVF centroids; the plan shape (bucket
+  equi-join then per-bucket top-k) is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Exact per-element product: float -> DECIMAL(18,9) (identical rounding
+# in Spark and DuckDB once both go through DOUBLE), product cast to a
+# (20,18) accumulator — embeddings are unit-scale so 2 integer digits
+# suffice, additions stay under precision 38 (never rounded), and the
+# lambda re-cast keeps the accumulator type stable for the analyzer.
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(CAST(x AS DECIMAL(18,9)) * CAST(y AS DECIMAL(18,9)) AS DECIMAL(20,18))), "
+    "CAST(0 AS DECIMAL(20,18)), (acc, v) -> CAST(acc + v AS DECIMAL(20,18)))"
+)
+_NORM2 = (
+    "aggregate(transform({a}, x -> CAST(CAST(x AS DECIMAL(18,9)) * CAST(x AS DECIMAL(18,9)) AS DECIMAL(20,18))), "
+    "CAST(0 AS DECIMAL(20,18)), (acc, v) -> CAST(acc + v AS DECIMAL(20,18)))"
+)
+
+
+def dot_expr(a: str, b: str) -> Column:
+    return F.expr(_DOT.format(a=a, b=b))
+
+
+def norm2_expr(a: str) -> Column:
+    return F.expr(_NORM2.format(a=a))
+
+
+def cosine_topk(
+    emb: DataFrame, id_col: str, vec_col: str, query_ids: list[int], k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector, the k nearest corpus
+    vectors (self-match excluded). Output (query_id, rank, neighbor_id,
+    cosine). Ties broken by neighbor id — fully deterministic.
+    """
+    with_norm = emb.select(
+        F.col(id_col), F.col(vec_col), norm2_expr(vec_col).alias("__n2")
+    )
+    q = (
+        with_norm.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            F.col("__n2").alias("__qn2"),
+        )
+    )
+    pairs = with_norm.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        (
+            dot_expr("__qv", vec_col).cast("decimal(26,12)").cast("double")
+            / (
+                F.sqrt(F.col("__qn2").cast("decimal(26,12)").cast("double"))
+                * F.sqrt(F.col("__n2").cast("decimal(26,12)").cast("double"))
+            )
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def sign_bucket_expr(vec_col: str, bits: int) -> Column:
+    """LSH bucket key: sign pattern of the first ``bits`` dimensions."""
+    return F.expr(
+        f"array_join(transform(slice({vec_col}, 1, {bits}), x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')"
+    )
+
+
+def sign_lsh_ann(
+    emb: DataFrame, id_col: str, vec_col: str, query_ids: list[int], k: int = 5, bits: int = 4
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign-LSH
+    bucket, then exact cosine within the bucket. Same output shape as
+    cosine_topk; recall trades against 2^bits bucket fan-out.
+    """
+    bucketed = emb.select(
+        F.col(id_col), F.col(vec_col), sign_bucket_expr(vec_col, bits).alias("__bkt"),
+        norm2_expr(vec_col).alias("__n2"),
+    )
+    q = (
+        bucketed.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            F.col("__bkt"),
+            F.col("__n2").alias("__qn2"),
+        )
+    )
+    pairs = bucketed.join(F.broadcast(q), on="__bkt", how="inner").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        (
+            dot_expr("__qv", vec_col).cast("decimal(26,12)").cast("double")
+            / (
+                F.sqrt(F.col("__qn2").cast("decimal(26,12)").cast("double"))
+                * F.sqrt(F.col("__n2").cast("decimal(26,12)").cast("double"))
+            )
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def label_centroids(emb: DataFrame, label_col: str, vec_col: str) -> DataFrame:
+    """Per-label centroid, emitted flat as (label, pos, centroid).
+
+    posexplode → groupBy(label, pos) keeps the shuffle narrow and the
+    result engine-comparable (no nested-array hashing). Mean computed
+    as exact decimal sum / count in one double division.
+    """
+    exploded = emb.select(F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "v"))
+    return (
+        exploded.groupBy(label_col, "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(18,9)")).cast("decimal(38,18)").cast("double")
+                / F.count("*")
+            ).alias("centroid")
+        )
+    )

@@ -1,0 +1,104 @@
+"""Text analysis operators: token counting, quality scoring,
+language ID, all JVM-side (no Python UDFs in the hot path).
+
+Everything is closed-form column algebra: counts are exact integers,
+ratios are single double divisions of exact integers — identical in
+the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_transaction_spark.operators.dedup import tokens_expr
+
+#: Token pattern for the BPE-ish subword count: alpha runs, digit runs,
+#: single punctuation/symbols. ASCII classes → identical in Java regex
+#: (Spark) and RE2 (DuckDB).
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+#: Tiny per-language function-word lexicons for the n-gram/stopword
+#: language-ID heuristic. Deliberately small — the operator shape
+#: (broadcast lexicon join + per-doc argmax) is what scales, and the
+#: lexicon is a swap-in.
+LEXICON: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "fr": ("le", "la", "les", "de", "des", "et", "un", "une", "du", "est"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "im"),
+    "es": ("el", "los", "las", "de", "y", "un", "una", "en", "que", "es"),
+    "zh": ("的", "是", "在", "了", "我", "有", "和", "就", "不", "人"),
+}
+
+
+def token_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc token statistics: whitespace tokens, chars, BPE-ish
+    subword count, mean token length."""
+    toks = tokens_expr(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("bigint").alias("chars"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_PATTERN)).cast("bigint").alias("n_bpe_tokens"),
+        (
+            F.aggregate(F.transform(toks, lambda t: F.length(t).cast("bigint")), F.lit(0).cast("bigint"), lambda a, x: a + x).cast("double")
+            / F.size(toks)
+        ).alias("mean_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic document quality: indicator-sum score over char
+    length, punctuation ratio, digit ratio, stopword ratio."""
+    toks = tokens_expr(text_col)
+    n_chars = F.length(F.col(text_col)).cast("bigint")
+    n_tokens = F.size(toks).cast("bigint")
+    punct = F.regexp_count(F.col(text_col), F.lit("[.,;:!?]")).cast("bigint")
+    digits = F.regexp_count(F.col(text_col), F.lit("[0-9]")).cast("bigint")
+    stop_list = F.array(*[F.lit(w) for w in LEXICON["en"]])
+    stops = F.size(F.filter(toks, lambda t: F.array_contains(stop_list, F.lower(t)))).cast("bigint")
+    base = docs.select(
+        F.col(id_col),
+        n_chars.alias("chars"),
+        n_tokens.alias("n_tokens"),
+        (punct.cast("double") / n_chars).alias("punct_ratio"),
+        (digits.cast("double") / n_chars).alias("digit_ratio"),
+        (stops.cast("double") / n_tokens).alias("stop_ratio"),
+    )
+    score = (
+        F.when((F.col("chars") >= 50) & (F.col("chars") <= 5000), 0.25).otherwise(0.0)
+        + F.when(F.col("stop_ratio") >= 0.05, 0.25).otherwise(0.0)
+        + F.when(F.col("punct_ratio") <= 0.2, 0.25).otherwise(0.0)
+        + F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 2000), 0.25).otherwise(0.0)
+    )
+    return base.withColumn("quality", score)
+
+
+def lang_id(spark: SparkSession, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-hit language ID: broadcast the lexicon, count hits per
+    (doc, lang), argmax with deterministic ties (hits desc, lang asc);
+    zero-hit docs → 'und'.
+    """
+    lex_rows = [(lang, w) for lang, words in sorted(LEXICON.items()) for w in words]
+    lex = spark.createDataFrame(lex_rows, schema="lang_guess string, word string")
+    toks = docs.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("word")).withColumn(
+        "word", F.lower(F.col("word"))
+    )
+    hits = (
+        toks.join(F.broadcast(lex), on="word", how="inner")
+        .groupBy(id_col, "lang_guess")
+        .agg(F.count("*").alias("hits"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("hits").desc(), F.col("lang_guess").asc())
+    best = hits.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).select(
+        id_col, "lang_guess", "hits"
+    )
+    return (
+        docs.select(id_col)
+        .join(best, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("lang_guess"), F.lit("und")).alias("lang_guess"),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),
+        )
+    )

@@ -1,0 +1,9 @@
+"""Query plan library.
+
+Importing this package registers every query into
+``lakehouse_architecture_transaction_spark.plans.registry.REGISTRY``; ``__spark_entry__``
+exposes the registry to the driver.
+"""
+
+from lakehouse_architecture_transaction_spark.plans import analytics, etl, pipeline_ops  # noqa: F401
+from lakehouse_architecture_transaction_spark.plans.registry import REGISTRY, QuerySpec  # noqa: F401

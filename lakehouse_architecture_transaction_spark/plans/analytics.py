@@ -1,0 +1,439 @@
+"""Downstream analytics query library (Athena-parity surface).
+
+The reference exposes processed Delta tables to Amazon Athena for SQL
+analytics (reference README.md "Amazon Athena" row). This module is
+that query surface, written DataFrame-first so Catalyst handles
+pushdown/pruning/join selection; each query carries its DuckDB oracle.
+
+Scale notes: dimension joins broadcast (region/nation/supplier);
+fact-fact joins shuffle on the join key with AQE skew handling; all
+top-k queries order with a unique tiebreaker so LIMIT is
+deterministic under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_transaction_spark.catalog import load_table
+from lakehouse_architecture_transaction_spark.plans.registry import register
+
+# Shared exact-decimal fragments (see registry docstring for why).
+_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+_SUM_REV = f"CAST(SUM({_REV}) AS DECIMAL(18,4))"
+
+
+def _rev_sum_col():
+    return F.expr(f"SUM({_REV})").cast("decimal(18,4)")
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+           {_SUM_REV} AS sum_disc_price,
+           CAST(SUM(CAST({_REV} AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(18,6)) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the flagship scan+agg. One pass over lineitem,
+    map-side partial aggregation, 2-key groupBy."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'")
+    )
+    dec_qty = F.expr("CAST(l_quantity AS DECIMAL(18,2))")
+    dec_price = F.expr("CAST(l_extendedprice AS DECIMAL(18,2))")
+    dec_disc = F.expr("CAST(l_discount AS DECIMAL(18,2))")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec_qty).cast("decimal(18,2)").alias("sum_qty"),
+        F.sum(dec_price).cast("decimal(18,2)").alias("sum_base_price"),
+        _rev_sum_col().alias("sum_disc_price"),
+        F.expr(f"SUM(CAST({_REV} AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2))))")
+        .cast("decimal(18,6)")
+        .alias("sum_charge"),
+        (F.sum(dec_qty).cast("double") / F.count("*")).alias("avg_qty"),
+        (F.sum(dec_price).cast("double") / F.count("*")).alias("avg_price"),
+        (F.sum(dec_disc).cast("double") / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey, {_SUM_REV} AS revenue, o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact join → top-k.
+    customer is filtered before the join so the build side stays small."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate < TIMESTAMP '1998-01-01 00:00:00'")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr("l_shipdate > TIMESTAMP '1998-01-01 00:00:00'")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_rev_sum_col().alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, {_SUM_REV} AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join. All dims broadcast; only the
+    orders↔lineitem fact join shuffles."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.expr(
+            "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_rev_sum_col().alias("revenue"))
+    )
+
+
+@register(
+    "q6_revenue_delta",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure selective scan — every predicate pushes to
+    the parquet reader; no shuffle at all (single global agg)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr(
+            "l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'"
+            " AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"
+        )
+    )
+    return li.agg(
+        F.expr("SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)))")
+        .cast("decimal(18,4)")
+        .alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, {_SUM_REV} AS revenue, c_acctbal, n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue ranking."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.expr(
+            "o_orderdate >= TIMESTAMP '1996-10-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_rev_sum_col().alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "top_parts_by_revenue",
+    oracle=f"""
+    SELECT p_partkey, p_name, p_brand, {_SUM_REV} AS revenue,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_qty
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY p_partkey, p_name, p_brand
+    ORDER BY revenue DESC, p_partkey ASC
+    LIMIT 20
+    """,
+)
+def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product revenue ranking (reference data model's products
+    dimension → part). Aggregate BEFORE the dim join so the shuffle
+    carries one row per part, not one per lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    per_part = li.groupBy("l_partkey").agg(
+        _rev_sum_col().alias("revenue"),
+        F.expr("SUM(CAST(l_quantity AS DECIMAL(18,2)))").cast("decimal(18,2)").alias("total_qty"),
+    )
+    return (
+        per_part.join(F.broadcast(part), per_part.l_partkey == part.p_partkey)
+        .select("p_partkey", "p_name", "p_brand", "revenue", "total_qty")
+        .orderBy(F.col("revenue").desc(), F.col("p_partkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "mktsegment_summary",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_custkey) AS n_customers,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_spend,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_order_value
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def mktsegment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-segment rollup over the customer×orders join."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dec_price = F.expr("CAST(o_totalprice AS DECIMAL(18,2))")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+            F.sum(dec_price).cast("decimal(18,2)").alias("total_spend"),
+            (F.sum(dec_price).cast("double") / F.count("*")).alias("avg_order_value"),
+        )
+    )
+
+
+@register(
+    "rollup_revenue",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_spend,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP (region → nation → grand total) over order
+    revenue — the lakehouse 'reporting cube' surface."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)))").cast("decimal(18,2)").alias("total_spend"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k-per-group via window row_number — the canonical
+    distributed pattern (one shuffle on the partition key)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "customer_running_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_spend
+    FROM orders
+    """,
+)
+def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer (exact decimal accumulation)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.expr("CAST(o_totalprice AS DECIMAL(18,2))")).over(w).cast("decimal(18,2)").alias("running_spend"),
+    )
+
+
+@register(
+    "events_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the event stream table — the
+    batch twin of the streaming pipeline (streaming/pipeline.py runs
+    the same plan incrementally with a watermark)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.expr("SUM(CAST(value AS DECIMAL(18,2)))").cast("decimal(18,2)").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "n_users", "total_value")
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                         > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ), sess AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM ordered
+    )
+    SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS session_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative
+    sum of session-break flags — one shuffle on user_id, no UDF."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # Microsecond precision to match the oracle's interval comparison
+    # exactly (cast-to-seconds would truncate sub-second gaps).
+    flagged = events.withColumn(
+        "new_s",
+        F.when(
+            F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w) > 1800 * 1_000_000,
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.expr("SUM(CAST(value AS DECIMAL(18,2)))").cast("decimal(18,2)").alias("session_value"),
+    )
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured property extraction from the JSON props column
+    (get_json_object JVM-side) + aggregation."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        (F.sum(k).cast("double") / F.count("*")).alias("avg_k"),
+    )

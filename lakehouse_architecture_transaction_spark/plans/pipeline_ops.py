@@ -1,0 +1,361 @@
+"""Large-scale training-data pipeline queries: dedup suite, text
+analysis, similarity search, multimodal metadata.
+
+Each query wires an operator (operators/dedup.py, text.py,
+similarity.py) to the documents/embeddings tables and carries a DuckDB
+oracle that restates the SAME algorithm in SQL — possible because all
+hashing is md5-derived and all arithmetic follows the exact-decimal
+discipline (plans/registry.py docstring). The MinHash/SimHash oracles
+are generated programmatically so the permutation/bit schedule can
+never drift from the operator's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_transaction_spark.catalog import load_table
+from lakehouse_architecture_transaction_spark.functions.hashing import MERSENNE_P, perm_coeffs
+from lakehouse_architecture_transaction_spark.operators import dedup as D
+from lakehouse_architecture_transaction_spark.operators import similarity as S
+from lakehouse_architecture_transaction_spark.operators import text as T
+from lakehouse_architecture_transaction_spark.plans.registry import register
+
+# ----------------------------------------------------------- SQL lego
+
+_TOKENS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
+_NORM_TOKENS = (
+    "list_filter(regexp_split_to_array("
+    "regexp_replace(lower(text), '[^\\p{L}\\p{N} ]', '', 'g'), ' +'), x -> x != '')"
+)
+_H32 = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
+
+
+def _shingle_sql(tk: str, n: int) -> str:
+    return (
+        f"list_distinct(CASE WHEN len({tk}) < {n} THEN [] ELSE "
+        f"list_transform(generate_series(1, len({tk}) - {n - 1}), "
+        f"i -> array_to_string({tk}[i:i+{n - 1}], ' ')) END)"
+    )
+
+
+_DOC_SHINGLES = f"""
+    tok AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+    sh AS (SELECT doc_id, unnest({_shingle_sql('tk', 3)}) AS shingle FROM tok),
+    hx AS (SELECT doc_id, {_H32.format(x='shingle')} AS h FROM sh)
+"""
+
+# ------------------------------------------------------ dedup queries
+
+_NUM_PERMS, _BANDS = 16, 4
+
+
+@register(
+    "docs_exact_dedup",
+    oracle="SELECT doc_id, lang, source, n_chars FROM documents",
+)
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-content dedup (hash-groupBy, keep min id). Input is
+    documents with injected exact duplicates (doc_id+100000 for
+    doc_id % 10 = 0); only the originals survive, which the oracle
+    states closed-form."""
+    docs = load_table(spark, sf_dir, "documents")
+    dupes = docs.filter(F.col("doc_id") % 10 == 0).withColumn("doc_id", F.col("doc_id") + 100000)
+    deduped = D.exact_text_dedup(docs.unionByName(dupes), text_col="text", id_col="doc_id")
+    return deduped.select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
+    "docs_fingerprint",
+    oracle=f"""
+    SELECT doc_id, md5(array_to_string(list_sort(list_distinct({_NORM_TOKENS})), ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collision fingerprint (sorted distinct normalized token set →
+    md5): word-order-insensitive near-dup key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.fingerprint(docs, text_col="text", id_col="doc_id")
+
+
+@register(
+    "docs_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_DOC_SHINGLES},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.1
+    """,
+)
+def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram shingle Jaccard pair mining (threshold 0.1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, text_col="text", id_col="doc_id", n=3, threshold=0.1)
+
+
+def _minhash_oracle() -> str:
+    mins = ", ".join(
+        f"MIN((h * {a} + {b}) % {MERSENNE_P}) AS m{i}" for i, (a, b) in enumerate(perm_coeffs(_NUM_PERMS))
+    )
+    rows = _NUM_PERMS // _BANDS
+    bands = []
+    for b in range(_BANDS):
+        cols = ", ".join(f"m{b * rows + r}::VARCHAR" for r in range(rows))
+        bands.append(f"SELECT doc_id, {b} AS band, md5(concat_ws('-', {cols})) AS bkey FROM sig")
+    band_union = " UNION ALL ".join(bands)
+    return f"""
+    WITH {_DOC_SHINGLES},
+    sig AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id),
+    bnd AS ({band_union})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bnd a JOIN bnd b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    """
+
+
+@register("docs_minhash_lsh_pairs", oracle=_minhash_oracle())
+def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 perms) + LSH banding (4×4) candidate pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signature(docs, text_col="text", id_col="doc_id", num_perms=_NUM_PERMS, n=3)
+    return D.lsh_candidate_pairs(sig, id_col="doc_id", num_perms=_NUM_PERMS, bands=_BANDS)
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    sums = ", ".join(f"SUM(((h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(bits))
+    val = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return f"""
+    WITH tokx AS (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents),
+    hx AS (SELECT doc_id, {_H32.format(x='tok')} AS h FROM tokx),
+    s AS (SELECT doc_id, {sums} FROM hx GROUP BY doc_id)
+    SELECT doc_id, CAST({val} AS BIGINT) AS simhash FROM s
+    """
+
+
+@register("docs_simhash", oracle=_simhash_oracle())
+def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (near-dup = small hamming distance)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs, text_col="text", id_col="doc_id", bits=32)
+
+
+# ------------------------------------------------------- text queries
+
+
+@register(
+    "docs_token_stats",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, text, {_TOKENS} AS tk FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS chars,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{T.BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+           CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk) AS mean_token_len
+    FROM tok
+    """,
+)
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish subword count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.token_stats(docs, id_col="doc_id", text_col="text")
+
+
+_STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in T.LEXICON["en"]) + "]"
+
+
+@register(
+    "docs_quality_score",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, text, {_TOKENS} AS tk FROM documents),
+    m AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS chars,
+               CAST(len(tk) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text) AS punct_ratio,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text) AS digit_ratio,
+               CAST(len(list_filter(tk, x -> list_contains({_STOPS_SQL}, lower(x)))) AS DOUBLE) / len(tk) AS stop_ratio
+        FROM base
+    )
+    SELECT *, CAST(
+          (CASE WHEN chars BETWEEN 50 AND 5000 THEN 0.25 ELSE 0.0 END)
+        + (CASE WHEN stop_ratio >= 0.05 THEN 0.25 ELSE 0.0 END)
+        + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END)
+        + (CASE WHEN n_tokens BETWEEN 10 AND 2000 THEN 0.25 ELSE 0.0 END) AS DOUBLE) AS quality
+    FROM m
+    """,
+)
+def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (length / punctuation / digit /
+    stopword signals)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.quality_score(docs, id_col="doc_id", text_col="text")
+
+
+def _lex_values() -> str:
+    rows = ", ".join(
+        f"('{lang}', '{w}')" for lang, words in sorted(T.LEXICON.items()) for w in words
+    )
+    return f"(VALUES {rows})"
+
+
+@register(
+    "docs_langid",
+    oracle=f"""
+    WITH lex(lang_guess, word) AS ({_lex_values()}),
+    tok AS (SELECT doc_id, lower(unnest({_TOKENS})) AS word FROM documents),
+    hits AS (
+        SELECT doc_id, lang_guess, COUNT(*) AS hits
+        FROM tok JOIN lex USING (word) GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT doc_id, lang_guess, hits FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang_guess ASC) AS rn
+            FROM hits
+        ) WHERE rn = 1
+    )
+    SELECT d.doc_id, COALESCE(b.lang_guess, 'und') AS lang_guess,
+           CAST(COALESCE(b.hits, 0) AS BIGINT) AS hits
+    FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+    """,
+)
+def docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-lexicon language ID with deterministic argmax."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.lang_id(spark, docs, id_col="doc_id", text_col="text")
+
+
+# -------------------------------------------------- embedding queries
+
+_Q_MAX = 8  # query set = vec_id < 8
+_K = 5
+_LSH_BITS = 4
+
+_FLAT = (
+    "flat AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v "
+    "FROM embeddings)"
+)
+_N2 = (
+    "n2 AS (SELECT vec_id, SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS n2 "
+    "FROM flat GROUP BY vec_id)"
+)
+
+
+@register(
+    "emb_knn_bruteforce",
+    oracle=f"""
+    WITH {_FLAT}, {_N2},
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               SUM(CAST(CAST(q.v AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(c.v AS DOUBLE) AS DECIMAL(18,9))) AS dot
+        FROM flat q JOIN flat c ON q.pos = c.pos AND c.vec_id != q.vec_id
+        WHERE q.vec_id < {_Q_MAX}
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               CAST(CAST(ROUND(dot, 12) AS DECIMAL(26,12)) AS DOUBLE) / (sqrt(CAST(CAST(ROUND(qn.n2, 12) AS DECIMAL(26,12)) AS DOUBLE)) * sqrt(CAST(CAST(ROUND(cn.n2, 12) AS DECIMAL(26,12)) AS DOUBLE))) AS cosine
+        FROM dots JOIN n2 qn ON qn.vec_id = query_id JOIN n2 cn ON cn.vec_id = neighbor_id
+    )
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {_K}
+    """,
+)
+def emb_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k over the embedding corpus (broadcast query
+    set, single corpus scan)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, id_col="vec_id", vec_col="embedding", query_ids=list(range(_Q_MAX)), k=_K)
+
+
+@register(
+    "emb_ann_lsh",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, embedding,
+               array_to_string(list_transform(embedding[1:{_LSH_BITS}],
+                   x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bkt
+        FROM embeddings
+    ),
+    flat AS (SELECT vec_id, bkt, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v FROM b),
+    n2 AS (SELECT vec_id, SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS n2 FROM flat GROUP BY vec_id),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               SUM(CAST(CAST(q.v AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(c.v AS DOUBLE) AS DECIMAL(18,9))) AS dot
+        FROM flat q JOIN flat c ON q.pos = c.pos AND q.bkt = c.bkt AND c.vec_id != q.vec_id
+        WHERE q.vec_id < {_Q_MAX}
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               CAST(CAST(ROUND(dot, 12) AS DECIMAL(26,12)) AS DOUBLE) / (sqrt(CAST(CAST(ROUND(qn.n2, 12) AS DECIMAL(26,12)) AS DOUBLE)) * sqrt(CAST(CAST(ROUND(cn.n2, 12) AS DECIMAL(26,12)) AS DOUBLE))) AS cosine
+        FROM dots JOIN n2 qn ON qn.vec_id = query_id JOIN n2 cn ON cn.vec_id = neighbor_id
+    )
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {_K}
+    """,
+)
+def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed approximate nearest neighbors (the scale
+    path: bucket equi-join instead of full cross product)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.sign_lsh_ann(
+        emb, id_col="vec_id", vec_col="embedding", query_ids=list(range(_Q_MAX)), k=_K, bits=_LSH_BITS
+    )
+
+
+@register(
+    "emb_label_centroids",
+    oracle="""
+    SELECT label, CAST(pos AS INTEGER) AS pos,
+           CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS centroid
+    FROM (SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v FROM embeddings)
+    GROUP BY label, pos
+    """,
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids, emitted flat (label, pos, value)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return (
+        exploded.groupBy("label", "pos")
+        .agg((F.sum(F.col("v").cast("decimal(18,9)")).cast("double") / F.count("*")).alias("centroid"))
+        .select("label", (F.col("pos") + 1).cast("int").alias("pos"), "centroid")
+    )
+
+
+# ------------------------------------------------------- multimodal
+
+
+@register(
+    "mm_binary_meta",
+    oracle="""
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column plumbing: payload as binary + typed
+    metadata (byte length, content hash). The decode/feature path
+    lives in operators/multimodal.py (stubbed — media libs not in
+    image); this query is the schema/metadata surface."""
+    docs = load_table(spark, sf_dir, "documents")
+    bin_col = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(bin_col).cast("bigint").alias("n_bytes"),
+        F.md5(bin_col).alias("content_md5"),
+    )

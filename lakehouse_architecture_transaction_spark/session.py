@@ -1,0 +1,44 @@
+"""SparkSession factory tuned for the engine.
+
+Local mode is the test bed; the conf is written so the same code path
+scales to a multi-executor cluster: AQE on (runtime re-plan, skew-join
+splitting, partition coalescing), shuffle partitions sized from the
+environment, Arrow enabled for the Pandas-UDF slow path, session
+timezone pinned to UTC so timestamp semantics match the DuckDB oracle
+and any other engine reading the same parquet.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "lakehouse-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or all cores. Shuffle
+    partitions track the core count — at cluster scale you'd size this
+    to ~2-3x total executor cores instead; AQE coalescing makes the
+    exact number forgiving.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
