@@ -1,0 +1,81 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+ONE JSON line with per-query wall times.
+
+Each query is forced with a cheap count() action (results stay on the
+executors; no driver materialization skew). A warmup run of the
+flagship query pays JVM/codegen startup once so timings reflect the
+plans, not the JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lakehouse_architecture_transaction_spark.plans import REGISTRY
+from lakehouse_architecture_transaction_spark.session import get_spark
+
+#: The headline set: one per operator family, weighted toward the
+#: shapes that dominate at scale (scan-agg, fact joins, windows,
+#: shingle explosion, vector search).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_delta",
+    "q10_returned_items",
+    "top_parts_by_revenue",
+    "rollup_revenue",
+    "top3_orders_per_customer",
+    "sessionize_events",
+    "events_hourly",
+    "dedup_pk_lineitem",
+    "merge_upsert_orders",
+    "docs_minhash_lsh_pairs",
+    "docs_simhash",
+    "docs_token_stats",
+    "emb_knn_bruteforce",
+    "emb_ann_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    spark = get_spark("bench", cpus=cpus)
+
+    # Warmup: JVM + codegen + parquet footer caches.
+    REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, sf_dir).count()
+        dt = round(time.perf_counter() - t0, 4)
+        times[name] = dt
+        total += dt
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf else None,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from lakehouse_architecture_transaction_spark.functions.hashing import MERSENNE_P, h32_col, perm_coeffs
 
@@ -124,21 +125,29 @@ def minhash_signature(df: DataFrame, text_col: str, id_col: str, num_perms: int 
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str, num_perms: int = 16, bands: int = 4
+    sig: DataFrame, id_col: str, num_perms: int = 16, bands: int = 4, persist: bool = True
 ) -> DataFrame:
     """LSH banding over a MinHash signature → distinct candidate pairs
     (a < b). Docs sharing any band signature become candidates; the
     join runs per band bucket, keeping the pair space near-linear.
+
+    The (id, band, bkey) bucket table is materialized once and shared
+    by both self-join sides — without it Spark recomputes the whole
+    MinHash lineage per side per band (8x at bands=4). At cluster
+    scale the persist is MEMORY_AND_DISK: K longs per doc, far smaller
+    than the shingle explosion it avoids recomputing.
     """
     rows = num_perms // bands
-    band_frames = []
+    band_entries = []
     for b in range(bands):
         cols = [f"m{b * rows + r}" for r in range(rows)]
         key = F.md5(F.concat_ws("-", *[F.col(c).cast("string") for c in cols]))
-        band_frames.append(sig.select(F.col(id_col), F.lit(b).alias("band"), key.alias("bkey")))
-    buckets = band_frames[0]
-    for bf in band_frames[1:]:
-        buckets = buckets.unionByName(bf)
+        band_entries.append(F.struct(F.lit(b).alias("band"), key.alias("bkey")))
+    buckets = sig.select(F.col(id_col), F.explode(F.array(*band_entries)).alias("bb")).select(
+        F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
+    if persist:
+        buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     a = buckets.alias("a")
     bb = buckets.alias("b")
     pairs = (
@@ -164,7 +173,9 @@ def ngram_jaccard_pairs(
     is never materialized. Jaccard emitted as a double division of
     exact counts (cross-engine bit-identical).
     """
-    sh = _doc_shingles(df, text_col, id_col, n)
+    # (doc, shingle) pairs feed three plan branches (two join sides +
+    # the size table) — materialize once instead of re-exploding.
+    sh = _doc_shingles(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

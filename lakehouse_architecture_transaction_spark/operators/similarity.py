@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 # Exact per-element product: float -> DECIMAL(18,9) (identical rounding
 # in Spark and DuckDB once both go through DOUBLE), product cast to a
@@ -52,9 +53,11 @@ def cosine_topk(
     vectors (self-match excluded). Output (query_id, rank, neighbor_id,
     cosine). Ties broken by neighbor id — fully deterministic.
     """
+    # Norms are reused by the corpus side and the broadcast query side;
+    # materialize so the decimal fold runs once per vector.
     with_norm = emb.select(
         F.col(id_col), F.col(vec_col), norm2_expr(vec_col).alias("__n2")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     q = (
         with_norm.filter(F.col(id_col).isin(query_ids))
         .select(
@@ -100,7 +103,7 @@ def sign_lsh_ann(
     bucketed = emb.select(
         F.col(id_col), F.col(vec_col), sign_bucket_expr(vec_col, bits).alias("__bkt"),
         norm2_expr(vec_col).alias("__n2"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     q = (
         bucketed.filter(F.col(id_col).isin(query_ids))
         .select(

@@ -1,0 +1,127 @@
+"""Structured Streaming pipelines over the events stream.
+
+The reference's ingestion is batch-triggered (S3 event → Lambda →
+Step Function → Glue job — reference scripts/lambda/trigger_sfn.py);
+the streaming-native equivalent is a file-source stream over the
+landing zone with incremental aggregation and an upsert sink:
+
+- ``hourly_stream_agg``: watermarked tumbling-window aggregation —
+  the incremental twin of the batch ``events_hourly`` query (same
+  logical plan, so batch/stream results agree on closed windows).
+- ``sessionize_stateful``: custom stateful operator via
+  ``applyInPandasWithState`` (gap-based sessions like the batch
+  ``sessionize_events``, but maintained incrementally).
+- ``stream_upsert_into``: ``foreachBatch`` merge into a LakeTable —
+  exactly-once-per-epoch upsert, the streaming version of the
+  reference's Delta merge (scripts/glue/script.py:204-216).
+
+Scale notes: watermarks bound state; the window agg shuffles on
+(window, key) once per trigger with partial aggregation; the stateful
+sessionizer keys state by user_id — its shuffle equals one groupBy.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENT_SCHEMA = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+
+
+def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream over a directory of event parquet files
+    (micros timestamps — stage via catalog.load_table + write)."""
+    return spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", "4").parquet(source_dir)
+
+
+def hourly_stream_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregation (append-mode capable)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr("SUM(CAST(value AS DECIMAL(18,2)))").cast("decimal(18,2)").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "total_value")
+    )
+
+
+_SESSION_OUT = "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
+_SESSION_STATE = "session_start timestamp, session_end timestamp, n_events bigint"
+_GAP_SECONDS = 1800
+
+
+def _session_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    """Incremental gap-sessionizer: rows extend the open session or
+    close it and start a new one; timeout flushes the open session."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        start, end, n = state.get
+        state.remove()
+        yield pd.DataFrame([{"user_id": user_id, "session_start": start, "session_end": end, "n_events": n}])
+        return
+    ts = pd.concat([p["ts"] for p in pdfs]).sort_values()
+    closed = []
+    if state.exists:
+        start, end, n = state.get
+    else:
+        start = end = None
+        n = 0
+    for t in ts:
+        if start is None:
+            start, end, n = t, t, 1
+        elif (t - end).total_seconds() > _GAP_SECONDS:
+            closed.append({"user_id": user_id, "session_start": start, "session_end": end, "n_events": n})
+            start, end, n = t, t, 1
+        else:
+            end, n = t, n + 1
+    state.update((start, end, n))
+    state.setTimeoutDuration(_GAP_SECONDS * 1000)
+    if closed:
+        yield pd.DataFrame(closed)
+
+
+def sessionize_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user gap sessions maintained in
+    group state (the streaming twin of plans/analytics.py
+    sessionize_events)."""
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=_SESSION_OUT,
+            stateStructType=_SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def stream_upsert_into(stream_df: DataFrame, table, checkpoint_dir: str):
+    """foreachBatch upsert sink: each micro-batch MERGEs into the
+    LakeTable on its keys (idempotent per epoch re-run because merge
+    is by key, mirroring Delta's streaming upsert recipe)."""
+
+    def _upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        table.upsert(batch_df)
+
+    return (
+        stream_df.writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Test/demo sink: drain all available input synchronously into an
+    in-memory table queryable as ``name``."""
+    q = stream_df.writeStream.format("memory").queryName(name).outputMode(output_mode).start()
+    q.processAllAvailable()
+    return q
