@@ -116,5 +116,10 @@ def enforce_schema(df: DataFrame, schema) -> DataFrame:
     """Cast every field to the declared type (bad values → null), the
     reference's schema-enforcement step (scripts/glue/script.py:169-171).
     Single select → one projection, not N withColumns.
+
+    ``try_cast`` (not ``cast``): Spark 4 defaults to ANSI mode, where a
+    plain cast THROWS on malformed input — the reference's Spark-3 Glue
+    semantics are cast-to-null, with the nulls routed downstream by the
+    validation rules.
     """
-    return df.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields])
+    return df.select(*[F.col(f.name).try_cast(f.dataType).alias(f.name) for f in schema.fields])

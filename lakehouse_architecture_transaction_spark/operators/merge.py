@@ -29,13 +29,16 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataF
     if set(target.columns) != set(source.columns):
         raise ValueError(f"column mismatch: {target.columns} vs {source.columns}")
     t = target.alias("t")
-    s = source.alias("s")
+    # Literal presence flag: key-nullability is NOT a reliable match
+    # signal (the join is eqNullSafe, so a legitimately-null key
+    # component would mis-classify a matched source row).
+    s = source.withColumn("__src", F.lit(True)).alias("s")
     cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
     joined = t.join(s, on=cond, how="full_outer")
     # A source row with a null non-key value must still win over the
-    # matched target value (update-all semantics), so pick by match
-    # flag rather than coalesce of the value columns.
-    matched = F.col(f"s.{keys[0]}").isNotNull()
+    # matched target value (update-all semantics), so pick by the
+    # source-presence flag rather than coalesce of the value columns.
+    matched = F.col("s.__src").isNotNull()
     picked = [
         F.when(matched, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c) for c in target.columns
     ]

@@ -51,8 +51,9 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """
     if not fake:
         raise NotImplementedError("image decode requires an imaging library (not in this environment)")
+    # 8*8*3 = 192 bytes = six repeats of the 32-byte digest.
     digest = hashlib.sha256(payload).digest()
-    arr = np.frombuffer((digest * 3)[: 8 * 8 * 3], dtype=np.uint8)
+    arr = np.frombuffer((digest * 6)[: 8 * 8 * 3], dtype=np.uint8)
     return arr.reshape(8, 8, 3)
 
 
@@ -64,7 +65,7 @@ def extract_features(mm: DataFrame, batch_target_rows: int = 1024, fake_decode: 
     you repartition by size first so a batch's total payload bytes are
     bounded (here the fixture payloads are tiny).
     """
-    out_schema = f"doc_id bigint, content_sha string, n_bytes bigint, feature array<float>"
+    out_schema = "doc_id bigint, content_sha string, n_bytes bigint, feature array<float>"
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1,15 +1,19 @@
 """Embedding similarity search: brute-force cosine top-k and a
 sign-LSH bucketed approximate variant.
 
-Determinism discipline: per-element products accumulate in DECIMAL
-(exact, order-independent), and the final cosine is a double division
-of exactly-equal quantities — so the DuckDB oracle reproduces scores
-bit-for-bit (see plans/registry.py docstring).
+Determinism discipline: dot products and norms are LEFT-FOLDS over
+DOUBLE products (``aggregate(zip_with(...))`` with a 0.0 seed). A left
+fold has ONE evaluation order, so the DuckDB oracle — folding the same
+lists with ``list_reduce`` — produces bit-identical IEEE doubles. This
+replaces round 1's per-element DECIMAL(20,18) accumulation, which was
+equally deterministic but interpreted decimal math ~1000× slower than
+native double adds (it alone was 40% of the round-1 bench).
 
 Scale notes (100 TB corpus):
 - brute force is O(|Q|·N): the query set is broadcast, the corpus
   streams once, top-k per query via window — the right baseline when
-  |Q| is small.
+  |Q| is small. No persist: norms are recomputed inline (a 64-element
+  double fold per row is cheaper than caching the whole corpus).
 - sign-LSH buckets the corpus by the sign pattern of the leading
   dimensions (a random-hyperplane LSH with axis-aligned planes):
   candidates share a bucket, cutting N per query by ~2^bits. At real
@@ -21,20 +25,17 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
-# Exact per-element product: float -> DECIMAL(18,9) (identical rounding
-# in Spark and DuckDB once both go through DOUBLE), product cast to a
-# (20,18) accumulator — embeddings are unit-scale so 2 integer digits
-# suffice, additions stay under precision 38 (never rounded), and the
-# lambda re-cast keeps the accumulator type stable for the analyzer.
+# Deterministic double dot product / squared norm: elementwise DOUBLE
+# products folded left-to-right from a 0.0 seed. (0.0 + x) == x exactly
+# in IEEE754, so this equals DuckDB's seedless list_reduce fold.
 _DOT = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(CAST(x AS DECIMAL(18,9)) * CAST(y AS DECIMAL(18,9)) AS DECIMAL(20,18))), "
-    "CAST(0 AS DECIMAL(20,18)), (acc, v) -> CAST(acc + v AS DECIMAL(20,18)))"
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
 )
 _NORM2 = (
-    "aggregate(transform({a}, x -> CAST(CAST(x AS DECIMAL(18,9)) * CAST(x AS DECIMAL(18,9)) AS DECIMAL(20,18))), "
-    "CAST(0 AS DECIMAL(20,18)), (acc, v) -> CAST(acc + v AS DECIMAL(20,18)))"
+    "aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
 )
 
 
@@ -53,29 +54,19 @@ def cosine_topk(
     vectors (self-match excluded). Output (query_id, rank, neighbor_id,
     cosine). Ties broken by neighbor id — fully deterministic.
     """
-    # Norms are reused by the corpus side and the broadcast query side;
-    # materialize so the decimal fold runs once per vector.
-    with_norm = emb.select(
-        F.col(id_col), F.col(vec_col), norm2_expr(vec_col).alias("__n2")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    q = (
-        with_norm.filter(F.col(id_col).isin(query_ids))
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("__qv"),
-            F.col("__n2").alias("__qn2"),
-        )
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        norm2_expr(vec_col).alias("__qn2"),
     )
-    pairs = with_norm.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("query_id"))
+    corpus = emb.select(F.col(id_col), F.col(vec_col), norm2_expr(vec_col).alias("__n2"))
+    pairs = corpus.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("query_id"))
     scored = pairs.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
         (
-            dot_expr("__qv", vec_col).cast("decimal(26,12)").cast("double")
-            / (
-                F.sqrt(F.col("__qn2").cast("decimal(26,12)").cast("double"))
-                * F.sqrt(F.col("__n2").cast("decimal(26,12)").cast("double"))
-            )
+            dot_expr("__qv", vec_col)
+            / (F.sqrt(F.col("__qn2")) * F.sqrt(F.col("__n2")))
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
@@ -83,6 +74,7 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
+        .orderBy("query_id", "rank")
     )
 
 
@@ -101,17 +93,16 @@ def sign_lsh_ann(
     cosine_topk; recall trades against 2^bits bucket fan-out.
     """
     bucketed = emb.select(
-        F.col(id_col), F.col(vec_col), sign_bucket_expr(vec_col, bits).alias("__bkt"),
+        F.col(id_col),
+        F.col(vec_col),
+        sign_bucket_expr(vec_col, bits).alias("__bkt"),
         norm2_expr(vec_col).alias("__n2"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    q = (
-        bucketed.filter(F.col(id_col).isin(query_ids))
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("__qv"),
-            F.col("__bkt"),
-            F.col("__n2").alias("__qn2"),
-        )
+    )
+    q = bucketed.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col("__bkt"),
+        F.col("__n2").alias("__qn2"),
     )
     pairs = bucketed.join(F.broadcast(q), on="__bkt", how="inner").filter(
         F.col(id_col) != F.col("query_id")
@@ -120,11 +111,8 @@ def sign_lsh_ann(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
         (
-            dot_expr("__qv", vec_col).cast("decimal(26,12)").cast("double")
-            / (
-                F.sqrt(F.col("__qn2").cast("decimal(26,12)").cast("double"))
-                * F.sqrt(F.col("__n2").cast("decimal(26,12)").cast("double"))
-            )
+            dot_expr("__qv", vec_col)
+            / (F.sqrt(F.col("__qn2")) * F.sqrt(F.col("__n2")))
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
@@ -132,6 +120,7 @@ def sign_lsh_ann(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
+        .orderBy("query_id", "rank")
     )
 
 
@@ -140,7 +129,8 @@ def label_centroids(emb: DataFrame, label_col: str, vec_col: str) -> DataFrame:
 
     posexplode → groupBy(label, pos) keeps the shuffle narrow and the
     result engine-comparable (no nested-array hashing). Mean computed
-    as exact decimal sum / count in one double division.
+    as exact decimal sum / count in one double division (the sum is
+    order-independent in decimal, so no fold is needed here).
     """
     exploded = emb.select(F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "v"))
     return (

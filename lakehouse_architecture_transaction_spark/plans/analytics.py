@@ -20,22 +20,27 @@ from lakehouse_architecture_transaction_spark.catalog import load_table
 from lakehouse_architecture_transaction_spark.plans.registry import register
 
 # Shared exact-decimal fragments (see registry docstring for why).
+# Aggregation is DECIMAL (exact, order-independent across partitions /
+# engines); the OUTPUT boundary is DOUBLE — pandas/Arrow bridges in
+# downstream tools float decimals anyway, and an identical decimal
+# narrows to an identical double in both engines, so results stay
+# bit-comparable without leaking engine-specific decimal rendering.
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
-_SUM_REV = f"CAST(SUM({_REV}) AS DECIMAL(18,4))"
+_SUM_REV = f"CAST(CAST(SUM({_REV}) AS DECIMAL(18,4)) AS DOUBLE)"
 
 
 def _rev_sum_col():
-    return F.expr(f"SUM({_REV})").cast("decimal(18,4)")
+    return F.expr(f"SUM({_REV})").cast("decimal(18,4)").cast("double")
 
 
 @register(
     "q1_pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
            {_SUM_REV} AS sum_disc_price,
-           CAST(SUM(CAST({_REV} AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(18,6)) AS sum_charge,
+           CAST(CAST(SUM(CAST({_REV} AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_charge,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
            CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -43,6 +48,7 @@ def _rev_sum_col():
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag ASC, l_linestatus ASC
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -54,17 +60,22 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec_qty = F.expr("CAST(l_quantity AS DECIMAL(18,2))")
     dec_price = F.expr("CAST(l_extendedprice AS DECIMAL(18,2))")
     dec_disc = F.expr("CAST(l_discount AS DECIMAL(18,2))")
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(dec_qty).cast("decimal(18,2)").alias("sum_qty"),
-        F.sum(dec_price).cast("decimal(18,2)").alias("sum_base_price"),
-        _rev_sum_col().alias("sum_disc_price"),
-        F.expr(f"SUM(CAST({_REV} AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2))))")
-        .cast("decimal(18,6)")
-        .alias("sum_charge"),
-        (F.sum(dec_qty).cast("double") / F.count("*")).alias("avg_qty"),
-        (F.sum(dec_price).cast("double") / F.count("*")).alias("avg_price"),
-        (F.sum(dec_disc).cast("double") / F.count("*")).alias("avg_disc"),
-        F.count("*").alias("count_order"),
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec_qty).cast("decimal(18,2)").cast("double").alias("sum_qty"),
+            F.sum(dec_price).cast("decimal(18,2)").cast("double").alias("sum_base_price"),
+            _rev_sum_col().alias("sum_disc_price"),
+            F.expr(f"SUM(CAST({_REV} AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2))))")
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(dec_qty).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(dec_price).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(dec_disc).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy(F.col("l_returnflag").asc(), F.col("l_linestatus").asc())
     )
 
 
@@ -115,6 +126,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY n_name
+    ORDER BY revenue DESC, n_name ASC
     """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -138,13 +150,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(_rev_sum_col().alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
     )
 
 
 @register(
     "q6_revenue_delta",
     oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS revenue,
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -165,6 +178,7 @@ def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         F.expr("SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)))")
         .cast("decimal(18,4)")
+        .cast("double")
         .alias("revenue"),
         F.count("*").alias("n_items"),
     )
@@ -210,7 +224,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_parts_by_revenue",
     oracle=f"""
     SELECT p_partkey, p_name, p_brand, {_SUM_REV} AS revenue,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_qty
     FROM lineitem JOIN part ON p_partkey = l_partkey
     GROUP BY p_partkey, p_name, p_brand
     ORDER BY revenue DESC, p_partkey ASC
@@ -225,7 +239,7 @@ def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     per_part = li.groupBy("l_partkey").agg(
         _rev_sum_col().alias("revenue"),
-        F.expr("SUM(CAST(l_quantity AS DECIMAL(18,2)))").cast("decimal(18,2)").alias("total_qty"),
+        F.expr("SUM(CAST(l_quantity AS DECIMAL(18,2)))").cast("decimal(18,2)").cast("double").alias("total_qty"),
     )
     return (
         per_part.join(F.broadcast(part), per_part.l_partkey == part.p_partkey)
@@ -241,10 +255,11 @@ def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment,
            COUNT(DISTINCT c_custkey) AS n_customers,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_spend,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_spend,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_order_value
     FROM customer JOIN orders ON o_custkey = c_custkey
     GROUP BY c_mktsegment
+    ORDER BY c_mktsegment ASC
     """,
 )
 def mktsegment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -258,9 +273,10 @@ def mktsegment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("c_custkey").alias("n_customers"),
             F.count("*").alias("n_orders"),
-            F.sum(dec_price).cast("decimal(18,2)").alias("total_spend"),
+            F.sum(dec_price).cast("decimal(18,2)").cast("double").alias("total_spend"),
             (F.sum(dec_price).cast("double") / F.count("*")).alias("avg_order_value"),
         )
+        .orderBy(F.col("c_mktsegment").asc())
     )
 
 
@@ -268,13 +284,14 @@ def mktsegment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_revenue",
     oracle="""
     SELECT r_name, n_name,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_spend,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_spend,
            COUNT(*) AS n_orders
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey
     JOIN region   ON n_regionkey = r_regionkey
     GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
     """,
 )
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -289,21 +306,26 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
-    return joined.rollup("r_name", "n_name").agg(
-        F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)))").cast("decimal(18,2)").alias("total_spend"),
-        F.count("*").alias("n_orders"),
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)))").cast("decimal(18,2)").cast("double").alias("total_spend"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
     )
 
 
 @register(
     "top3_orders_per_customer",
     oracle="""
-    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
     FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
                ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         FROM orders
     ) WHERE rn <= 3
+    ORDER BY o_custkey ASC, rn ASC
     """,
 )
 def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -315,6 +337,7 @@ def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy(F.col("o_custkey").asc(), F.col("rn").asc())
     )
 
 
@@ -322,10 +345,11 @@ def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer_running_spend",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_spend
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS running_spend
     FROM orders
+    ORDER BY o_custkey ASC, o_orderkey ASC
     """,
 )
 def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -340,8 +364,12 @@ def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.sum(F.expr("CAST(o_totalprice AS DECIMAL(18,2))")).over(w).cast("decimal(18,2)").alias("running_spend"),
-    )
+        F.sum(F.expr("CAST(o_totalprice AS DECIMAL(18,2))"))
+        .over(w)
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("running_spend"),
+    ).orderBy(F.col("o_custkey").asc(), F.col("o_orderkey").asc())
 
 
 @register(
@@ -350,9 +378,10 @@ def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('hour', ts) AS hour_start, event_type,
            COUNT(*) AS n_events,
            COUNT(DISTINCT user_id) AS n_users,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
+    ORDER BY hour_start ASC, event_type ASC
     """,
 )
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -365,9 +394,10 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.expr("SUM(CAST(value AS DECIMAL(18,2)))").cast("decimal(18,2)").alias("total_value"),
+            F.expr("SUM(CAST(value AS DECIMAL(18,2)))").cast("decimal(18,2)").cast("double").alias("total_value"),
         )
         .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "n_users", "total_value")
+        .orderBy(F.col("hour_start").asc(), F.col("event_type").asc())
     )
 
 
@@ -385,10 +415,12 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         FROM ordered
     )
-    SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS session_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS session_value
     FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id ASC, session_id ASC
     """,
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -398,21 +430,25 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     # Microsecond precision to match the oracle's interval comparison
     # exactly (cast-to-seconds would truncate sub-second gaps).
+    # unix_micros needs TIMESTAMP; the ntz→ltz cast is a no-op on the
+    # stored micros under the UTC session timezone.
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
     flagged = events.withColumn(
         "new_s",
-        F.when(
-            F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w) > 1800 * 1_000_000,
-            1,
-        ).otherwise(0),
+        F.when(micros - F.lag(micros).over(w) > 1800 * 1_000_000, 1).otherwise(0),
     )
     sess = flagged.withColumn(
         "session_id", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     )
-    return sess.groupBy("user_id", "session_id").agg(
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
-        F.count("*").alias("n_events"),
-        F.expr("SUM(CAST(value AS DECIMAL(18,2)))").cast("decimal(18,2)").alias("session_value"),
+    return (
+        sess.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.expr("SUM(CAST(value AS DECIMAL(18,2)))").cast("decimal(18,2)").cast("double").alias("session_value"),
+        )
+        .orderBy(F.col("user_id").asc(), F.col("session_id").asc())
     )
 
 
@@ -425,6 +461,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
     FROM events
     GROUP BY event_type
+    ORDER BY event_type ASC
     """,
 )
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -432,8 +469,12 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (get_json_object JVM-side) + aggregation."""
     events = load_table(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
-    return events.groupBy("event_type").agg(
-        F.count("*").alias("n_events"),
-        F.sum(k).cast("bigint").alias("sum_k"),
-        (F.sum(k).cast("double") / F.count("*")).alias("avg_k"),
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(k).cast("bigint").alias("sum_k"),
+            (F.sum(k).cast("double") / F.count("*")).alias("avg_k"),
+        )
+        .orderBy(F.col("event_type").asc())
     )

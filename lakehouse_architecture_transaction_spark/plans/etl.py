@@ -69,12 +69,13 @@ def _order_rules():
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
     FROM (SELECT *, {_ORDER_RULES_SQL} AS validation_errors FROM dirty)
     WHERE validation_errors IS NULL
+    ORDER BY o_orderkey ASC
     """,
 )
 def validate_orders_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Valid split of the validation rule engine (reference
     scripts/glue/script.py:134-141 orders rules)."""
-    return validate(_dirty_orders(spark, sf_dir), rules=_order_rules()).valid
+    return validate(_dirty_orders(spark, sf_dir), rules=_order_rules()).valid.orderBy("o_orderkey")
 
 
 @register(
@@ -83,12 +84,13 @@ def validate_orders_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH dirty AS ({_DIRTY_ORDERS_SQL})
     SELECT * FROM (SELECT *, {_ORDER_RULES_SQL} AS validation_errors FROM dirty)
     WHERE validation_errors IS NOT NULL
+    ORDER BY o_orderkey ASC
     """,
 )
 def validate_orders_rejected(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rejected split with first-failing-rule message (reference
     scripts/glue/script.py:152-153)."""
-    return validate(_dirty_orders(spark, sf_dir), rules=_order_rules()).rejected
+    return validate(_dirty_orders(spark, sf_dir), rules=_order_rules()).rejected.orderBy("o_orderkey")
 
 
 @register(
@@ -97,6 +99,7 @@ def validate_orders_rejected(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id, 'Invalid user_id reference' AS validation_errors
     FROM events
     WHERE user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 3 != 0)
+    ORDER BY event_id ASC
     """,
 )
 def ri_violations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,7 +115,7 @@ def ri_violations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         events,
         fk_checks=[FkCheck(fk_col="user_id", ref=customers, ref_col="c_custkey", error="Invalid user_id reference")],
     )
-    return res.rejected.select("event_id", "user_id", "validation_errors")
+    return res.rejected.select("event_id", "user_id", "validation_errors").orderBy("event_id")
 
 
 @register(
@@ -135,6 +138,7 @@ def ri_violations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                      l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST, l_shipdate ASC NULLS LAST
         ) AS rn FROM inp
     ) WHERE rn = 1
+    ORDER BY l_orderkey ASC, l_linenumber ASC
     """,
 )
 def dedup_pk_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,7 +150,9 @@ def dedup_pk_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     dupes = li.filter(F.col("l_orderkey") % 11 == 0).withColumn("l_quantity", F.col("l_quantity") - 1)
-    return dedup_exact(li.unionByName(dupes), keys=["l_orderkey", "l_linenumber"])
+    return dedup_exact(li.unionByName(dupes), keys=["l_orderkey", "l_linenumber"]).orderBy(
+        "l_orderkey", "l_linenumber"
+    )
 
 
 _MERGE_SOURCE_SQL = """
@@ -167,6 +173,7 @@ _MERGE_SOURCE_SQL = """
     SELECT * FROM src
     UNION ALL
     SELECT t.* FROM orders t WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM src)
+    ORDER BY o_orderkey ASC
     """,
 )
 def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -187,4 +194,4 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_orderstatus", F.lit("N"))
     )
     source = updates.unionByName(inserts.select(*updates.columns))
-    return merge_upsert(orders, source, keys=["o_orderkey"])
+    return merge_upsert(orders, source, keys=["o_orderkey"]).orderBy("o_orderkey")

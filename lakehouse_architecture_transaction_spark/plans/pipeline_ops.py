@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from lakehouse_architecture_transaction_spark.catalog import load_table
 from lakehouse_architecture_transaction_spark.functions.hashing import MERSENNE_P, perm_coeffs
 from lakehouse_architecture_transaction_spark.operators import dedup as D
+from lakehouse_architecture_transaction_spark.operators import multimodal as M
 from lakehouse_architecture_transaction_spark.operators import similarity as S
 from lakehouse_architecture_transaction_spark.operators import text as T
 from lakehouse_architecture_transaction_spark.plans.registry import register
@@ -53,7 +54,7 @@ _NUM_PERMS, _BANDS = 16, 4
 
 @register(
     "docs_exact_dedup",
-    oracle="SELECT doc_id, lang, source, n_chars FROM documents",
+    oracle="SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id ASC",
 )
 def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-content dedup (hash-groupBy, keep min id). Input is
@@ -63,7 +64,7 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     dupes = docs.filter(F.col("doc_id") % 10 == 0).withColumn("doc_id", F.col("doc_id") + 100000)
     deduped = D.exact_text_dedup(docs.unionByName(dupes), text_col="text", id_col="doc_id")
-    return deduped.select("doc_id", "lang", "source", "n_chars")
+    return deduped.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
 
 
 @register(
@@ -71,13 +72,14 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT doc_id, md5(array_to_string(list_sort(list_distinct({_NORM_TOKENS})), ' ')) AS fingerprint
     FROM documents
+    ORDER BY doc_id ASC
     """,
 )
 def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collision fingerprint (sorted distinct normalized token set →
     md5): word-order-insensitive near-dup key."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.fingerprint(docs, text_col="text", id_col="doc_id")
+    return D.fingerprint(docs, text_col="text", id_col="doc_id").orderBy("doc_id")
 
 
 @register(
@@ -96,12 +98,15 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.1
+    ORDER BY id_a ASC, id_b ASC
     """,
 )
 def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram shingle Jaccard pair mining (threshold 0.1)."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(docs, text_col="text", id_col="doc_id", n=3, threshold=0.1)
+    return D.ngram_jaccard_pairs(docs, text_col="text", id_col="doc_id", n=3, threshold=0.1).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def _minhash_oracle() -> str:
@@ -120,6 +125,7 @@ def _minhash_oracle() -> str:
     bnd AS ({band_union})
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bnd a JOIN bnd b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ORDER BY id_a ASC, id_b ASC
     """
 
 
@@ -128,7 +134,9 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (16 perms) + LSH banding (4×4) candidate pairs."""
     docs = load_table(spark, sf_dir, "documents")
     sig = D.minhash_signature(docs, text_col="text", id_col="doc_id", num_perms=_NUM_PERMS, n=3)
-    return D.lsh_candidate_pairs(sig, id_col="doc_id", num_perms=_NUM_PERMS, bands=_BANDS)
+    return D.lsh_candidate_pairs(sig, id_col="doc_id", num_perms=_NUM_PERMS, bands=_BANDS).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def _simhash_oracle(bits: int = 32) -> str:
@@ -139,6 +147,7 @@ def _simhash_oracle(bits: int = 32) -> str:
     hx AS (SELECT doc_id, {_H32.format(x='tok')} AS h FROM tokx),
     s AS (SELECT doc_id, {sums} FROM hx GROUP BY doc_id)
     SELECT doc_id, CAST({val} AS BIGINT) AS simhash FROM s
+    ORDER BY doc_id ASC
     """
 
 
@@ -146,7 +155,7 @@ def _simhash_oracle(bits: int = 32) -> str:
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints (near-dup = small hamming distance)."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash(docs, text_col="text", id_col="doc_id", bits=32)
+    return D.simhash(docs, text_col="text", id_col="doc_id", bits=32).orderBy("doc_id")
 
 
 # ------------------------------------------------------- text queries
@@ -162,12 +171,13 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(regexp_extract_all(text, '{T.BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
            CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk) AS mean_token_len
     FROM tok
+    ORDER BY doc_id ASC
     """,
 )
 def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish subword count."""
     docs = load_table(spark, sf_dir, "documents")
-    return T.token_stats(docs, id_col="doc_id", text_col="text")
+    return T.token_stats(docs, id_col="doc_id", text_col="text").orderBy("doc_id")
 
 
 _STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in T.LEXICON["en"]) + "]"
@@ -192,13 +202,14 @@ _STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in T.LEXICON["en"]) + "]"
         + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END)
         + (CASE WHEN n_tokens BETWEEN 10 AND 2000 THEN 0.25 ELSE 0.0 END) AS DOUBLE) AS quality
     FROM m
+    ORDER BY doc_id ASC
     """,
 )
 def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring (length / punctuation / digit /
     stopword signals)."""
     docs = load_table(spark, sf_dir, "documents")
-    return T.quality_score(docs, id_col="doc_id", text_col="text")
+    return T.quality_score(docs, id_col="doc_id", text_col="text").orderBy("doc_id")
 
 
 def _lex_values() -> str:
@@ -226,12 +237,13 @@ def _lex_values() -> str:
     SELECT d.doc_id, COALESCE(b.lang_guess, 'und') AS lang_guess,
            CAST(COALESCE(b.hits, 0) AS BIGINT) AS hits
     FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+    ORDER BY d.doc_id ASC
     """,
 )
 def docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-lexicon language ID with deterministic argmax."""
     docs = load_table(spark, sf_dir, "documents")
-    return T.lang_id(spark, docs, id_col="doc_id", text_col="text")
+    return T.lang_id(spark, docs, id_col="doc_id", text_col="text").orderBy("doc_id")
 
 
 # -------------------------------------------------- embedding queries
@@ -240,36 +252,32 @@ _Q_MAX = 8  # query set = vec_id < 8
 _K = 5
 _LSH_BITS = 4
 
-_FLAT = (
-    "flat AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v "
-    "FROM embeddings)"
-)
-_N2 = (
-    "n2 AS (SELECT vec_id, SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS n2 "
-    "FROM flat GROUP BY vec_id)"
+# Deterministic DOUBLE left-folds mirroring operators/similarity.py:
+# list_reduce folds left-to-right from the first element, which equals
+# Spark's aggregate() fold from a 0.0 seed bit-for-bit.
+_N2_FOLD = "list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)"
+_DOT_FOLD = (
+    "list_reduce(list_transform(list_zip(q.embedding, c.embedding), "
+    "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b)"
 )
 
 
 @register(
     "emb_knn_bruteforce",
     oracle=f"""
-    WITH {_FLAT}, {_N2},
-    dots AS (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               SUM(CAST(CAST(q.v AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(c.v AS DOUBLE) AS DECIMAL(18,9))) AS dot
-        FROM flat q JOIN flat c ON q.pos = c.pos AND c.vec_id != q.vec_id
-        WHERE q.vec_id < {_Q_MAX}
-        GROUP BY 1, 2
-    ),
+    WITH q AS (SELECT vec_id, embedding, {_N2_FOLD} AS n2 FROM embeddings WHERE vec_id < {_Q_MAX}),
+    c AS (SELECT vec_id, embedding, {_N2_FOLD} AS n2 FROM embeddings),
     scored AS (
-        SELECT query_id, neighbor_id,
-               CAST(CAST(ROUND(dot, 12) AS DECIMAL(26,12)) AS DOUBLE) / (sqrt(CAST(CAST(ROUND(qn.n2, 12) AS DECIMAL(26,12)) AS DOUBLE)) * sqrt(CAST(CAST(ROUND(cn.n2, 12) AS DECIMAL(26,12)) AS DOUBLE))) AS cosine
-        FROM dots JOIN n2 qn ON qn.vec_id = query_id JOIN n2 cn ON cn.vec_id = neighbor_id
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_DOT_FOLD} / (sqrt(q.n2) * sqrt(c.n2)) AS cosine
+        FROM c CROSS JOIN q
+        WHERE c.vec_id != q.vec_id
     )
     SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
         FROM scored
     ) WHERE rank <= {_K}
+    ORDER BY query_id ASC, rank ASC
     """,
 )
 def emb_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,27 +293,21 @@ def emb_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
         SELECT vec_id, embedding,
                array_to_string(list_transform(embedding[1:{_LSH_BITS}],
-                   x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bkt
+                   x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bkt,
+               {_N2_FOLD} AS n2
         FROM embeddings
     ),
-    flat AS (SELECT vec_id, bkt, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v FROM b),
-    n2 AS (SELECT vec_id, SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS n2 FROM flat GROUP BY vec_id),
-    dots AS (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               SUM(CAST(CAST(q.v AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(c.v AS DOUBLE) AS DECIMAL(18,9))) AS dot
-        FROM flat q JOIN flat c ON q.pos = c.pos AND q.bkt = c.bkt AND c.vec_id != q.vec_id
-        WHERE q.vec_id < {_Q_MAX}
-        GROUP BY 1, 2
-    ),
     scored AS (
-        SELECT query_id, neighbor_id,
-               CAST(CAST(ROUND(dot, 12) AS DECIMAL(26,12)) AS DOUBLE) / (sqrt(CAST(CAST(ROUND(qn.n2, 12) AS DECIMAL(26,12)) AS DOUBLE)) * sqrt(CAST(CAST(ROUND(cn.n2, 12) AS DECIMAL(26,12)) AS DOUBLE))) AS cosine
-        FROM dots JOIN n2 qn ON qn.vec_id = query_id JOIN n2 cn ON cn.vec_id = neighbor_id
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_DOT_FOLD} / (sqrt(q.n2) * sqrt(c.n2)) AS cosine
+        FROM b c JOIN b q ON c.bkt = q.bkt AND c.vec_id != q.vec_id
+        WHERE q.vec_id < {_Q_MAX}
     )
     SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
         FROM scored
     ) WHERE rank <= {_K}
+    ORDER BY query_id ASC, rank ASC
     """,
 )
 def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -324,6 +326,7 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS centroid
     FROM (SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v FROM embeddings)
     GROUP BY label, pos
+    ORDER BY label ASC, pos ASC
     """,
 )
 def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,6 +337,7 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         exploded.groupBy("label", "pos")
         .agg((F.sum(F.col("v").cast("decimal(18,9)")).cast("double") / F.count("*")).alias("centroid"))
         .select("label", (F.col("pos") + 1).cast("int").alias("pos"), "centroid")
+        .orderBy("label", "pos")
     )
 
 
@@ -345,6 +349,7 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS content_md5
     FROM documents
+    ORDER BY doc_id ASC
     """,
 )
 def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -358,4 +363,44 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.octet_length(bin_col).cast("bigint").alias("n_bytes"),
         F.md5(bin_col).alias("content_md5"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "mm_features",
+    oracle="""
+    WITH hx AS (
+        SELECT doc_id, sha256(text) AS sha,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    ),
+    nib AS (
+        SELECT doc_id, sha, n_bytes,
+               list_transform(generate_series(0, 31), i -> substr(sha, 2 * i + 1, 1)) AS hi
+        FROM hx
     )
+    SELECT doc_id, sha AS content_sha, n_bytes,
+           CAST(len(list_filter(hi, c -> c = '0')) AS DOUBLE) / 32.0 AS f0,
+           CAST(len(list_filter(hi, c -> c = '1')) AS DOUBLE) / 32.0 AS f1
+    FROM nib
+    ORDER BY doc_id ASC
+    """,
+)
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real multimodal feature path (operators/multimodal.py):
+    binary table → mapInPandas fake-decode → byte-histogram features.
+    The fake decode is six repeats of sha256(payload), so bin j of the
+    16-bin histogram counts digest bytes with high nibble j — which the
+    oracle restates from the hex digest string (char 2i+1 is byte i's
+    high nibble; each count/32 is a power-of-two fraction, exact in
+    float32 and double alike)."""
+    docs = load_table(spark, sf_dir, "documents")
+    mm = M.make_binary_table(docs, id_col="doc_id", text_col="text")
+    feats = M.extract_features(mm, fake_decode=True)
+    return feats.select(
+        "doc_id",
+        "content_sha",
+        "n_bytes",
+        F.element_at("feature", 1).cast("double").alias("f0"),
+        F.element_at("feature", 2).cast("double").alias("f1"),
+    ).orderBy("doc_id")

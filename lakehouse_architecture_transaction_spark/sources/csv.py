@@ -44,8 +44,10 @@ def read_csv_enforced(
         .csv(path)
         .cache()  # one scan feeds both splits
     )
+    # try_cast: ANSI-mode (Spark 4 default) plain cast throws on
+    # malformed values; the contract here is bad-value → null.
     parsed = raw.filter(F.col(CORRUPT).isNull()).select(
-        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        *[F.col(f.name).try_cast(f.dataType).alias(f.name) for f in schema.fields]
     )
     corrupt = raw.filter(F.col(CORRUPT).isNotNull()).select(CORRUPT)
     return parsed, corrupt

@@ -29,13 +29,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-EVENT_SCHEMA = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+EVENT_SCHEMA = "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, value double, props string"
 
 
 def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     """File-source stream over a directory of event parquet files
-    (micros timestamps — stage via catalog.load_table + write)."""
-    return spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", "4").parquet(source_dir)
+    (micros timestamps — stage via catalog.load_table + write).
+
+    The lake stores ntz; Spark's event-time machinery (watermarks)
+    requires TIMESTAMP, so the stream normalizes on read — a no-op on
+    the stored micros under the UTC session timezone."""
+    raw = spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", "4").parquet(source_dir)
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_stream_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -58,13 +63,14 @@ _GAP_SECONDS = 1800
 
 def _session_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     """Incremental gap-sessionizer: rows extend the open session or
-    close it and start a new one; timeout flushes the open session."""
+    close it and start a new one. Sessions close ONLY when a
+    gap-exceeding event arrives (NoTimeout): wall-clock timers under
+    ``processAllAvailable`` schedule unbounded empty batches (round-1's
+    ProcessingTimeTimeout variant never drained), whereas event-driven
+    closure terminates with the input. The open session per user stays
+    in state; a production deployment that must flush idle sessions
+    would add EventTimeTimeout keyed to the watermark."""
     (user_id,) = key
-    if state.hasTimedOut:
-        start, end, n = state.get
-        state.remove()
-        yield pd.DataFrame([{"user_id": user_id, "session_start": start, "session_end": end, "n_events": n}])
-        return
     ts = pd.concat([p["ts"] for p in pdfs]).sort_values()
     closed = []
     if state.exists:
@@ -81,7 +87,6 @@ def _session_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         else:
             end, n = t, n + 1
     state.update((start, end, n))
-    state.setTimeoutDuration(_GAP_SECONDS * 1000)
     if closed:
         yield pd.DataFrame(closed)
 
@@ -98,7 +103,7 @@ def sessionize_stateful(events: DataFrame) -> DataFrame:
             outputStructType=_SESSION_OUT,
             stateStructType=_SESSION_STATE,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
 
