@@ -52,12 +52,15 @@ def main() -> None:
     # Warmup: JVM + codegen + parquet footer caches.
     REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).count()
 
+    from lakehouse_architecture_transaction_spark.operators.dedup import release_persisted
+
     times: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).count()
         dt = round(time.perf_counter() - t0, 4)
+        release_persisted()  # caches must not leak across queries
         times[name] = dt
         total += dt
 

@@ -28,6 +28,25 @@ from pyspark.storagelevel import StorageLevel
 
 from lakehouse_architecture_transaction_spark.functions.hashing import MERSENNE_P, h32_col, perm_coeffs
 
+#: Intermediates persisted by operators in this module. Spark can't
+#: unpersist before the caller's terminal action, so operators register
+#: here and hosts (bench, pipelines, tests) call release_persisted()
+#: after each query — caches no longer accumulate across a session.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(df)
+    return df
+
+
+def release_persisted() -> None:
+    """Unpersist every intermediate registered since the last call."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
+
 # ---------------------------------------------------------------- exact
 
 
@@ -125,17 +144,31 @@ def minhash_signature(df: DataFrame, text_col: str, id_col: str, num_perms: int 
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str, num_perms: int = 16, bands: int = 4, persist: bool = True
+    sig: DataFrame,
+    id_col: str,
+    num_perms: int = 16,
+    bands: int = 4,
+    persist: bool = True,
+    bucket_cap: int = 50,
 ) -> DataFrame:
     """LSH banding over a MinHash signature → distinct candidate pairs
     (a < b). Docs sharing any band signature become candidates; the
     join runs per band bucket, keeping the pair space near-linear.
 
-    The (id, band, bkey) bucket table is materialized once and shared
-    by both self-join sides — without it Spark recomputes the whole
-    MinHash lineage per side per band (8x at bands=4). At cluster
-    scale the persist is MEMORY_AND_DISK: K longs per doc, far smaller
-    than the shingle explosion it avoids recomputing.
+    ``bucket_cap`` bounds the quadratic term: a bucket of n docs emits
+    n(n-1)/2 pairs, and one boilerplate band signature shared by 10^6
+    docs would otherwise produce 5·10^11 pairs on its own. Each bucket
+    keeps its ``bucket_cap`` smallest ids (deterministic, so the SQL
+    oracle can mirror the cap exactly); a genuinely-duplicated group
+    larger than the cap still gets connected through its surviving
+    members. The cap costs one window over (band, bkey) — the same key
+    the self-join shuffles on.
+
+    The capped (id, band, bkey) bucket table is materialized once and
+    shared by both self-join sides — without it Spark recomputes the
+    whole MinHash lineage per side per band (8x at bands=4). At
+    cluster scale the persist is MEMORY_AND_DISK: K longs per doc, far
+    smaller than the shingle explosion it avoids recomputing.
     """
     rows = num_perms // bands
     band_entries = []
@@ -146,8 +179,15 @@ def lsh_candidate_pairs(
     buckets = sig.select(F.col(id_col), F.explode(F.array(*band_entries)).alias("bb")).select(
         F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
     )
+    if bucket_cap is not None:
+        w = Window.partitionBy("band", "bkey").orderBy(F.col(id_col).asc())
+        buckets = (
+            buckets.withColumn("__bn", F.row_number().over(w))
+            .filter(F.col("__bn") <= bucket_cap)
+            .drop("__bn")
+        )
     if persist:
-        buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
+        buckets = _persist(buckets)
     a = buckets.alias("a")
     bb = buckets.alias("b")
     pairs = (
@@ -163,7 +203,12 @@ def lsh_candidate_pairs(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.2
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_df: int | None = 100,
 ) -> DataFrame:
     """Exact n-gram-shingle Jaccard similarity pair mining.
 
@@ -172,10 +217,21 @@ def ngram_jaccard_pairs(
     docs sharing at least one shingle ever meet — the O(n²) pair space
     is never materialized. Jaccard emitted as a double division of
     exact counts (cross-engine bit-identical).
+
+    ``max_df`` drops shingles appearing in more than that many docs
+    (the classic stop-shingle cut): a stopword 3-gram shared by 10^6
+    docs makes one quadratic join bucket while carrying ~zero signal.
+    Sizes AND intersections are computed over the filtered shingle
+    universe, so the Jaccard stays a true Jaccard of the reduced sets
+    and the SQL oracle mirrors the cut exactly.
     """
     # (doc, shingle) pairs feed three plan branches (two join sides +
     # the size table) — materialize once instead of re-exploding.
-    sh = _doc_shingles(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _doc_shingles(df, text_col, id_col, n)
+    if max_df is not None:
+        w = Window.partitionBy("shingle")
+        sh = sh.withColumn("__df", F.count("*").over(w)).filter(F.col("__df") <= max_df).drop("__df")
+    sh = _persist(sh)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -82,14 +82,23 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.fingerprint(docs, text_col="text", id_col="doc_id").orderBy("doc_id")
 
 
+_MAX_DF = 100  # stop-shingle cut, mirrored in the operator default
+_BUCKET_CAP = 50  # per-LSH-bucket candidate cap, mirrored likewise
+
+
 @register(
     "docs_ngram_jaccard_pairs",
     oracle=f"""
     WITH {_DOC_SHINGLES},
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    shf AS (
+        SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh
+        ) WHERE df <= {_MAX_DF}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shf GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT id_a, id_b,
@@ -102,11 +111,12 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram shingle Jaccard pair mining (threshold 0.1)."""
+    """Exact 3-gram shingle Jaccard pair mining (threshold 0.1) with
+    the max-df stop-shingle cut (operators/dedup.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(docs, text_col="text", id_col="doc_id", n=3, threshold=0.1).orderBy(
-        "id_a", "id_b"
-    )
+    return D.ngram_jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", n=3, threshold=0.1, max_df=_MAX_DF
+    ).orderBy("id_a", "id_b")
 
 
 def _minhash_oracle() -> str:
@@ -122,21 +132,27 @@ def _minhash_oracle() -> str:
     return f"""
     WITH {_DOC_SHINGLES},
     sig AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id),
-    bnd AS ({band_union})
+    bnd AS ({band_union}),
+    bndc AS (
+        SELECT doc_id, band, bkey FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY band, bkey ORDER BY doc_id ASC) AS bn FROM bnd
+        ) WHERE bn <= {{cap}}
+    )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bnd a JOIN bnd b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    FROM bndc a JOIN bndc b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
     ORDER BY id_a ASC, id_b ASC
     """
 
 
-@register("docs_minhash_lsh_pairs", oracle=_minhash_oracle())
+@register("docs_minhash_lsh_pairs", oracle=_minhash_oracle().format(cap=_BUCKET_CAP))
 def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash (16 perms) + LSH banding (4×4) candidate pairs."""
+    """MinHash (16 perms) + LSH banding (4×4) candidate pairs, buckets
+    capped (operators/dedup.py lsh_candidate_pairs)."""
     docs = load_table(spark, sf_dir, "documents")
     sig = D.minhash_signature(docs, text_col="text", id_col="doc_id", num_perms=_NUM_PERMS, n=3)
-    return D.lsh_candidate_pairs(sig, id_col="doc_id", num_perms=_NUM_PERMS, bands=_BANDS).orderBy(
-        "id_a", "id_b"
-    )
+    return D.lsh_candidate_pairs(
+        sig, id_col="doc_id", num_perms=_NUM_PERMS, bands=_BANDS, bucket_cap=_BUCKET_CAP
+    ).orderBy("id_a", "id_b")
 
 
 def _simhash_oracle(bits: int = 32) -> str:

@@ -73,6 +73,9 @@ def main() -> None:
             ok, why = cells_equal(canon(sp), canon(od))
         except Exception as e:  # noqa: BLE001
             ok, why = False, f"EXception: {type(e).__name__}: {e}"
+        from lakehouse_architecture_transaction_spark.operators.dedup import release_persisted
+
+        release_persisted()
         dt = time.perf_counter() - t0
         if ok:
             n_pass += 1
