@@ -41,6 +41,10 @@ HEADLINE = [
     "docs_token_stats",
     "emb_knn_bruteforce",
     "emb_ann_lsh",
+    "process_order_items_valid",
+    "events_asof_orders",
+    "events_value_percentiles",
+    "mm_features",
 ]
 
 

@@ -117,3 +117,26 @@ class LakeTable:
             writer.format("delta").save(self.path)
         else:
             writer.parquet(self.path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    num_buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Write ``df`` as a bucketed (and optionally sorted) external
+    table registered as ``name``.
+
+    Bucketing pre-shuffles ON WRITE: every join or aggregation keyed on
+    ``bucket_cols`` between tables with matching bucket counts runs
+    with ZERO exchange — at 100 TB this converts the nightly fact-fact
+    join from the dominant shuffle into a local zip of bucket files.
+    Requires the session catalog (bucket metadata lives there, which is
+    why LakeTable's path-only API doesn't carry it)."""
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.option("path", path).format("parquet").saveAsTable(name)

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_architecture_transaction_spark.catalog import load_table
+from lakehouse_architecture_transaction_spark.operators.asof import asof_join
 from lakehouse_architecture_transaction_spark.plans.registry import register
 
 # Shared exact-decimal fragments (see registry docstring for why).
@@ -475,6 +476,104 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.sum(k).cast("bigint").alias("sum_k"),
             (F.sum(k).cast("double") / F.count("*")).alias("avg_k"),
+        )
+        .orderBy(F.col("event_type").asc())
+    )
+
+
+@register(
+    "events_asof_orders",
+    oracle="""
+    WITH od AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id, e.ts, od.o_orderkey, od.o_totalprice
+    FROM events e
+    ASOF LEFT JOIN od ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+    ORDER BY e.event_id ASC
+    """,
+)
+def events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: each event carries the user's most
+    recent order as of the event time (operators/asof.py — one
+    key-shuffle union+window, no per-pair join). Orders are
+    deduplicated to one per (customer, date) with a max-orderkey
+    tiebreak so the as-of match is total."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey").desc())
+    od = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    )
+    return asof_join(
+        events,
+        od,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload=["o_orderkey", "o_totalprice"],
+    ).orderBy("event_id")
+
+
+@register(
+    "events_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           quantile_cont(value, 0.5)  AS p50,
+           quantile_cont(value, 0.9)  AS p90,
+           quantile_cont(value, 0.99) AS p99
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type ASC
+    """,
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quantiles per event type. Both engines use the same
+    linear-interpolation definition (rank = p·(n-1)), so doubles match
+    bit-for-bit. Exact percentile sorts within each group — fine at
+    per-group cardinalities; the sketch path below is the 100 TB
+    variant."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+            F.expr("percentile(value, 0.99)").alias("p99"),
+        )
+        .orderBy(F.col("event_type").asc())
+    )
+
+
+@register("events_approx_sketches")  # no oracle: sketch results are
+# engine-specific by design → driver records the rows-only check.
+def events_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch path for 100 TB: HyperLogLog++ distinct counts and
+    GK approximate quantiles — fixed-size mergeable state, one
+    map-side-combined pass, no per-group sort. Numbers are
+    approximate so no cross-engine oracle exists; accuracy is pinned
+    by tests/test_operators.py against exact values at test scale."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.expr("approx_percentile(value, array(0.5, 0.99), 10000)").alias("approx_p"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.col("approx_p")[0].alias("approx_p50"),
+            F.col("approx_p")[1].alias("approx_p99"),
         )
         .orderBy(F.col("event_type").asc())
     )

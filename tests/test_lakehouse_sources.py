@@ -71,3 +71,29 @@ def test_excel_extract_gated(tmp_path):
     bogus.write_bytes(b"not an xlsx")
     with pytest.raises(Exception):
         excel_to_csv_all_sheets(str(bogus), str(tmp_path / "out"))
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    from lakehouse_architecture_transaction_spark.catalog import load_table
+    from lakehouse_architecture_transaction_spark.lakehouse.table import write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(orders, "b_orders", str(tmp_path / "b_orders"), 8, ["o_orderkey"], ["o_orderkey"])
+    write_bucketed(li, "b_lineitem", str(tmp_path / "b_lineitem"), 8, ["l_orderkey"], ["l_orderkey"])
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("b_lineitem").join(
+                spark.table("b_orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan  # co-located: bucket-to-bucket zip
+            assert joined.count() == li.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

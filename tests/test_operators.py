@@ -61,3 +61,69 @@ def test_multimodal_decode_stub_raises(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image(b"xx", fake=False)
+
+
+def test_asof_join_backward_inclusive(spark):
+    from lakehouse_architecture_transaction_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 20, "e2"), (1, 5, "e0"), (2, 10, "e3")],
+        "k long, t long, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (3, 1, 999.0)],
+        "k long, t long, v double",
+    )
+    out = {
+        r["ev"]: r["v"]
+        for r in asof_join(left, right, "k", "k", "t", "t", payload=["v"]).collect()
+    }
+    # e0 (t=5) precedes all right rows; e1 (t=10) matches t=10 inclusively;
+    # e2 (t=20) takes the latest at t=15; key 2 has no history at all.
+    assert out == {"e0": None, "e1": 100.0, "e2": 150.0, "e3": None}
+
+
+def test_scd2_collapses_noop_and_orders_intervals(spark):
+    from lakehouse_architecture_transaction_spark.operators.scd2 import scd2_build
+
+    chg = spark.createDataFrame(
+        [
+            (1, "a", 10),  # v1
+            (1, "a", 20),  # no-op restatement -> collapses
+            (1, "b", 30),  # real change
+            (2, "x", 10),  # single version
+        ],
+        "k long, attr string, ts long",
+    )
+    rows = {
+        (r["k"], r["valid_from"]): (r["attr"], r["valid_to"], r["is_current"])
+        for r in scd2_build(chg, key="k", eff_ts="ts", attrs=["attr"]).collect()
+    }
+    assert rows == {
+        (1, 10): ("a", 30, False),
+        (1, 30): ("b", None, True),
+        (2, 10): ("x", None, True),
+    }
+
+
+def test_approx_sketches_near_exact(spark, sf_dir):
+    from lakehouse_architecture_transaction_spark.catalog import load_table
+    from lakehouse_architecture_transaction_spark.plans import REGISTRY
+
+    approx = {
+        r["event_type"]: r
+        for r in REGISTRY["events_approx_sketches"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    for et, ex in exact.items():
+        assert abs(approx[et]["approx_users"] - ex["users"]) <= max(3, 0.05 * ex["users"])
+        assert abs(approx[et]["approx_p50"] - ex["p50"]) <= max(1.0, 0.05 * abs(ex["p50"]))

@@ -1,0 +1,58 @@
+"""End-to-end test of the three-dataset pipeline driver
+(pipelines.py), mirroring the reference's integration test strategy
+(reference tests/test_glue_etl.py: process each dataset, check
+valid/rejected splits and RI enforcement)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from lakehouse_architecture_transaction_spark.catalog import load_table
+from lakehouse_architecture_transaction_spark.pipelines import run_reference_pipeline, summary_df
+
+
+def test_reference_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    # Dirty the dims so every stage has rejections: null names, and
+    # drop some orders so order_items RI has violations to catch.
+    part_dirty = part.withColumn(
+        "p_name", F.when(F.col("p_partkey") % 23 == 0, F.lit(None)).otherwise(F.col("p_name"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    orders_dirty = orders.withColumn(
+        "o_orderdate", F.when(F.col("o_orderkey") % 43 == 0, F.lit(None)).otherwise(F.col("o_orderdate"))
+    )
+    items = load_table(spark, sf_dir, "lineitem")
+
+    results = run_reference_pipeline(
+        spark, part_dirty, orders_dirty, items, lake_root=str(tmp_path / "lake")
+    )
+    by_name = {r.name: r for r in results}
+
+    # Every stage ran and committed exactly its valid rows.
+    assert set(by_name) == {"products", "orders", "order_items"}
+    for r in results:
+        assert r.table_rows == r.valid_rows
+        assert r.valid_rows > 0
+
+    # Rejections happened where we injected problems.
+    assert by_name["products"].rejected_rows > 0
+    assert by_name["orders"].rejected_rows > 0
+    # order_items loses rows via RI: its FK targets exclude the
+    # rejected orders, so at least those lineitems must bounce.
+    assert by_name["order_items"].rejected_rows > 0
+
+    # The rejected zone carries the reference's metadata columns.
+    rejected = spark.read.parquet(str(tmp_path / "lake" / "rejected" / "order_items"))
+    assert {"validation_errors", "rejection_time", "source"} <= set(rejected.columns)
+    errs = {r["validation_errors"] for r in rejected.select("validation_errors").distinct().collect()}
+    assert "Invalid order reference" in errs
+
+    # Idempotent re-run: merging the same valid rows changes nothing.
+    results2 = run_reference_pipeline(
+        spark, part_dirty, orders_dirty, items, lake_root=str(tmp_path / "lake")
+    )
+    assert {r.name: r.table_rows for r in results2} == {r.name: r.table_rows for r in results}
+
+    sdf = summary_df(spark, results)
+    assert sdf.count() == 3
