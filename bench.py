@@ -53,8 +53,11 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     spark = get_spark("bench", cpus=cpus)
 
-    # Warmup: JVM + codegen + parquet footer caches.
+    # Warmup: JVM + codegen + parquet footer caches, plus the Python
+    # worker pool (Arrow-batched ops otherwise pay ~3s of daemon
+    # spin-up on their first query — boot cost, not plan cost).
     REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).count()
+    spark.range(cpus).repartition(cpus).mapInPandas(lambda it: it, "id long").count()
 
     from lakehouse_architecture_transaction_spark.operators.dedup import release_persisted
 

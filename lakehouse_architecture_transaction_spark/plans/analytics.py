@@ -523,6 +523,105 @@ def events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority ASC
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery as a LEFT SEMI join —
+    the probe side streams, the build side carries only the join key,
+    and no row is ever duplicated by multiple matches."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.expr(
+            "o_orderdate >= TIMESTAMP '1996-07-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'"
+        )
+    )
+    flagged_items = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(flagged_items, orders.o_orderkey == flagged_items.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy(F.col("o_orderpriority").asc())
+    )
+
+
+@register(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_spend
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY gid ASC, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping_id: all four marginal combinations in one
+    pass (Spark expands grouping sets before the single aggregation —
+    no repeated scans). grouping_id disambiguates rollup rows from
+    genuinely-null keys; its bit order matches DuckDB's GROUPING()."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)))")
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("total_spend"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_spend")
+        .orderBy(
+            F.col("gid").asc(),
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "customer_moving_avg",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               / COUNT(*) OVER w AS moving_avg_3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey ASC, o_orderkey ASC
+    """,
+)
+def customer_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-frame window (last-3-orders moving average): exact
+    decimal sum over the frame, ONE double division — same
+    cross-engine determinism discipline as the running sum."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(-2, Window.currentRow)
+    )
+    dec = F.expr("CAST(o_totalprice AS DECIMAL(18,2))")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (F.sum(dec).over(w).cast("double") / F.count("*").over(w)).alias("moving_avg_3"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
     "events_value_percentiles",
     oracle="""
     SELECT event_type,

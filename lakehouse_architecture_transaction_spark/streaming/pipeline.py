@@ -108,6 +108,51 @@ def sessionize_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(events: DataFrame, keys: list[str] | None = None, within: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key seen
+    within the watermark horizon. State is bounded by the watermark
+    (keys older than ``within`` are evicted), unlike a plain
+    dropDuplicates whose state grows forever — the streaming twin of
+    the batch dedup_exact (reference dropDuplicates,
+    scripts/glue/script.py:196)."""
+    return events.withWatermark("ts", within).dropDuplicatesWithinWatermark(keys or ["event_id"])
+
+
+def click_purchase_join(events: DataFrame, within_seconds: int = 3600) -> DataFrame:
+    """Stream-stream inner join: purchases matched to a preceding
+    click by the same user within ``within_seconds``. Both sides are
+    watermarked so the join state is bounded; the time-interval
+    condition lets Spark evict clicks once no future purchase can
+    match them."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within_seconds} SECONDS"))
+    )
+    return clicks.join(purchases, cond, "inner").select(
+        F.col("p_user").alias("user_id"), "click_id", "purchase_id", "click_ts", "purchase_ts", "value"
+    )
+
+
 def stream_upsert_into(stream_df: DataFrame, table, checkpoint_dir: str):
     """foreachBatch upsert sink: each micro-batch MERGEs into the
     LakeTable on its keys (idempotent per epoch re-run because merge

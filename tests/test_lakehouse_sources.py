@@ -97,3 +97,29 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_read_json_enforced_types_and_corrupt(spark, tmp_path):
+    from lakehouse_architecture_transaction_spark.sources.json import read_json_enforced
+
+    p = tmp_path / "in.json"
+    p.write_text(
+        '{"id": "1", "amount": "10.5", "name": "ok"}\n'
+        '{"id": "2", "amount": "oops", "name": "badnum"}\n'
+        "this is not json at all\n"
+        '{"id": "3", "amount": 7, "name": "numliteral"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("amount", T.DoubleType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    parsed, corrupt = read_json_enforced(spark, str(p), schema)
+    rows = {r["id"]: r for r in parsed.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["amount"] == 10.5
+    assert rows[2]["amount"] is None  # bad value -> null, not an error
+    assert rows[3]["amount"] == 7.0
+    assert corrupt.count() == 1

@@ -73,3 +73,53 @@ def test_stream_upsert_into_laketable(spark, sf_dir, tmp_path):
     assert table.read().count() == batch_count
     # key-based merge is idempotent: same event_ids -> same count
     assert table.read().select("event_id").distinct().count() == batch_count
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
+    from lakehouse_architecture_transaction_spark.streaming.pipeline import dedup_stream
+
+    # Stage each file TWICE: every event is re-delivered once.
+    src = str(tmp_path / "landing")
+    ev = load_table(spark, sf_dir, "events")
+    ev.unionByName(ev).repartition(4).write.parquet(src)
+    stream = read_event_stream(spark, src)
+    q = run_stream_to_memory(dedup_stream(stream), "dedup_out")
+    try:
+        got = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM dedup_out").collect()[0]
+        # no event_id may appear twice, and (since re-deliveries land
+        # inside the watermark horizon) every event survives exactly once
+        assert got["n"] == got["d"] == ev.count()
+    finally:
+        q.stop()
+
+
+def test_stream_stream_click_purchase_join(spark, sf_dir, tmp_path):
+    from lakehouse_architecture_transaction_spark.streaming.pipeline import click_purchase_join
+
+    src = _stage_events(spark, sf_dir, tmp_path)
+    stream = read_event_stream(spark, src)
+    q = run_stream_to_memory(click_purchase_join(stream), "cpj_out")
+    try:
+        rows = spark.sql("SELECT * FROM cpj_out").collect()
+        # batch twin computed directly
+        ev = load_table(spark, sf_dir, "events")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("u"), F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("pu"), F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+        )
+        batch = clicks.join(
+            purchases,
+            (F.col("u") == F.col("pu"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 3600 SECONDS")),
+        ).count()
+        # the stream may hold back pairs whose watermark hasn't passed,
+        # but everything it emits must be a true pair, and with a
+        # month-long fixture nearly all windows close.
+        assert 0 < len(rows) <= batch
+        emitted = {(r["click_id"], r["purchase_id"]) for r in rows}
+        assert len(emitted) == len(rows)  # no duplicate emissions
+    finally:
+        q.stop()
