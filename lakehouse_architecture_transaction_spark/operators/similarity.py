@@ -124,6 +124,49 @@ def sign_lsh_ann(
     )
 
 
+def cosine_dup_pairs(
+    emb: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95, bits: int = 4
+) -> DataFrame:
+    """Embedding-cosine near-duplicate mining: pairs (a < b) whose
+    cosine ≥ ``threshold``, candidates restricted to sign-LSH buckets.
+
+    The full O(N²) pair space is never formed — only within-bucket
+    pairs (≈ N²/2^bits, and near-dups land in the same bucket with
+    high probability at high thresholds). The cosine itself is the
+    deterministic double fold, so the oracle reproduces scores
+    bit-for-bit and the ≥ threshold cut can't flake on the boundary.
+    """
+    bucketed = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        sign_bucket_expr(vec_col, bits).alias("__bkt"),
+        norm2_expr(vec_col).alias("__n2"),
+    )
+    a = bucketed.select(
+        F.col("__bkt"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__n2").alias("__na"),
+    )
+    b = bucketed.select(
+        F.col("__bkt"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__n2").alias("__nb"),
+    )
+    return (
+        a.join(b, on="__bkt", how="inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot_expr("__va", "__vb") / (F.sqrt(F.col("__na")) * F.sqrt(F.col("__nb")))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def label_centroids(emb: DataFrame, label_col: str, vec_col: str) -> DataFrame:
     """Per-label centroid, emitted flat as (label, pos, centroid).
 

@@ -102,3 +102,35 @@ def lang_id(spark: SparkSession, docs: DataFrame, id_col: str, text_col: str) ->
             F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),
         )
     )
+
+
+#: Rolling-hash parameters (Rabin–Karp): classic base-31 polynomial
+#: over code points, large-prime modulus. Fits BIGINT: acc < 1e9+7, so
+#: acc*31 + cp < 2^63 with room to spare in both engines.
+ROLLING_BASE = 31
+ROLLING_MOD = 1_000_000_007
+
+
+def rolling_hash(docs: DataFrame, id_col: str, text_col: str, prefix_len: int = 256) -> DataFrame:
+    """Document fingerprint via polynomial rolling hash over the first
+    ``prefix_len`` code points: h = Σ cp_i · B^(n-i) mod P, computed as
+    a left fold (h = h·B + cp mod P).
+
+    The left fold has one evaluation order, so the DuckDB oracle's
+    list_reduce reproduces it exactly. A prefix hash is the standard
+    cheap near-front-dup / shard-routing key: content-sensitive,
+    fixed cost per doc regardless of document size, no tokenizer.
+    All JVM-side (higher-order functions), no Python UDF.
+    """
+    cps = (
+        f"transform(sequence(1, least(length({text_col}), {prefix_len})),"
+        f" i -> CAST(ascii(substr({text_col}, i, 1)) AS BIGINT))"
+    )
+    fold = (
+        f"aggregate({cps}, CAST(0 AS BIGINT),"
+        f" (acc, c) -> (acc * {ROLLING_BASE} + c) % {ROLLING_MOD})"
+    )
+    # Spark's sequence(1, 0) yields a DESCENDING [1, 0], not empty
+    # (DuckDB's generate_series is empty) — guard the empty string.
+    guarded = f"CASE WHEN length({text_col}) = 0 THEN CAST(0 AS BIGINT) ELSE {fold} END"
+    return docs.select(F.col(id_col), F.expr(guarded).alias("rhash"))

@@ -262,6 +262,29 @@ def docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.lang_id(spark, docs, id_col="doc_id", text_col="text").orderBy("doc_id")
 
 
+@register(
+    "docs_rolling_hash",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT) ELSE
+               list_reduce(
+                   [CAST(0 AS BIGINT)] || list_transform(
+                       generate_series(1, least(length(text), 256)),
+                       i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+                   (acc, c) -> (acc * {T.ROLLING_BASE} + c) % {T.ROLLING_MOD})
+           END AS rhash
+    FROM documents
+    ORDER BY doc_id ASC
+    """,
+)
+def docs_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin–Karp rolling-hash fingerprint over the first 256 code
+    points (operators/text.py rolling_hash): fixed-cost
+    content-sensitive key for near-front dedup and shard routing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.rolling_hash(docs, id_col="doc_id", text_col="text").orderBy("doc_id")
+
+
 # -------------------------------------------------- embedding queries
 
 _Q_MAX = 8  # query set = vec_id < 8
@@ -333,6 +356,36 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.sign_lsh_ann(
         emb, id_col="vec_id", vec_col="embedding", query_ids=list(range(_Q_MAX)), k=_K, bits=_LSH_BITS
     )
+
+
+_DUP_TAU = 0.25  # synthetic embeddings are near-uniform (cosine ~ N(0, 1/8)),
+# so a production near-dup threshold (~0.95) finds nothing here; 0.25 (~2 sigma)
+# keeps the result non-empty while exercising the same plan.
+
+
+@register(
+    "emb_cosine_dup_pairs",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, embedding,
+               array_to_string(list_transform(embedding[1:{_LSH_BITS}],
+                   x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bkt,
+               {_N2_FOLD} AS n2
+        FROM embeddings
+    )
+    SELECT q.vec_id AS id_a, c.vec_id AS id_b,
+           {_DOT_FOLD} / (sqrt(q.n2) * sqrt(c.n2)) AS cosine
+    FROM b q JOIN b c ON q.bkt = c.bkt AND q.vec_id < c.vec_id
+    WHERE {_DOT_FOLD} / (sqrt(q.n2) * sqrt(c.n2)) >= {_DUP_TAU}
+    ORDER BY id_a ASC, id_b ASC
+    """,
+)
+def emb_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pair mining
+    (operators/similarity.py cosine_dup_pairs): sign-LSH bucketed
+    candidate generation, deterministic double-fold cosine, ≥ τ cut."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_dup_pairs(emb, id_col="vec_id", vec_col="embedding", threshold=_DUP_TAU, bits=_LSH_BITS)
 
 
 @register(
