@@ -11,6 +11,13 @@ importable the same API routes to a real DeltaTable merge (transaction
 log, file-level pruning). The merge itself is the join-based operator
 in operators/merge.py — identical logical plan either way.
 
+``versioned=True`` switches to copy-on-write snapshots: every commit
+writes a fresh ``_versions/v%08d`` directory and atomically advances
+the ``_LATEST`` pointer — giving Delta's two user-visible transaction
+behaviors (time travel via ``read(version=)``, and readers never
+seeing a half-written table because old snapshot files are immutable)
+without the Delta log format. ``vacuum()`` is the retention knob.
+
 Scale notes: a full-outer-join merge rewrites the table — that is
 what Delta does logically too (copy-on-write); Delta wins at scale by
 pruning untouched FILES via the log. The partition layout here gives
@@ -45,18 +52,79 @@ class LakeTable:
         path: str,
         keys: list[str],
         partition_by: str | None = None,
+        versioned: bool = False,
     ) -> None:
         self.spark = spark
         self.path = path
         self.keys = keys
         self.partition_by = partition_by
+        self.versioned = versioned
+
+    # -- versioning ----------------------------------------------------
+
+    def _pointer_path(self) -> str:
+        return os.path.join(self.path, "_LATEST")
+
+    def _version_dir(self, version: int) -> str:
+        return os.path.join(self.path, "_versions", f"v{version:08d}")
+
+    def latest_version(self) -> int | None:
+        try:
+            with open(self._pointer_path()) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def history(self) -> list[int]:
+        """Committed snapshot versions, oldest first (vacuumed ones
+        excluded)."""
+        vdir = os.path.join(self.path, "_versions")
+        if not os.path.isdir(vdir):
+            return []
+        latest = self.latest_version()
+        out = []
+        for d in sorted(os.listdir(vdir)):
+            if d.startswith("v") and d[1:].isdigit() and int(d[1:]) <= (latest if latest is not None else -1):
+                out.append(int(d[1:]))
+        return out
+
+    def _commit(self, df: DataFrame) -> int:
+        """Write the next snapshot and atomically advance the pointer.
+        The write happens BEFORE the pointer moves, so a crashed commit
+        leaves an orphan directory, never a visible broken table."""
+        next_v = (self.latest_version() or 0) + 1 if self.latest_version() is not None else 0
+        self._write(df, self._version_dir(next_v))
+        tmp = self._pointer_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(next_v))
+        os.replace(tmp, self._pointer_path())
+        return next_v
+
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Drop all but the last ``keep_last`` snapshots (Delta's
+        VACUUM retention, directory-granular). Returns removed
+        versions."""
+        hist = self.history()
+        to_drop = hist[:-keep_last] if keep_last > 0 else hist[:-1]
+        for v in to_drop:
+            shutil.rmtree(self._version_dir(v), ignore_errors=True)
+        return to_drop
 
     # -- state ---------------------------------------------------------
 
     def exists(self) -> bool:
+        if self.versioned:
+            return self.latest_version() is not None
         return os.path.isdir(self.path) and bool(os.listdir(self.path))
 
-    def read(self) -> DataFrame:
+    def read(self, version: int | None = None) -> DataFrame:
+        if self.versioned:
+            v = self.latest_version() if version is None else version
+            if v is None:
+                raise FileNotFoundError(f"no committed version at {self.path}")
+            return self.spark.read.parquet(self._version_dir(v))
+        if version is not None:
+            raise ValueError("time travel requires versioned=True")
         if _HAVE_DELTA:
             return self.spark.read.format("delta").load(self.path)
         return self.spark.read.parquet(self.path)
@@ -74,6 +142,9 @@ class LakeTable:
 
     def create(self, df: DataFrame) -> None:
         """Initial load (reference scripts/glue/script.py:219-227)."""
+        if self.versioned:
+            self._commit(df)
+            return
         self._write(df, self.path)
 
     def upsert(self, source: DataFrame) -> None:
@@ -82,6 +153,12 @@ class LakeTable:
         """
         if not self.exists():
             self.create(source)
+            return
+        if self.versioned:
+            # Copy-on-write: read the current snapshot, merge, commit a
+            # new immutable snapshot — no swap needed, old versions
+            # remain readable (time travel).
+            self._commit(merge_upsert(self.read(), source, keys=self.keys))
             return
         if _HAVE_DELTA:  # pragma: no cover - delta not in test image
             dt = DeltaTable.forPath(self.spark, self.path)

@@ -33,9 +33,12 @@ LEXICON: dict[str, tuple[str, ...]] = {
 
 def token_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-doc token statistics: whitespace tokens, chars, BPE-ish
-    subword count, mean token length."""
-    toks = tokens_expr(text_col)
-    return docs.select(
+    subword count, mean token length. The token array is projected
+    once so the regex tokenizer runs once per row, not per reference
+    (see operators/dedup.py _doc_shingles)."""
+    toks = F.col("__tk")
+    staged = docs.select(F.col(id_col), F.col(text_col), tokens_expr(text_col).alias("__tk"))
+    return staged.select(
         F.col(id_col),
         F.length(F.col(text_col)).cast("bigint").alias("chars"),
         F.size(toks).cast("bigint").alias("n_tokens"),
@@ -50,14 +53,15 @@ def token_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def quality_score(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Heuristic document quality: indicator-sum score over char
     length, punctuation ratio, digit ratio, stopword ratio."""
-    toks = tokens_expr(text_col)
+    staged = docs.select(F.col(id_col), F.col(text_col), tokens_expr(text_col).alias("__tk"))
+    toks = F.col("__tk")
     n_chars = F.length(F.col(text_col)).cast("bigint")
     n_tokens = F.size(toks).cast("bigint")
     punct = F.regexp_count(F.col(text_col), F.lit("[.,;:!?]")).cast("bigint")
     digits = F.regexp_count(F.col(text_col), F.lit("[0-9]")).cast("bigint")
     stop_list = F.array(*[F.lit(w) for w in LEXICON["en"]])
     stops = F.size(F.filter(toks, lambda t: F.array_contains(stop_list, F.lower(t)))).cast("bigint")
-    base = docs.select(
+    base = staged.select(
         F.col(id_col),
         n_chars.alias("chars"),
         n_tokens.alias("n_tokens"),

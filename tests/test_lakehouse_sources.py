@@ -123,3 +123,26 @@ def test_read_json_enforced_types_and_corrupt(spark, tmp_path):
     assert rows[2]["amount"] is None  # bad value -> null, not an error
     assert rows[3]["amount"] == 7.0
     assert corrupt.count() == 1
+
+
+def test_versioned_table_time_travel_and_vacuum(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "vt"), keys=["k"], versioned=True)
+    t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.upsert(spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"))
+    t.upsert(spark.createDataFrame([(4, "d")], "k long, v string"))
+
+    assert t.history() == [0, 1, 2]
+    assert t.latest_version() == 2
+    # time travel: each snapshot is immutable and readable
+    v0 = {r["k"]: r["v"] for r in t.read(version=0).collect()}
+    v1 = {r["k"]: r["v"] for r in t.read(version=1).collect()}
+    v2 = {r["k"]: r["v"] for r in t.read().collect()}
+    assert v0 == {1: "a", 2: "b"}
+    assert v1 == {1: "a", 2: "B", 3: "c"}
+    assert v2 == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+    removed = t.vacuum(keep_last=2)
+    assert removed == [0]
+    assert t.history() == [1, 2]
+    # latest still reads fine after vacuum
+    assert {r["k"] for r in t.read().collect()} == {1, 2, 3, 4}
