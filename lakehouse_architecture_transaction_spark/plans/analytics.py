@@ -622,6 +622,67 @@ def customer_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customers_without_recent_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+    ORDER BY c_custkey ASC
+    """,
+)
+def customers_without_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a LEFT ANTI join (TPC-H Q22 shape): the canonical
+    distributed negative-membership test — no driver-side key
+    collection, no row duplication. Scoped to recent orders so the
+    result is non-trivial on this fixture (every customer has SOME
+    order)."""
+    cust = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'")
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "orders_above_customer_avg",
+    oracle="""
+    WITH avgs AS (
+        SELECT o_custkey AS k,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice, avg_price
+    FROM orders JOIN avgs ON o_custkey = k
+    WHERE o_totalprice > 1.5 * avg_price
+    ORDER BY o_orderkey ASC
+    """,
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate shape (TPC-H Q17 family): aggregate once
+    per group, join back, filter — the aggregate side is tiny (one row
+    per customer), so at scale it broadcasts or shuffles on the same
+    key as the probe with no extra pass over the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    avgs = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        (F.sum(F.expr("CAST(o_totalprice AS DECIMAL(18,2))")).cast("double") / F.count("*")).alias(
+            "avg_price"
+        )
+    )
+    return (
+        orders.join(avgs, orders.o_custkey == avgs.k)
+        .filter(F.col("o_totalprice") > 1.5 * F.col("avg_price"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "avg_price")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
     "events_value_percentiles",
     oracle="""
     SELECT event_type,

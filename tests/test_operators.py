@@ -127,3 +127,23 @@ def test_approx_sketches_near_exact(spark, sf_dir):
     for et, ex in exact.items():
         assert abs(approx[et]["approx_users"] - ex["users"]) <= max(3, 0.05 * ex["users"])
         assert abs(approx[et]["approx_p50"] - ex["p50"]) <= max(1.0, 0.05 * abs(ex["p50"]))
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from lakehouse_architecture_transaction_spark.catalog import load_table
+    from lakehouse_architecture_transaction_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    plain = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    salted = salted_join(li, orders, "l_orderkey", "o_orderkey", salt=8)
+    assert salted.count() == plain
+    # spot-check content equivalence on an aggregate
+    a = salted.groupBy("o_orderpriority").count().collect()
+    b = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .count()
+        .collect()
+    )
+    assert {r["o_orderpriority"]: r["count"] for r in a} == {r["o_orderpriority"]: r["count"] for r in b}
