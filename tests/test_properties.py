@@ -1,0 +1,94 @@
+"""Property-based tests (SURVEY §5): validation partitioning,
+first-failure-wins rule order, dedup idempotence, merge key algebra.
+
+Example counts are kept small — each example round-trips through a
+Spark job, so the budget goes to input diversity (nulls, negatives,
+duplicate keys) rather than volume.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from lakehouse_architecture_transaction_spark.functions.validation import not_null, positive, validate
+from lakehouse_architecture_transaction_spark.operators.dedup import dedup_exact
+from lakehouse_architecture_transaction_spark.operators.merge import merge_upsert
+
+ROWS = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 5)),  # key (few values → collisions)
+        st.one_of(st.none(), st.floats(-10, 10, allow_nan=False)),  # amount
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+_SETTINGS = settings(
+    max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, amount double")
+
+
+@_SETTINGS
+@given(rows=ROWS)
+def test_validate_partitions_exactly_and_first_rule_wins(spark, rows):
+    rules = [not_null("k", "Null k"), positive("amount", "Non-positive amount")]
+    res = validate(_df(spark, rows), rules=rules)
+    valid = res.valid.collect()
+    rejected = res.rejected.collect()
+    # exact partition of the input
+    assert len(valid) + len(rejected) == len(rows)
+    # python oracle for the first-failing-rule message
+    def expected(k, amount):
+        if k is None:
+            return "Null k"
+        if amount is not None and amount <= 0:
+            return "Non-positive amount"
+        return None
+
+    got = sorted(((r["k"], r["amount"], r["validation_errors"]) for r in rejected), key=str)
+    want = sorted(
+        ((k, a, expected(k, a)) for (k, a) in rows if expected(k, a) is not None), key=str
+    )
+    assert got == want
+    assert all(expected(r["k"], r["amount"]) is None for r in valid)
+
+
+@_SETTINGS
+@given(rows=ROWS)
+def test_dedup_exact_idempotent_unique_and_deterministic(spark, rows):
+    df = _df(spark, rows)
+    once = dedup_exact(df, keys=["k"])
+    twice = dedup_exact(once, keys=["k"])
+    got_once = sorted(map(tuple, once.collect()), key=str)
+    got_twice = sorted(map(tuple, twice.collect()), key=str)
+    assert got_once == got_twice  # idempotent
+    keys = [r["k"] for r in once.collect()]
+    assert len(keys) == len(set(keys))  # one survivor per key
+    # survivor = min by the remaining column (nulls last), per contract
+    by_key: dict = {}
+    for k, a in rows:
+        cur = by_key.get(k, "missing")
+        if cur == "missing":
+            by_key[k] = a
+        else:
+            if cur is None or (a is not None and a < cur):
+                by_key[k] = a
+    assert {r["k"]: r["amount"] for r in once.collect()} == by_key
+
+
+@_SETTINGS
+@given(target=ROWS, source=ROWS)
+def test_merge_upsert_key_algebra(spark, target, source):
+    # unique-key inputs (merge contract), preserving first occurrence
+    t = {k: a for k, a in reversed(target)}
+    s = {k: a for k, a in reversed(source)}
+    tdf, sdf = _df(spark, list(t.items())), _df(spark, list(s.items()))
+    merged = {r["k"]: r["amount"] for r in merge_upsert(tdf, sdf, keys=["k"]).collect()}
+    want = {**t, **s}  # source wins on matches, inserts otherwise
+    assert merged == want
