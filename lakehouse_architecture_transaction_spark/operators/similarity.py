@@ -167,6 +167,81 @@ def cosine_dup_pairs(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    query_ids: list[int],
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style ANN: coarse quantization by per-label centroids, then
+    exact cosine inside the single nearest inverted list (nprobe=1).
+
+    The classic IVF structure with the labels standing in for trained
+    k-means cells (the assignment/probe plan is identical; training is
+    an offline concern). Costs: centroid build is one narrow groupBy;
+    query→cell assignment is |Q|×|cells| (tiny, broadcast); the search
+    touches only ~N/|cells| vectors per query instead of N — the scale
+    path when even sign-LSH bucketing leaves lists too long.
+
+    Determinism: centroids use the exact decimal mean; cell distance
+    and cosine are double LEFT FOLDS — bit-reproducible in the oracle.
+    """
+    # Per-label centroid as an ordered array (struct sort by pos).
+    cent = (
+        emb.select(F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "v"))
+        .groupBy(label_col, "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(18,9)")).cast("decimal(38,18)").cast("double")
+                / F.count("*")
+            ).alias("cv")
+        )
+        .groupBy(label_col)
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").alias("__cvec")
+        )
+    )
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    sqdist = (
+        "aggregate(zip_with(__qv, __cvec, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("__d").asc(), F.col(label_col).asc())
+    assign = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("__d", F.expr(sqdist))
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") == 1)
+        .select("query_id", "__qv", F.col(label_col).alias("__cell"))
+    )
+    corpus = emb.select(
+        F.col(id_col), F.col(vec_col), F.col(label_col).alias("__cell"), norm2_expr(vec_col).alias("__n2")
+    )
+    pairs = corpus.join(F.broadcast(assign), on="__cell", how="inner").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        (
+            dot_expr("__qv", vec_col)
+            / (F.sqrt(norm2_expr("__qv")) * F.sqrt(F.col("__n2")))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
 def label_centroids(emb: DataFrame, label_col: str, vec_col: str) -> DataFrame:
     """Per-label centroid, emitted flat as (label, pos, centroid).
 

@@ -358,6 +358,57 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "emb_ann_ivf",
+    oracle=f"""
+    WITH flat AS (SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
+                  FROM embeddings),
+    cent AS (SELECT label, pos,
+                    CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS cv
+             FROM flat GROUP BY label, pos),
+    cent_arr AS (SELECT label, list(cv ORDER BY pos) AS cvec FROM cent GROUP BY label),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {_Q_MAX}),
+    dist AS (
+        SELECT q.query_id, q.qv, ca.label,
+               list_reduce(list_transform(list_zip(q.qv, ca.cvec),
+                   z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2])),
+                   (a, b) -> a + b) AS d
+        FROM q CROSS JOIN cent_arr ca
+    ),
+    cell AS (
+        SELECT query_id, qv, label FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d ASC, label ASC) AS rn
+            FROM dist
+        ) WHERE rn = 1
+    ),
+    c AS (SELECT vec_id, embedding, label, {_N2_FOLD} AS n2 FROM embeddings),
+    scored AS (
+        SELECT cell.query_id, c.vec_id AS neighbor_id,
+               list_reduce(list_transform(list_zip(cell.qv, c.embedding),
+                   z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b)
+               / (sqrt(list_reduce(list_transform(cell.qv,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+                  * sqrt(c.n2)) AS cosine
+        FROM c JOIN cell ON c.label = cell.label AND c.vec_id != cell.query_id
+    )
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {_K}
+    ORDER BY query_id ASC, rank ASC
+    """,
+)
+def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (operators/similarity.py ivf_topk): per-label centroid
+    coarse quantizer, nearest-cell probe, exact cosine inside the
+    cell's inverted list — the scale path past sign-LSH when lists
+    must shrink to N/|cells|."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        emb, id_col="vec_id", vec_col="embedding", label_col="label", query_ids=list(range(_Q_MAX)), k=_K
+    )
+
+
 _DUP_TAU = 0.25  # synthetic embeddings are near-uniform (cosine ~ N(0, 1/8)),
 # so a production near-dup threshold (~0.95) finds nothing here; 0.25 (~2 sigma)
 # keeps the result non-empty while exercising the same plan.
