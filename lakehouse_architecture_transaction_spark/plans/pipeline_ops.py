@@ -54,13 +54,26 @@ _NUM_PERMS, _BANDS = 16, 4
 
 @register(
     "docs_exact_dedup",
-    oracle="SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id ASC",
+    oracle="""
+    WITH inp AS (
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM inp GROUP BY md5(text))
+    SELECT i.doc_id, i.lang, i.source, i.n_chars
+    FROM inp i JOIN keep k ON i.doc_id = k.doc_id
+    ORDER BY i.doc_id ASC
+    """,
 )
 def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-content dedup (hash-groupBy, keep min id). Input is
     documents with injected exact duplicates (doc_id+100000 for
-    doc_id % 10 = 0); only the originals survive, which the oracle
-    states closed-form."""
+    doc_id % 10 = 0). The oracle restates the min-id-per-content-hash
+    rule rather than a closed form: larger fixtures contain NATURAL
+    duplicate texts too (8 pairs at sf0.1), which dedup must also
+    collapse."""
     docs = load_table(spark, sf_dir, "documents")
     dupes = docs.filter(F.col("doc_id") % 10 == 0).withColumn("doc_id", F.col("doc_id") + 100000)
     deduped = D.exact_text_dedup(docs.unionByName(dupes), text_col="text", id_col="doc_id")
@@ -291,6 +304,19 @@ _Q_MAX = 8  # query set = vec_id < 8
 _K = 5
 _LSH_BITS = 4
 
+# Exact half-up quantization of a float to 9 decimals, as an integer
+# numerator. Spark's float→DECIMAL(18,9) cast rounds HALF_UP on the
+# exact value; DuckDB's rounds half-to-EVEN, and floats of the form
+# odd/2^10 (e.g. 0.1494140625 → x.5 exactly at 1e9 scale, expected
+# once per ~2^17 draws) diverge by 1e-9. floor(|v|·1e9 + 0.5) is exact
+# at those boundaries (v·1e9 fits a double exactly when v = m/2^10)
+# and every non-boundary float sits ≥1e-13 from a boundary — far
+# beyond double error — so this reproduces Spark's cast bit-for-bit.
+_V9_HALF_UP = (
+    "(CASE WHEN v < 0 THEN -1 ELSE 1 END) * "
+    "CAST(floor(abs(CAST(v AS DOUBLE)) * 1e9 + 0.5) AS DECIMAL(28,0))"
+)
+
 # Deterministic DOUBLE left-folds mirroring operators/similarity.py:
 # list_reduce folds left-to-right from the first element, which equals
 # Spark's aggregate() fold from a 0.0 seed bit-for-bit.
@@ -364,7 +390,7 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flat AS (SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
                   FROM embeddings),
     cent AS (SELECT label, pos,
-                    CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS cv
+                    CAST(SUM({_V9_HALF_UP}) AS DOUBLE) / 1e9 / COUNT(*) AS cv
              FROM flat GROUP BY label, pos),
     cent_arr AS (SELECT label, list(cv ORDER BY pos) AS cvec FROM cent GROUP BY label),
     q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {_Q_MAX}),
@@ -441,9 +467,9 @@ def emb_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_label_centroids",
-    oracle="""
+    oracle=f"""
     SELECT label, CAST(pos AS INTEGER) AS pos,
-           CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS centroid
+           CAST(SUM({_V9_HALF_UP}) AS DOUBLE) / 1e9 / COUNT(*) AS centroid
     FROM (SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v FROM embeddings)
     GROUP BY label, pos
     ORDER BY label ASC, pos ASC

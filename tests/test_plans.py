@@ -1,0 +1,62 @@
+"""Plan-shape regression tests: the perf-critical physical-plan
+properties are contracts, not accidents. If a refactor reintroduces a
+full-column scan, drops a broadcast, or adds a shuffle, these fail
+before any benchmark notices."""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+from lakehouse_architecture_transaction_spark.plans import REGISTRY
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q6_filters_pushed_and_columns_pruned(spark, sf_dir):
+    plan = _formatted_plan(REGISTRY["q6_revenue_delta"].fn(spark, sf_dir))
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed and "l_shipdate" in pushed.group(1), "date range must reach the parquet scan"
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = schema.group(1).split(",")
+    assert len(cols) <= 4, f"q6 must read only its 4 columns, read {len(cols)}"
+
+
+def test_q3_dims_broadcast(spark, sf_dir):
+    plan = _formatted_plan(REGISTRY["q3_shipping_priority"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, "filtered customer dim must broadcast"
+    # every scan carries its filter
+    assert len(re.findall(r"PushedFilters: \[[^\]]+\]", plan)) >= 3
+
+
+def test_top_parts_aggregates_before_dim_join(spark, sf_dir):
+    # The per-part aggregation must happen BELOW the join with part.
+    # Formatted-plan node ids number bottom-up, so the aggregate's id
+    # must be smaller than the join's.
+    plan = _formatted_plan(REGISTRY["top_parts_by_revenue"].fn(spark, sf_dir))
+    agg_ids = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", plan)]
+    join_ids = [int(m) for m in re.findall(r"BroadcastHashJoin[^(]*\((\d+)\)", plan)]
+    assert agg_ids and join_ids
+    assert min(agg_ids) < min(join_ids), "aggregate must run below the part join (one row per part)"
+
+
+def test_validation_fk_checks_broadcast_not_collect(spark, sf_dir):
+    plan = _formatted_plan(REGISTRY["process_order_items_valid"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, "both FK checks must be broadcast joins"
+    # dims are pruned to the key column
+    key_only = re.findall(r"ReadSchema: struct<(o_orderkey:bigint|p_partkey:bigint)>", plan)
+    assert len(key_only) == 2, "FK reference scans must read only the key column"
+
+
+def test_no_cartesian_anywhere_in_headline(spark, sf_dir):
+    import bench
+
+    for name in bench.HEADLINE:
+        plan = _formatted_plan(REGISTRY[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
