@@ -184,6 +184,33 @@ class LakeTable:
         os.rename(staging, self.path)
         shutil.rmtree(tmp, ignore_errors=True)
 
+    def compact(self, target_files: int = 8) -> int:
+        """Small-file compaction (Delta OPTIMIZE / bin-packing): the
+        rejected-zone's blind appends and streaming micro-batches each
+        add files, and at scale the file count — not the byte count —
+        becomes the scan bottleneck (driver listing, task scheduling,
+        footer reads). Rewrites the current contents into
+        ``target_files`` coalesced files; with ``versioned=True`` the
+        rewrite is a new snapshot (old files untouched), else an
+        atomic directory swap. Returns the new file count."""
+        df = self.read().coalesce(target_files)
+        if self.versioned:
+            self._commit(df)
+            target = self._version_dir(self.latest_version())
+        else:
+            parent = os.path.dirname(os.path.abspath(self.path))
+            tmp = tempfile.mkdtemp(prefix=".compact-", dir=parent)
+            staging = os.path.join(tmp, "data")
+            self._write(df, staging)
+            old = os.path.join(tmp, "old")
+            os.rename(self.path, old)
+            os.rename(staging, self.path)
+            shutil.rmtree(tmp, ignore_errors=True)
+            target = self.path
+        return sum(
+            1 for root, _dirs, files in os.walk(target) for f in files if f.endswith(".parquet")
+        )
+
     def append(self, df: DataFrame) -> None:
         """Blind append (the reference's rejected-records zone uses
         this mode — scripts/glue/script.py:190-192)."""
@@ -194,6 +221,53 @@ class LakeTable:
             writer.format("delta").save(self.path)
         else:
             writer.parquet(self.path)
+
+
+def zorder_value(cols: list[str], bits: int = 16):
+    """Z-order (Morton) key: interleave the bits of each column's
+    rank-scaled value. Sorting a write by this key clusters rows that
+    are close in EVERY dimension into the same files, so min/max
+    file skipping prunes multi-predicate scans — Delta/Iceberg's
+    OPTIMIZE ZORDER, as a plain column expression.
+
+    Columns are first scaled to [0, 2^bits) by percent_rank (rank
+    scaling makes the curve robust to skewed distributions). Pure
+    JVM expressions; no UDF.
+    """
+    from pyspark.sql import Window, functions as F
+
+    def _scaled(c: str):
+        w = Window.orderBy(F.col(c))
+        return (F.percent_rank().over(w) * ((1 << bits) - 1)).cast("long")
+
+    def _interleave(scaled):
+        z = F.lit(0).cast("long")
+        for b in range(bits):
+            for i, s in enumerate(scaled):
+                bit = F.shiftright(s, b).bitwiseAND(F.lit(1))
+                z = z.bitwiseOR(F.shiftleft(bit, b * len(scaled) + i))
+        return z
+
+    return _interleave([_scaled(c) for c in cols])
+
+
+def zorder_write(df: DataFrame, path: str, cols: list[str], num_files: int = 8, bits: int = 10) -> None:
+    """Write ``df`` as parquet clustered on the Z-order of ``cols``:
+    range-partition then sort by the Morton key so each output file
+    covers a compact hyper-rectangle of the key space (tight min/max
+    footer stats on every zorder column → multi-column file skipping).
+
+    Note: percent_rank ranks globally (one pass); at extreme scale
+    swap in approx-quantile bucketing for the scaling step — the
+    interleave and write stages are unchanged."""
+    z = df.withColumn("__z", zorder_value(cols, bits=bits))
+    (
+        z.repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
 
 
 def write_bucketed(

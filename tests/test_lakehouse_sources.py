@@ -146,3 +146,44 @@ def test_versioned_table_time_travel_and_vacuum(spark, tmp_path):
     assert t.history() == [1, 2]
     # latest still reads fine after vacuum
     assert {r["k"] for r in t.read().collect()} == {1, 2, 3, 4}
+
+
+def test_compact_reduces_file_count(spark, sf_dir, tmp_path):
+    from lakehouse_architecture_transaction_spark.catalog import load_table
+
+    t = LakeTable(spark, str(tmp_path / "frag"), keys=["o_orderkey"])
+    orders = load_table(spark, sf_dir, "orders")
+    # simulate many small appended batches
+    for i in range(6):
+        t.append(orders.filter(F.col("o_orderkey") % 6 == i).repartition(4))
+    before = sum(1 for f in os.listdir(str(tmp_path / "frag")) if f.endswith(".parquet"))
+    assert before >= 20
+    n_rows = t.read().count()
+    after = t.compact(target_files=4)
+    assert after <= 4
+    assert t.read().count() == n_rows
+
+
+def test_zorder_write_clusters_files(spark, sf_dir, tmp_path):
+    from lakehouse_architecture_transaction_spark.catalog import load_table
+    from lakehouse_architecture_transaction_spark.lakehouse.table import zorder_write
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    out = str(tmp_path / "zorders")
+    zorder_write(orders, out, cols=["o_custkey", "o_totalprice"], num_files=4)
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    # Clustering property: per-file value ranges overlap far less than
+    # random placement — the sum of per-file custkey spans should be
+    # well under num_files * global span.
+    import pyspark.sql.functions as SF
+
+    spans = (
+        back.withColumn("__f", SF.input_file_name())
+        .groupBy("__f")
+        .agg((SF.max("o_custkey") - SF.min("o_custkey")).alias("span"))
+        .collect()
+    )
+    glob = orders.agg((SF.max("o_custkey") - SF.min("o_custkey")).alias("s")).collect()[0]["s"]
+    assert len(spans) >= 3
+    assert sum(r["span"] for r in spans) < 0.8 * len(spans) * glob
