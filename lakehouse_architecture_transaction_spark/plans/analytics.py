@@ -714,6 +714,91 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_funnel",
+    oracle="""
+    WITH s AS (SELECT user_id, MIN(ts) AS st FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS ct
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'click' AND e.ts >= s.st
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS pt
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= c.ct
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+           (SELECT COUNT(*) FROM c) AS n_click_after_signup,
+           (SELECT COUNT(*) FROM p) AS n_purchase_after_click
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → click → purchase): each stage keeps
+    users whose stage event occurs AT/AFTER their previous stage's
+    first event. Two semi-join+agg rounds — per-stage state is one
+    row per user, never the event history."""
+    events = load_table(spark, sf_dir, "events")
+
+    def stage(prev: DataFrame, prev_ts: str, etype: str, out_ts: str) -> DataFrame:
+        e = events.filter(F.col("event_type") == etype)
+        return (
+            e.join(prev, on="user_id")
+            .filter(F.col("ts") >= F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    s = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("st"))
+    )
+    c = stage(s, "st", "click", "ct")
+    p = stage(c, "ct", "purchase", "pt")
+    return (
+        s.agg(F.count("*").alias("n_signup"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_after_signup")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after_click")))
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week FROM events GROUP BY user_id
+    ),
+    activity AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events)
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    ORDER BY cohort_week ASC, week_offset ASC
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-seen
+    week, counted in each later active week. Week offsets computed
+    calendar-wise (datediff of week starts / 7) — timezone- and
+    DST-independent on ntz timestamps."""
+    events = load_table(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    activity = events.select("user_id", F.date_trunc("week", F.col("ts")).alias("active_week")).distinct()
+    return (
+        activity.join(first_seen, on="user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 @register("events_approx_sketches")  # no oracle: sketch results are
 # engine-specific by design → driver records the rows-only check.
 def events_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
