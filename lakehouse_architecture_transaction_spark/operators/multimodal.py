@@ -57,6 +57,91 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     return arr.reshape(8, 8, 3)
 
 
+def resize_image(img: np.ndarray, size: tuple[int, int] = (4, 4), fake: bool = True) -> np.ndarray:
+    """Resize an HxWx3 array. The real path needs an imaging library
+    (not in this environment); the fake path is deterministic
+    nearest-neighbor subsampling, which keeps the plumbing (shapes,
+    dtypes, batch flow) faithful."""
+    if not fake:
+        raise NotImplementedError("high-quality resize requires an imaging library")
+    h, w = size
+    ys = (np.arange(h) * img.shape[0] // h).astype(int)
+    xs = (np.arange(w) * img.shape[1] // w).astype(int)
+    return img[np.ix_(ys, xs)]
+
+
+def extract_thumbnails(mm: DataFrame, size: tuple[int, int] = (4, 4)) -> DataFrame:
+    """mapInPandas thumbnail pipeline: decode → resize → per-channel
+    mean. Output (doc_id, thumb_h, thumb_w, mean_r, mean_g, mean_b)."""
+    h, w = size
+    out_schema = "doc_id bigint, thumb_h int, thumb_w int, mean_r double, mean_g double, mean_b double"
+
+    def _thumb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image(bytes(payload), fake=True)
+                t = resize_image(img, (h, w), fake=True).astype(np.float64)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "thumb_h": h,
+                        "thumb_w": w,
+                        "mean_r": float(t[:, :, 0].mean()),
+                        "mean_g": float(t[:, :, 1].mean()),
+                        "mean_b": float(t[:, :, 2].mean()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return mm.select("doc_id", "payload").mapInPandas(_thumb, schema=out_schema)
+
+
+N_FRAMES = 3
+
+
+def sample_frames(payload: bytes, n_frames: int = N_FRAMES, fake: bool = True) -> list[tuple[str, np.ndarray]]:
+    """Sample ``n_frames`` frames from a video payload. Real decode
+    needs a media library (not in this environment); the deterministic
+    fake derives frame i from sha256(content_sha || '-' || i), so the
+    Spark-side plumbing AND the SQL oracle can reproduce it exactly.
+    Returns [(frame_sha_hex, HxWx3 array), ...]."""
+    if not fake:
+        raise NotImplementedError("video decode requires a media library")
+    content_sha = hashlib.sha256(payload).hexdigest()
+    frames = []
+    for i in range(n_frames):
+        fsha = hashlib.sha256(f"{content_sha}-{i}".encode()).hexdigest()
+        digest = bytes.fromhex(fsha)
+        arr = np.frombuffer((digest * 6)[: 8 * 8 * 3], dtype=np.uint8).reshape(8, 8, 3)
+        frames.append((fsha, arr))
+    return frames
+
+
+def extract_frame_features(mm: DataFrame, n_frames: int = N_FRAMES) -> DataFrame:
+    """mapInPandas frame sampler: one output row per (doc, frame) with
+    the frame hash and mean byte value — the video-pipeline shape
+    (decode → sample → per-frame featurize) with the decode stubbed."""
+    out_schema = "doc_id bigint, frame_idx int, frame_sha string, mean_byte double"
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i, (fsha, arr) in enumerate(sample_frames(bytes(payload), n_frames)):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": i,
+                            "frame_sha": fsha,
+                            "mean_byte": float(arr.astype(np.float64).mean()),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return mm.select("doc_id", "payload").mapInPandas(_frames, schema=out_schema)
+
+
 def extract_features(mm: DataFrame, batch_target_rows: int = 1024, fake_decode: bool = True) -> DataFrame:
     """mapInPandas feature extractor: payload → byte-histogram feature
     vector (FEATURE_DIM buckets, L1-normalized) + content hash.

@@ -532,6 +532,40 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id ASC
     """,
 )
+def _mm_frames_oracle() -> str:
+    # frame i of a doc: sha256(sha256(text) || '-' || i); frame bytes =
+    # that digest repeated 6x, so mean_byte = (sum of the 32 digest
+    # bytes)/32 — an exact power-of-two division, identical in float64.
+    frames = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS frame_idx, sha256(sha256(text) || '-' || '{i}') AS fsha FROM documents"
+        for i in range(M.N_FRAMES)
+    )
+    return f"""
+    WITH fr AS ({frames}),
+    fb AS (
+        SELECT doc_id, frame_idx, fsha,
+               list_transform(generate_series(0, 31),
+                   i -> ('0x' || substr(fsha, 2 * i + 1, 2))::BIGINT) AS bytes
+        FROM fr
+    )
+    SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, fsha AS frame_sha,
+           CAST(list_sum(bytes) AS DOUBLE) / 32 AS mean_byte
+    FROM fb
+    ORDER BY doc_id ASC, frame_idx ASC
+    """
+
+
+@register("mm_frame_features", oracle=_mm_frames_oracle())
+def mm_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-shaped multimodal path (operators/multimodal.py
+    sample_frames + extract_frame_features): deterministic fake frame
+    sampling via chained sha256, per-frame featurization over
+    mapInPandas — one output row per (doc, frame)."""
+    docs = load_table(spark, sf_dir, "documents")
+    mm = M.make_binary_table(docs, id_col="doc_id", text_col="text")
+    return M.extract_frame_features(mm).orderBy("doc_id", "frame_idx")
+
+
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real multimodal feature path (operators/multimodal.py):
     binary table → mapInPandas fake-decode → byte-histogram features.

@@ -147,3 +147,42 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
         .collect()
     )
     assert {r["o_orderpriority"]: r["count"] for r in a} == {r["o_orderpriority"]: r["count"] for r in b}
+
+
+def test_resize_and_thumbnails(spark, sf_dir):
+    import numpy as np
+
+    from lakehouse_architecture_transaction_spark.catalog import load_table
+    from lakehouse_architecture_transaction_spark.operators.multimodal import (
+        decode_image,
+        extract_thumbnails,
+        make_binary_table,
+        resize_image,
+    )
+
+    img = decode_image(b"payload", fake=True)
+    t = resize_image(img, (4, 4), fake=True)
+    assert t.shape == (4, 4, 3) and t.dtype == np.uint8
+    # deterministic: same payload -> same thumbnail
+    assert (resize_image(decode_image(b"payload", fake=True), (4, 4)) == t).all()
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    out = extract_thumbnails(make_binary_table(docs)).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["thumb_h"] == 4 and r["thumb_w"] == 4
+        assert 0.0 <= r["mean_r"] <= 255.0
+
+
+def test_sample_frames_deterministic_and_stub_gated(spark):
+    import pytest as _pytest
+
+    from lakehouse_architecture_transaction_spark.operators.multimodal import sample_frames
+
+    f1 = sample_frames(b"videobytes", 3)
+    f2 = sample_frames(b"videobytes", 3)
+    assert [s for s, _ in f1] == [s for s, _ in f2]
+    assert len({s for s, _ in f1}) == 3  # frames differ from each other
+    assert all(a.shape == (8, 8, 3) for _, a in f1)
+    with _pytest.raises(NotImplementedError):
+        sample_frames(b"videobytes", 3, fake=False)
