@@ -512,26 +512,6 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register(
-    "mm_features",
-    oracle="""
-    WITH hx AS (
-        SELECT doc_id, sha256(text) AS sha,
-               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        FROM documents
-    ),
-    nib AS (
-        SELECT doc_id, sha, n_bytes,
-               list_transform(generate_series(0, 31), i -> substr(sha, 2 * i + 1, 1)) AS hi
-        FROM hx
-    )
-    SELECT doc_id, sha AS content_sha, n_bytes,
-           CAST(len(list_filter(hi, c -> c = '0')) AS DOUBLE) / 32.0 AS f0,
-           CAST(len(list_filter(hi, c -> c = '1')) AS DOUBLE) / 32.0 AS f1
-    FROM nib
-    ORDER BY doc_id ASC
-    """,
-)
 def _mm_frames_oracle() -> str:
     # frame i of a doc: sha256(sha256(text) || '-' || i); frame bytes =
     # that digest repeated 6x, so mean_byte = (sum of the 32 digest
@@ -566,6 +546,26 @@ def mm_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_frame_features(mm).orderBy("doc_id", "frame_idx")
 
 
+@register(
+    "mm_features",
+    oracle="""
+    WITH hx AS (
+        SELECT doc_id, sha256(text) AS sha,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    ),
+    nib AS (
+        SELECT doc_id, sha, n_bytes,
+               list_transform(generate_series(0, 31), i -> substr(sha, 2 * i + 1, 1)) AS hi
+        FROM hx
+    )
+    SELECT doc_id, sha AS content_sha, n_bytes,
+           CAST(len(list_filter(hi, c -> c = '0')) AS DOUBLE) / 32.0 AS f0,
+           CAST(len(list_filter(hi, c -> c = '1')) AS DOUBLE) / 32.0 AS f1
+    FROM nib
+    ORDER BY doc_id ASC
+    """,
+)
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real multimodal feature path (operators/multimodal.py):
     binary table → mapInPandas fake-decode → byte-histogram features.
