@@ -769,9 +769,12 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_retention_cohorts",
     oracle="""
     WITH first_seen AS (
-        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week FROM events GROUP BY user_id
+        -- cast: DuckDB's date_trunc yields DATE, Spark's a timestamp
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+        FROM events GROUP BY user_id
     ),
-    activity AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events)
+    activity AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week
+                 FROM events)
     SELECT f.cohort_week,
            CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS BIGINT) AS week_offset,
            COUNT(DISTINCT a.user_id) AS n_users
