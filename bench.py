@@ -45,6 +45,11 @@ HEADLINE = [
     "events_asof_orders",
     "events_value_percentiles",
     "mm_features",
+    "emb_ann_ivf",
+    "emb_cosine_dup_pairs",
+    "docs_rolling_hash",
+    "events_retention_cohorts",
+    "scd2_customer_history",
 ]
 
 
