@@ -802,6 +802,97 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_daily_gapfill",
+    oracle="""
+    WITH bounds AS (SELECT CAST(date_trunc('day', MIN(ts)) AS DATE) AS d0,
+                           CAST(date_trunc('day', MAX(ts)) AS DATE) AS d1 FROM events),
+    spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds),
+    daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(s.day AS TIMESTAMP) AS day,
+           COALESCE(d.n, 0) AS n_events, COALESCE(d.total_value, 0.0) AS total_value
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    ORDER BY day ASC
+    """,
+)
+def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily series: a generated date spine (min..max day)
+    left-joined to the daily aggregate, zero-filling silent days —
+    the standard fix for time series where absence of data IS data.
+    The spine is sequence() on the driver-free aggregate bounds (two
+    scalar subqueries), exploded JVM-side; no driver loop."""
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("d0"),
+        F.to_date(F.date_trunc("day", F.max("ts"))).alias("d1"),
+    )
+    spine = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    daily = events.groupBy(F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")).agg(
+        F.count("*").alias("n"),
+        F.expr("SUM(CAST(value AS DECIMAL(18,2)))").cast("decimal(18,2)").cast("double").alias("tv"),
+    )
+    return (
+        spine.join(daily, on="day", how="left")
+        .select(
+            # DATE at the output boundary splits engines at the pandas
+            # bridge (object vs datetime64) — emit timestamps, like
+            # every other temporal output.
+            F.col("day").cast("timestamp_ntz").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("tv"), F.lit(0.0)).alias("total_value"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "orders_priority_pivot",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+           COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+           COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+           COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS not_specified,
+           COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus ASC
+    """,
+)
+def orders_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (priority columns per status row) with an EXPLICIT value
+    list: Spark's pivot without one runs an extra distinct-collect job
+    to discover columns — never in production plans. Compiles to one
+    pass with conditional counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderstatus")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .count()
+    )
+    renames = {
+        "1-URGENT": "urgent",
+        "2-HIGH": "high",
+        "3-MEDIUM": "medium",
+        "4-NOT SPECIFIED": "not_specified",
+        "5-LOW": "low",
+    }
+    out = pivoted
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in renames.values()],
+    ).orderBy("o_orderstatus")
+
+
 @register("events_approx_sketches")  # no oracle: sketch results are
 # engine-specific by design → driver records the rows-only check.
 def events_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
