@@ -622,6 +622,90 @@ def customer_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q7_nation_volume",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+           {_SUM_REV} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE sn.n_name != cn.n_name
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY supp_nation ASC, cust_nation ASC, ship_year ASC
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade volume by ship year (full
+    pair matrix — the two-nation TPC-H restriction is vacuous on the
+    small fixtures). Nation lookups broadcast onto supplier/customer
+    before the fact join; the date filter pushes to the lineitem
+    scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr("l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("ship_year"))
+        .agg(_rev_sum_col().alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT 100.0 * (
+             CAST(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_REV} ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS DOUBLE)
+             / CAST(CAST(SUM({_REV}) AS DECIMAL(18,4)) AS DOUBLE)
+           ) AS promo_revenue_pct,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio (promo share of
+    revenue). Both sums decimal-exact; ONE double division and one
+    multiply, in the same order in both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr(
+            "l_shipdate >= TIMESTAMP '1996-09-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'"
+        )
+    )
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.expr(
+        f"SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_REV} ELSE CAST(0 AS DECIMAL(18,4)) END)"
+    ).cast("decimal(18,4)").cast("double")
+    total = F.expr(f"SUM({_REV})").cast("decimal(18,4)").cast("double")
+    return joined.agg(
+        (F.lit(100.0) * (promo / total)).alias("promo_revenue_pct"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@register(
     "customers_without_recent_orders",
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment
