@@ -153,7 +153,7 @@ def lsh_candidate_pairs(
     id_col: str,
     num_perms: int = 16,
     bands: int = 4,
-    persist: bool = True,
+    persist: bool | None = None,
     bucket_cap: int = 50,
 ) -> DataFrame:
     """LSH banding over a MinHash signature → distinct candidate pairs
@@ -169,12 +169,17 @@ def lsh_candidate_pairs(
     members. The cap costs one window over (band, bkey) — the same key
     the self-join shuffles on.
 
-    The capped (id, band, bkey) bucket table is materialized once and
-    shared by both self-join sides — without it Spark recomputes the
-    whole MinHash lineage per side per band (8x at bands=4). At
-    cluster scale the persist is MEMORY_AND_DISK: K longs per doc, far
-    smaller than the shingle explosion it avoids recomputing.
+    ``persist`` defaults to AUTO: when the cap is on, the cap window's
+    shuffle is a common exchange both self-join sides reuse
+    (ReusedExchange), so persisting only adds a redundant
+    materialization (measured 40% slower); with the cap off there is
+    no anchoring exchange and Spark would recompute the whole MinHash
+    lineage per side per band (8x at bands=4), so the bucket table is
+    persisted MEMORY_AND_DISK — K longs per doc, far smaller than the
+    shingle explosion it avoids recomputing.
     """
+    if persist is None:
+        persist = bucket_cap is None
     rows = num_perms // bands
     band_entries = []
     for b in range(bands):
@@ -214,6 +219,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     max_df: int | None = 100,
+    persist: bool | None = None,
 ) -> DataFrame:
     """Exact n-gram-shingle Jaccard similarity pair mining.
 
@@ -231,12 +237,19 @@ def ngram_jaccard_pairs(
     and the SQL oracle mirrors the cut exactly.
     """
     # (doc, shingle) pairs feed three plan branches (two join sides +
-    # the size table) — materialize once instead of re-exploding.
+    # the size table). With the max_df window on, its shingle-keyed
+    # exchange is reused by both join sides and recomputing the sizes
+    # branch is cheaper than a persist round-trip (measured 2x);
+    # without the window, persist once instead of re-exploding per
+    # branch.
     sh = _doc_shingles(df, text_col, id_col, n)
     if max_df is not None:
         w = Window.partitionBy("shingle")
         sh = sh.withColumn("__df", F.count("*").over(w)).filter(F.col("__df") <= max_df).drop("__df")
-    sh = _persist(sh)
+    if persist is None:
+        persist = max_df is None
+    if persist:
+        sh = _persist(sh)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
