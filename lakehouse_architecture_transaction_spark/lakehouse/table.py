@@ -147,9 +147,12 @@ class LakeTable:
             return
         self._write(df, self.path)
 
-    def upsert(self, source: DataFrame) -> None:
+    def upsert(self, source: DataFrame, evolve_schema: bool = False) -> None:
         """MERGE ``source`` on the key columns; creates on first call
         (reference scripts/glue/script.py:202-216 try-merge-except-create).
+        ``evolve_schema`` forwards Delta mergeSchema semantics: new
+        source columns join the table schema, and columns the source
+        lacks keep their values (operators/merge.py).
         """
         if not self.exists():
             self.create(source)
@@ -158,7 +161,7 @@ class LakeTable:
             # Copy-on-write: read the current snapshot, merge, commit a
             # new immutable snapshot — no swap needed, old versions
             # remain readable (time travel).
-            self._commit(merge_upsert(self.read(), source, keys=self.keys))
+            self._commit(merge_upsert(self.read(), source, keys=self.keys, evolve_schema=evolve_schema))
             return
         if _HAVE_DELTA:  # pragma: no cover - delta not in test image
             dt = DeltaTable.forPath(self.spark, self.path)
@@ -171,7 +174,7 @@ class LakeTable:
                 .execute()
             )
             return
-        merged = merge_upsert(self.read(), source, keys=self.keys)
+        merged = merge_upsert(self.read(), source, keys=self.keys, evolve_schema=evolve_schema)
         # Materialize next to the table, then atomically swap: the
         # source plan reads the files being replaced, so an in-place
         # overwrite would corrupt mid-read.

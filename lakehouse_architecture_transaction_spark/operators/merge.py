@@ -21,12 +21,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+def merge_upsert(
+    target: DataFrame, source: DataFrame, keys: list[str], evolve_schema: bool = False
+) -> DataFrame:
     """Rows from ``source`` replace matching ``target`` rows (matched →
     update-all); unmatched source rows are inserted; unmatched target
-    rows are kept. Columns must match by name.
+    rows are kept. Columns must match by name unless
+    ``evolve_schema`` (Delta ``mergeSchema`` semantics): new source
+    columns are added to the table (null for pre-existing rows), and
+    columns the source doesn't carry KEEP their target values on
+    matched rows rather than being nulled.
     """
-    if set(target.columns) != set(source.columns):
+    source_cols = set(source.columns)
+    if evolve_schema:
+        for f in source.schema.fields:
+            if f.name not in target.columns:
+                target = target.withColumn(f.name, F.lit(None).cast(f.dataType))
+        for f in target.schema.fields:
+            if f.name not in source.columns:
+                source = source.withColumn(f.name, F.lit(None).cast(f.dataType))
+    elif set(target.columns) != source_cols:
         raise ValueError(f"column mismatch: {target.columns} vs {source.columns}")
     t = target.alias("t")
     # Literal presence flag: key-nullability is NOT a reliable match
@@ -40,6 +54,11 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataF
     # source-presence flag rather than coalesce of the value columns.
     matched = F.col("s.__src").isNotNull()
     picked = [
-        F.when(matched, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c) for c in target.columns
+        (
+            F.when(matched, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            if c in source_cols
+            else F.col(f"t.{c}").alias(c)  # source doesn't carry it: preserve
+        )
+        for c in target.columns
     ]
     return joined.select(*picked)

@@ -187,3 +187,13 @@ def test_zorder_write_clusters_files(spark, sf_dir, tmp_path):
     glob = orders.agg((SF.max("o_custkey") - SF.min("o_custkey")).alias("s")).collect()[0]["s"]
     assert len(spans) >= 3
     assert sum(r["span"] for r in spans) < 0.8 * len(spans) * glob
+
+
+def test_versioned_table_schema_evolution(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "evo"), keys=["k"], versioned=True)
+    t.upsert(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.upsert(spark.createDataFrame([(1, 9.5), (2, 3.5)], "k long, score double"), evolve_schema=True)
+    cur = {r["k"]: (r["v"], r["score"]) for r in t.read().collect()}
+    assert cur == {1: ("a", 9.5), 2: (None, 3.5)}
+    # the old snapshot still has the old schema (time travel unaffected)
+    assert t.read(version=0).columns == ["k", "v"]

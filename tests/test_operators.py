@@ -186,3 +186,21 @@ def test_sample_frames_deterministic_and_stub_gated(spark):
     assert all(a.shape == (8, 8, 3) for _, a in f1)
     with _pytest.raises(NotImplementedError):
         sample_frames(b"videobytes", 3, fake=False)
+
+
+def test_merge_upsert_schema_evolution(spark):
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    # source brings a NEW column and drops an existing one
+    source = spark.createDataFrame([(2, 99.5), (3, 7.0)], "k long, score double")
+    out = {r["k"]: (r["v"], r["score"]) for r in
+           merge_upsert(target, source, keys=["k"], evolve_schema=True).collect()}
+    assert out == {
+        1: ("a", None),    # untouched target row; new column null
+        2: ("b", 99.5),    # matched: v PRESERVED (source lacks it), score updated
+        3: (None, 7.0),    # inserted: no v, new score
+    }
+    # without evolution the same merge must refuse
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        merge_upsert(target, source, keys=["k"])
