@@ -27,9 +27,11 @@ partitions can restrict the rewrite with ``partition_filter``.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import tempfile
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -53,12 +55,25 @@ class LakeTable:
         keys: list[str],
         partition_by: str | None = None,
         versioned: bool = False,
+        constraints: dict[str, str] | None = None,
     ) -> None:
         self.spark = spark
         self.path = path
         self.keys = keys
         self.partition_by = partition_by
         self.versioned = versioned
+        #: Delta-style CHECK constraints: {name: sql_predicate}. Every
+        #: write verifies them distributedly (one filter+limit job per
+        #: constraint) and refuses the commit on violation.
+        self.constraints = constraints or {}
+
+    def _check_constraints(self, df: DataFrame) -> None:
+        from pyspark.sql import functions as F  # local: keep module header lean
+
+        for name, predicate in self.constraints.items():
+            bad = df.filter(~F.expr(predicate)).limit(1).count()
+            if bad:
+                raise ValueError(f"CHECK constraint {name!r} violated: NOT ({predicate})")
 
     # -- versioning ----------------------------------------------------
 
@@ -88,17 +103,42 @@ class LakeTable:
                 out.append(int(d[1:]))
         return out
 
-    def _commit(self, df: DataFrame) -> int:
+    def _commit(self, df: DataFrame, operation: str = "write") -> int:
         """Write the next snapshot and atomically advance the pointer.
         The write happens BEFORE the pointer moves, so a crashed commit
         leaves an orphan directory, never a visible broken table."""
         next_v = (self.latest_version() or 0) + 1 if self.latest_version() is not None else 0
         self._write(df, self._version_dir(next_v))
+        n_rows = self.spark.read.parquet(self._version_dir(next_v)).count()
+        with open(os.path.join(self.path, "_commits.jsonl"), "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "version": next_v,
+                        "operation": operation,
+                        "n_rows": n_rows,
+                        "timestamp": datetime.now(timezone.utc).isoformat(),
+                    }
+                )
+                + "\n"
+            )
         tmp = self._pointer_path() + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(next_v))
         os.replace(tmp, self._pointer_path())
         return next_v
+
+    def describe_history(self) -> list[dict]:
+        """Commit log, newest first (Delta DESCRIBE HISTORY shape),
+        restricted to commits whose snapshot is still visible."""
+        log_path = os.path.join(self.path, "_commits.jsonl")
+        if not os.path.exists(log_path):
+            return []
+        latest = self.latest_version()
+        with open(log_path) as f:
+            entries = [json.loads(line) for line in f if line.strip()]
+        visible = [e for e in entries if latest is not None and e["version"] <= latest]
+        return sorted(visible, key=lambda e: e["version"], reverse=True)
 
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Drop all but the last ``keep_last`` snapshots (Delta's
@@ -142,8 +182,9 @@ class LakeTable:
 
     def create(self, df: DataFrame) -> None:
         """Initial load (reference scripts/glue/script.py:219-227)."""
+        self._check_constraints(df)
         if self.versioned:
-            self._commit(df)
+            self._commit(df, operation="create")
             return
         self._write(df, self.path)
 
@@ -157,11 +198,15 @@ class LakeTable:
         if not self.exists():
             self.create(source)
             return
+        self._check_constraints(source)
         if self.versioned:
             # Copy-on-write: read the current snapshot, merge, commit a
             # new immutable snapshot — no swap needed, old versions
             # remain readable (time travel).
-            self._commit(merge_upsert(self.read(), source, keys=self.keys, evolve_schema=evolve_schema))
+            self._commit(
+                merge_upsert(self.read(), source, keys=self.keys, evolve_schema=evolve_schema),
+                operation="merge",
+            )
             return
         if _HAVE_DELTA:  # pragma: no cover - delta not in test image
             dt = DeltaTable.forPath(self.spark, self.path)
@@ -198,7 +243,7 @@ class LakeTable:
         atomic directory swap. Returns the new file count."""
         df = self.read().coalesce(target_files)
         if self.versioned:
-            self._commit(df)
+            self._commit(df, operation="compact")
             target = self._version_dir(self.latest_version())
         else:
             parent = os.path.dirname(os.path.abspath(self.path))
@@ -217,6 +262,7 @@ class LakeTable:
     def append(self, df: DataFrame) -> None:
         """Blind append (the reference's rejected-records zone uses
         this mode — scripts/glue/script.py:190-192)."""
+        self._check_constraints(df)
         writer = df.write.mode("append")
         if self.partition_by and self.partition_by in df.columns:
             writer = writer.partitionBy(self.partition_by)

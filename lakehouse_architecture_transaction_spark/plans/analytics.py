@@ -706,6 +706,37 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT {_SUM_REV} AS revenue, COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+       OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+       OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of multi-column conjuncts across
+    both join sides. Catalyst extracts the common single-side conjuncts
+    (brand/size set on part, quantity envelope on lineitem) below the
+    join, so each scan still prunes before rows meet."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#12") & F.col("l_quantity").between(1, 11) & F.col("p_size").between(1, 5)
+    ) | (
+        (F.col("p_brand") == "Brand#23") & F.col("l_quantity").between(10, 20) & F.col("p_size").between(1, 10)
+    ) | (
+        (F.col("p_brand") == "Brand#34") & F.col("l_quantity").between(20, 30) & F.col("p_size").between(1, 15)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(_rev_sum_col().alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+@register(
     "customers_without_recent_orders",
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment

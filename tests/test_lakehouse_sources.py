@@ -197,3 +197,26 @@ def test_versioned_table_schema_evolution(spark, tmp_path):
     assert cur == {1: ("a", 9.5), 2: (None, 3.5)}
     # the old snapshot still has the old schema (time travel unaffected)
     assert t.read(version=0).columns == ["k", "v"]
+
+
+def test_commit_history_and_constraints(spark, tmp_path):
+    t = LakeTable(
+        spark,
+        str(tmp_path / "hist"),
+        keys=["k"],
+        versioned=True,
+        constraints={"positive_v": "v > 0"},
+    )
+    t.upsert(spark.createDataFrame([(1, 10)], "k long, v long"))
+    t.upsert(spark.createDataFrame([(2, 20)], "k long, v long"))
+    t.compact(target_files=1)
+    hist = t.describe_history()
+    assert [h["operation"] for h in hist] == ["compact", "merge", "create"]
+    assert hist[0]["n_rows"] == 2 and hist[-1]["n_rows"] == 1
+    # constraint refuses the commit and leaves the table untouched
+    with pytest.raises(ValueError, match="positive_v"):
+        t.upsert(spark.createDataFrame([(3, -5)], "k long, v long"))
+    assert t.read().count() == 2
+    # vacuum trims history visibility along with snapshots? (history keeps
+    # only visible versions <= latest; vacuumed old dirs remain listed)
+    assert len(t.describe_history()) == 3
