@@ -1,0 +1,60 @@
+"""Deterministic sampling and dataset splitting.
+
+Training pipelines need splits that are REPRODUCIBLE (same id → same
+split, forever), STABLE under repartitioning and re-runs, and
+LEAK-FREE (membership decided by identity, not position). Spark's
+``randomSplit`` is none of these — it is partition-order dependent.
+Hash-based assignment is: bucket = md5(salt || id) mod N, thresholds
+carve the buckets into splits. The salt versions the split — bump it
+to re-deal without touching code.
+
+Everything is md5-derived, so the DuckDB oracle reproduces the exact
+assignment (same discipline as functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000
+
+
+def split_bucket_col(id_col: str, salt: str) -> Column:
+    """Deterministic bucket in [0, BUCKETS) for an id."""
+    h = F.conv(F.substring(F.md5(F.concat_ws("-", F.lit(salt), F.col(id_col).cast("string"))), 1, 8), 16, 10)
+    return (h.cast("long") % BUCKETS).alias("__bucket")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Assign every row a split label by hashed id.
+
+    ``weights`` maps split name → fraction (must sum to ~1; the last
+    split absorbs rounding). Rows with equal ids always land in the
+    same split — safe against duplicate-id leakage across splits.
+    """
+    names = list(weights)
+    bounds: list[tuple[str, int]] = []
+    acc = 0.0
+    for name in names[:-1]:
+        acc += weights[name]
+        bounds.append((name, int(round(acc * BUCKETS))))
+    bucket = split_bucket_col(id_col, salt)
+    expr: Column = F.lit(names[-1])
+    for name, bound in reversed(bounds):
+        expr = F.when(F.col("__bucket") < bound, F.lit(name)).otherwise(expr)
+    return df.withColumn("__bucket", bucket).withColumn("split", expr).drop("__bucket")
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction: float, salt: str = "sample-v1") -> DataFrame:
+    """Deterministic ~``fraction`` sample by hashed id: stable across
+    runs, partitionings, and cluster sizes (unlike df.sample)."""
+    bound = int(round(fraction * BUCKETS))
+    return df.withColumn("__bucket", split_bucket_col(id_col, salt)).filter(
+        F.col("__bucket") < bound
+    ).drop("__bucket")

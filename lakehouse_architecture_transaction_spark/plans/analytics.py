@@ -798,6 +798,75 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_spend_deciles",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT *, NTILE(10) OVER (ORDER BY total ASC, o_custkey ASC) AS decile FROM spend
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, COUNT(*) AS n_customers,
+           CAST(CAST(SUM(CAST(total AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS decile_spend,
+           MIN(total) AS min_spend, MAX(total) AS max_spend
+    FROM ranked GROUP BY decile
+    ORDER BY decile ASC
+    """,
+)
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile segmentation of customer lifetime spend (NTILE over a
+    totally-ordered ranking — unique tiebreaker makes bucket edges
+    deterministic). The global sort is over one row per customer, not
+    per order."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)))").cast("decimal(18,2)").cast("double").alias("total")
+    )
+    w = Window.orderBy(F.col("total").asc(), F.col("o_custkey").asc())
+    ranked = spend.withColumn("decile", F.ntile(10).over(w))
+    return (
+        ranked.groupBy(F.col("decile").cast("bigint").alias("decile"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.expr("SUM(CAST(total AS DECIMAL(18,2)))").cast("decimal(18,2)").cast("double").alias("decile_spend"),
+            F.min("total").alias("min_spend"),
+            F.max("total").alias("max_spend"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "order_value_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bin,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS min_value,
+           MAX(o_totalprice) AS max_value
+    FROM orders
+    GROUP BY 1
+    ORDER BY bin ASC
+    """,
+)
+def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (bin = floor(value/25k)): one
+    map-side-combinable aggregation, the scalable histogram shape
+    (vs NTILE, which needs a global sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.floor(F.col("o_totalprice") / 25000).cast("bigint").alias("bin"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("min_value"),
+            F.max("o_totalprice").alias("max_value"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
     "events_value_percentiles",
     oracle="""
     SELECT event_type,

@@ -187,6 +187,37 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(docs, text_col="text", id_col="doc_id", bits=32).orderBy("doc_id")
 
 
+@register(
+    "docs_train_val_split",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id,
+               (('0x' || substr(md5('split-v1' || '-' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 10000 AS bucket
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    ORDER BY doc_id ASC
+    """,
+)
+def docs_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by hashed doc id
+    (operators/sampling.py): reproducible, repartition-stable, and
+    leak-free — unlike randomSplit, which is partition-order
+    dependent."""
+    from lakehouse_architecture_transaction_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, id_col="doc_id", weights={"train": 0.9, "val": 0.05, "test": 0.05})
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
 # ------------------------------------------------------- text queries
 
 

@@ -204,3 +204,38 @@ def test_merge_upsert_schema_evolution(spark):
 
     with _pytest.raises(ValueError):
         merge_upsert(target, source, keys=["k"])
+
+
+def test_hash_split_stable_and_leak_free(spark, sf_dir):
+    from lakehouse_architecture_transaction_spark.catalog import load_table
+    from lakehouse_architecture_transaction_spark.operators.sampling import hash_sample, hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", w).select("doc_id", "split").collect()}
+    # stable across repartitioning AND re-evaluation
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.repartition(13), "doc_id", w).select("doc_id", "split").collect()
+    }
+    assert a == b
+    n = len(a)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert abs(c["train"] / n - 0.8) < 0.08  # hash-uniformity tolerance
+    # a duplicate id (leak candidate) must land in the same split
+    dup = docs.limit(1).unionByName(docs.limit(1))
+    splits = {r["split"] for r in hash_split(dup, "doc_id", w).collect()}
+    assert len(splits) == 1
+    # different salt -> a different deal
+    a2 = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs, "doc_id", w, salt="split-v2").select("doc_id", "split").collect()
+    }
+    assert a2 != a
+    # deterministic sample: same rows both times, ~fraction of total
+    s1 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.2).select("doc_id").collect()}
+    s2 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.2).select("doc_id").collect()}
+    assert s1 == s2
+    assert abs(len(s1) / n - 0.2) < 0.08
