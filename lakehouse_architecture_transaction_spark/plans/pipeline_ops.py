@@ -168,6 +168,42 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _dup_clusters_oracle() -> str:
+    pairs_sql = _minhash_oracle().format(cap=_BUCKET_CAP)
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+    ORDER BY doc_id ASC
+    """
+
+
+@register("docs_dup_clusters", oracle=_dup_clusters_oracle())
+def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: MinHash-LSH candidate pairs closed
+    under connectivity (operators/graph.py connected_components) —
+    each doc labeled with the min doc_id of its component (singletons
+    label themselves). The dedup decision unit: keep one per cluster.
+    The oracle computes the same unique fixpoint via a recursive
+    reachability CTE."""
+    from lakehouse_architecture_transaction_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signature(docs, text_col="text", id_col="doc_id", num_perms=_NUM_PERMS, n=3)
+    pairs = D.lsh_candidate_pairs(
+        sig, id_col="doc_id", num_perms=_NUM_PERMS, bands=_BANDS, bucket_cap=_BUCKET_CAP
+    )
+    comp = connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
+    )
+    return comp.select("doc_id", F.col("component").alias("cluster_id")).orderBy("doc_id")
+
+
 def _simhash_oracle(bits: int = 32) -> str:
     sums = ", ".join(f"SUM(((h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(bits))
     val = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))

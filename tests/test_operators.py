@@ -239,3 +239,13 @@ def test_hash_split_stable_and_leak_free(spark, sf_dir):
     s2 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.2).select("doc_id").collect()}
     assert s1 == s2
     assert abs(len(s1) / n - 0.2) < 0.08
+
+
+def test_connected_components_chain_and_isolated(spark):
+    from lakehouse_architecture_transaction_spark.operators.graph import connected_components
+
+    vertices = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    # chain 1-2-3-4 (diameter > 1 forces multiple rounds), pair 5-6, isolated 7
+    edges = spark.createDataFrame([(2, 1), (2, 3), (4, 3), (5, 6)], "src long, dst long")
+    comp = {r["id"]: r["component"] for r in connected_components(vertices, edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
