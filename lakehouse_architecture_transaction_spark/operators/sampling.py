@@ -58,3 +58,26 @@ def hash_sample(df: DataFrame, id_col: str, fraction: float, salt: str = "sample
     return df.withColumn("__bucket", split_bucket_col(id_col, salt)).filter(
         F.col("__bucket") < bound
     ).drop("__bucket")
+
+
+def shuffle_and_shard(
+    df: DataFrame, id_col: str, batch_size: int, salt: str = "shuffle-v1"
+) -> DataFrame:
+    """Deterministic global shuffle + fixed-size sharding for training
+    data: rows ordered by md5(salt || id) (a reproducible permutation
+    decoupled from ingest order), then numbered and cut into
+    ``batch_size`` shards. Same salt → same batches on any cluster;
+    bump the salt for a new epoch's permutation.
+
+    Adds (shuffle_pos, batch_idx). The global row_number is a single
+    total order — at extreme scale shard FIRST by hash range and
+    number within shards instead; the per-shard plan is identical.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat_ws("-", F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("shuffle_pos", F.row_number().over(w) - 1)
+        .withColumn("batch_idx", (F.col("shuffle_pos") / batch_size).cast("long"))
+    )

@@ -254,6 +254,37 @@ def docs_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_shuffled_batches",
+    oracle="""
+    WITH ordered AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5('shuffle-v1' || '-' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+               ) - 1 AS shuffle_pos
+        FROM documents
+    )
+    SELECT doc_id, CAST(shuffle_pos AS BIGINT) AS shuffle_pos,
+           CAST(shuffle_pos // 64 AS BIGINT) AS batch_idx
+    FROM ordered
+    ORDER BY doc_id ASC
+    """,
+)
+def docs_shuffled_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training shuffle + sharding
+    (operators/sampling.py shuffle_and_shard): rows permuted by
+    md5(salt||id) and cut into 64-row batches — reproducible epoch
+    order on any cluster, re-dealt by bumping the salt."""
+    from lakehouse_architecture_transaction_spark.operators.sampling import shuffle_and_shard
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        shuffle_and_shard(docs, id_col="doc_id", batch_size=64)
+        .select("doc_id", F.col("shuffle_pos").cast("bigint").alias("shuffle_pos"), "batch_idx")
+        .orderBy("doc_id")
+    )
+
+
 # ------------------------------------------------------- text queries
 
 
