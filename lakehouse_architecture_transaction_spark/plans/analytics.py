@@ -798,6 +798,113 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey, {_SUM_REV} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s_suppkey ASC
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate → scalar-max subquery → equality
+    filter (ALL argmax rows, not LIMIT 1 — ties survive). The revenue
+    table is computed once and reused for both the max and the probe;
+    the max is a broadcast scalar, not a driver round-trip."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr(
+            "l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'"
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(_rev_sum_col().alias("total_revenue"))
+    max_rev = rev.agg(F.max("total_revenue").alias("m"))
+    return (
+        rev.join(F.broadcast(max_rev), rev.total_revenue == max_rev.m)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "profile_orders",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_orderkey) AS n_null,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS DOUBLE) AS min_num, CAST(MAX(o_orderkey) AS DOUBLE) AS max_num
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice), COUNT(DISTINCT o_totalprice),
+           MIN(o_totalprice), MAX(o_totalprice)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+           NULL, NULL
+    FROM orders
+    ORDER BY column_name ASC
+    """,
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile (null rate / cardinality / numeric range
+    per column) — the observability half of the reference's validation
+    theme, computed in ONE pass over the table (a single aggregate
+    with all metrics, unpivoted afterwards; no per-column scans)."""
+    orders = load_table(spark, sf_dir, "orders")
+    numeric = ["o_orderkey", "o_custkey", "o_totalprice"]
+    string_cols = ["o_orderstatus"]
+    aggs = [F.count("*").alias("n_rows")]
+    for c in numeric + string_cols:
+        aggs += [
+            (F.count("*") - F.count(c)).alias(f"null_{c}"),
+            F.countDistinct(c).alias(f"dist_{c}"),
+        ]
+    for c in numeric:
+        aggs += [F.min(c).cast("double").alias(f"min_{c}"), F.max(c).cast("double").alias(f"max_{c}")]
+    one = orders.agg(*aggs)
+    rows = []
+    for c in numeric:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows"),
+                F.col(f"null_{c}").alias("n_null"),
+                F.col(f"dist_{c}").alias("n_distinct"),
+                F.col(f"min_{c}").alias("min_num"),
+                F.col(f"max_{c}").alias("max_num"),
+            )
+        )
+    for c in string_cols:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows"),
+                F.col(f"null_{c}").alias("n_null"),
+                F.col(f"dist_{c}").alias("n_distinct"),
+                F.lit(None).cast("double").alias("min_num"),
+                F.lit(None).cast("double").alias("max_num"),
+            )
+        )
+    return (
+        one.select(F.explode(F.array(*rows)).alias("p"))
+        .select("p.*")
+        .orderBy("column_name")
+    )
+
+
+@register(
     "customer_spend_deciles",
     oracle="""
     WITH spend AS (
@@ -896,6 +1003,47 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("event_type").asc())
     )
+
+
+@register(
+    "incremental_events_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour_start ASC, event_type ASC
+    """,
+)
+def incremental_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/incremental.py): the
+    hourly rollup computed as base partials (first half of the data)
+    MERGED with delta partials (second half) — the oracle recomputes
+    from scratch, proving merge-of-partials == full recompute
+    bit-for-bit (decomposable measures, exact decimal sums)."""
+    from lakehouse_architecture_transaction_spark.operators.incremental import merge_partial_aggs
+
+    events = load_table(spark, sf_dir, "events")
+    cutoff = "TIMESTAMP_NTZ '2024-01-15 00:00:00'"
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type").agg(
+            F.count("*").alias("n_events"),
+            F.expr("SUM(CAST(value AS DECIMAL(18,2)))").cast("decimal(18,2)").alias("total_value"),
+        )
+
+    base = partial(events.filter(F.expr(f"ts < {cutoff}")))
+    delta = partial(events.filter(F.expr(f"ts >= {cutoff}")))
+    merged = merge_partial_aggs(
+        base, delta, keys=["hour_start", "event_type"], sum_cols=["total_value"], count_cols=["n_events"]
+    )
+    return merged.select(
+        "hour_start",
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("decimal(18,2)").cast("double").alias("total_value"),
+    ).orderBy("hour_start", "event_type")
 
 
 @register(
