@@ -8,6 +8,9 @@ matching DuckDB SQL for the correctness gate.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -20,12 +23,45 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
+def _green_rounds() -> dict[str, int]:
+    """Per query: in how many prior rounds' CORRECTNESS files it appears.
+
+    The driver's correctness gate truncates at 50 entries in dict
+    order, so with >50 registered queries a fixed order would leave a
+    permanent never-checked tail (round 2 left 13 queries without a
+    driver row). Sorting by least-checked-first rotates coverage: every
+    query cycles through the gate across rounds.
+    """
+    counts: dict[str, int] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                for name in json.load(f):
+                    counts[name] = counts.get(name, 0) + 1
+        except (OSError, ValueError):
+            continue
+    return counts
+
+
+def _ordered_names() -> list[str]:
+    counts = _green_rounds()
+    names = list(REGISTRY)
+    reg_pos = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (counts.get(n, 0), reg_pos[n]))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    """One entry per implemented operator from SURVEY.md §2,
+    least-driver-checked first (see _green_rounds)."""
+    return {name: REGISTRY[name].fn for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted where not
     SQL-expressible → driver records a rows-only check)."""
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in _ordered_names()
+        if REGISTRY[name].oracle is not None
+    }

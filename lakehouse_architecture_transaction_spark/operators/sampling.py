@@ -69,15 +69,34 @@ def shuffle_and_shard(
     ``batch_size`` shards. Same salt → same batches on any cluster;
     bump the salt for a new epoch's permutation.
 
-    Adds (shuffle_pos, batch_idx). The global row_number is a single
-    total order — at extreme scale shard FIRST by hash range and
-    number within shards instead; the per-shard plan is identical.
+    Adds (shuffle_pos, batch_idx). The global position is computed
+    WITHOUT a global sort: rows are range-bucketed by the first two
+    hex digits of the shuffle key (256 uniform buckets — a string
+    prefix, so bucket order IS key order), numbered within buckets in
+    parallel, then offset by the exclusive prefix sum of bucket
+    counts. The prefix sum runs on the 256-row count table via a
+    broadcast triangular join, so no stage anywhere collapses to a
+    single partition — the plan survives a 100 TB input where a
+    ``Window.orderBy`` total sort would not.
     """
     from pyspark.sql import Window
 
     key = F.md5(F.concat_ws("-", F.lit(salt), F.col(id_col).cast("string")))
-    w = Window.orderBy(key.asc(), F.col(id_col).asc())
+    base = df.withColumn("__skey", key).withColumn("__sbkt", F.substring(F.col("__skey"), 1, 2))
+    w = Window.partitionBy("__sbkt").orderBy(F.col("__skey").asc(), F.col(id_col).asc())
+    numbered = base.withColumn("__rn", F.row_number().over(w))
+    counts = base.groupBy("__sbkt").agg(F.count("*").alias("__cnt"))
+    ca = counts.select(F.col("__sbkt").alias("__ba"), F.col("__cnt").alias("__ca"))
+    cb = counts.select(F.col("__sbkt").alias("__bb"), F.col("__cnt").alias("__cb"))
+    offsets = (
+        ca.join(F.broadcast(cb), F.col("__bb") < F.col("__ba"), "left")
+        .groupBy("__ba")
+        .agg(F.coalesce(F.sum("__cb"), F.lit(0)).cast("long").alias("__off"))
+        .select(F.col("__ba").alias("__sbkt"), "__off")
+    )
     return (
-        df.withColumn("shuffle_pos", F.row_number().over(w) - 1)
+        numbered.join(F.broadcast(offsets), on="__sbkt", how="inner")
+        .withColumn("shuffle_pos", (F.col("__off") + F.col("__rn") - 1).cast("long"))
         .withColumn("batch_idx", (F.col("shuffle_pos") / batch_size).cast("long"))
+        .drop("__skey", "__sbkt", "__rn", "__off")
     )

@@ -54,6 +54,18 @@ def test_validation_fk_checks_broadcast_not_collect(spark, sf_dir):
     assert len(key_only) == 2, "FK reference scans must read only the key column"
 
 
+def test_shuffle_and_shard_has_no_global_sort(spark, sf_dir):
+    # The epoch-shuffle sharder must number rows within 256 hash-range
+    # buckets, never via a single-partition total sort: one
+    # ``Window.orderBy`` with no partitionBy collapses 100 TB onto one
+    # task. The only acceptable SinglePartition exchanges are over the
+    # 256-row bucket-count table — but the chosen triangular-join
+    # prefix sum needs none, so the plan must be entirely free of them.
+    plan = _formatted_plan(REGISTRY["docs_shuffled_batches"].fn(spark, sf_dir))
+    assert "SinglePartition" not in plan, "sharder re-introduced a single-partition stage"
+    assert "row_number" in plan
+
+
 def test_no_cartesian_anywhere_in_headline(spark, sf_dir):
     import bench
 
