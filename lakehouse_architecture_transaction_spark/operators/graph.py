@@ -12,16 +12,36 @@ Spark loop bit-for-bit.
 Scale notes: plain propagation converges in O(component diameter)
 rounds — near-dup clusters are shallow (stars/cliques), so a handful.
 Each round is one join + one aggregate on the edge list; the driver
-only checks a scalar convergence count (no data collected). For
-graphs with long chains at extreme scale, switch to the
-large-star/small-star algorithm (Kiveris et al.) — same join
-primitives, fewer rounds.
+only checks a scalar convergence count (no data collected). Loop
+hygiene for iterative Spark: each round's frame references the
+previous round's SEVERAL times (join sides, convergence probe), so the
+logical plan grows geometrically with rounds — ``persist`` alone dedupes
+EXECUTION but the analyzer still walks the full tree, and by round ~10
+driver-side planning dwarfs the actual jobs (measured: 7 s → 112 s per
+round by round 2 on the star variant). The fix is
+``localCheckpoint(eager=True)`` every round: it materializes the frame
+AND replaces its plan with the materialized scan, making per-round cost
+flat. (On a multi-node cluster, swap for reliable ``checkpoint`` if you
+need lineage-free fault recovery; the loop structure is identical.)
+For long-chain graphs, ``connected_components_star`` implements the
+large-star/small-star algorithm (Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC'14): O(log² n) rounds instead of
+O(diameter), same join primitives.
 """
 
 from __future__ import annotations
 
+import warnings
+
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _symmetrize(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    return edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).unionByName(
+        edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+    )
 
 
 def connected_components(
@@ -36,22 +56,30 @@ def connected_components(
 
     ``vertices``: one row per node id. ``edges``: undirected pairs
     (any orientation). Isolated vertices keep their own id.
+
+    Warns (and returns the partial labels) if ``max_iter`` rounds pass
+    without reaching the fixpoint — callers clustering long-chain
+    graphs should use :func:`connected_components_star` instead.
     """
-    sym = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).unionByName(
-        edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+    sym = _symmetrize(edges, src_col, dst_col).persist(StorageLevel.MEMORY_AND_DISK)
+    labels = vertices.select(F.col(id_col).alias("a"), F.col(id_col).alias("label")).localCheckpoint(
+        eager=True
     )
-    labels = vertices.select(F.col(id_col).alias("a"), F.col(id_col).alias("label"))
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels.withColumnRenamed("a", "b").withColumnRenamed("label", "nl"), on="b")
             .groupBy("a")
             .agg(F.min("nl").alias("nmin"))
         )
+        # materialize + truncate lineage: labels' plan stays one scan
+        # deep forever, so per-round cost is flat (see module docstring)
         new_labels = (
             labels.join(neighbor_min, on="a", how="left")
             .select("a", F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"))
+            .localCheckpoint(eager=True)
         )
-        # one scalar per round; both frames are tiny projections
+        # one scalar per round over two checkpointed scans
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), on="a")
@@ -61,5 +89,107 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    sym.unpersist()
+    if not converged:
+        warnings.warn(
+            f"connected_components: no fixpoint after {max_iter} rounds; "
+            "labels may span multiple components (component diameter > max_iter). "
+            "Use connected_components_star for long-chain graphs.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("a").alias(id_col), F.col("label").alias("component"))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u (neighborhoods over the symmetrized edges),
+    connect every strictly-larger neighbor to m = min(N(u) ∪ {u})."""
+    s = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    mins = s.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+    return (
+        s.join(mins, on="a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges downward (u, v≤u), then per node u connect every
+    neighbor and u itself to m = min(N(u) ∪ {u})."""
+    down = e.select(
+        F.greatest(F.col("a"), F.col("b")).alias("a"), F.least(F.col("a"), F.col("b")).alias("b")
+    ).distinct()
+    mins = down.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+    joined = down.join(mins, on="a")
+    nbrs = joined.select(F.col("b").alias("v"), F.col("m"))
+    selfs = joined.select(F.col("a").alias("v"), F.col("m")).distinct()
+    return (
+        nbrs.unionByName(selfs)
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.):
+    alternating rounds contract the graph toward a star per component
+    in O(log² n) rounds — the scale path when components are long
+    chains and plain propagation's O(diameter) rounds won't do.
+
+    Same output contract as :func:`connected_components`: one row per
+    vertex, ``component`` = min reachable id; the fixpoint is unique,
+    so both algorithms (and the recursive-CTE oracle) agree exactly.
+    """
+    e = (
+        _symmetrize(edges, src_col, dst_col)
+        .filter(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_old = e.count()
+    converged = False
+    for _ in range(max_iter):
+        # each round reads e ~6 times (two stars × union/join sides):
+        # without the per-round checkpoint the plan tree grows ~6× per
+        # round and analysis alone hits minutes by round 3
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # set equality via count compare + one-direction diff probe:
+        # both bounded by edge cardinality, no collect
+        n_new = new_e.count()
+        changed = 1
+        if n_new == n_old:
+            changed = new_e.exceptAll(e).limit(1).count()
+        e, n_old = new_e, n_new
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        warnings.warn(
+            f"connected_components_star: edge set still changing after {max_iter} rounds",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # At the fixpoint e is a star per component: (member, root). Min
+    # guards the (benign) case of a node carrying several root edges
+    # mid-convergence; isolated vertices label themselves.
+    roots = e.groupBy("a").agg(F.min("b").alias("component"))
+    return (
+        vertices.select(F.col(id_col).alias("a"))
+        .join(roots, on="a", how="left")
+        .select(
+            F.col("a").alias(id_col),
+            F.coalesce(F.col("component"), F.col("a")).alias("component"),
+        )
+    )

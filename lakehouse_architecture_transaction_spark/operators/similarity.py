@@ -125,7 +125,12 @@ def sign_lsh_ann(
 
 
 def cosine_dup_pairs(
-    emb: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95, bits: int = 4
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    bits: int = 4,
+    bucket_cap: int | None = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate mining: pairs (a < b) whose
     cosine ≥ ``threshold``, candidates restricted to sign-LSH buckets.
@@ -135,6 +140,16 @@ def cosine_dup_pairs(
     high probability at high thresholds). The cosine itself is the
     deterministic double fold, so the oracle reproduces scores
     bit-for-bit and the ≥ threshold cut can't flake on the boundary.
+
+    ``bucket_cap`` bounds the quadratic term (same discipline as
+    dedup.py's LSH banding): real embedding corpora are anisotropic,
+    and one dominant sign pattern — e.g. all-positive after an
+    activation — can swallow a large share of the corpus, turning
+    "within-bucket" back into O(n²). Each bucket keeps its
+    ``bucket_cap`` smallest ids (deterministic, so the SQL oracle
+    mirrors the cut exactly); the cap window shuffles on the same key
+    the self-join uses, so it anchors a reused exchange rather than
+    adding one.
     """
     bucketed = emb.select(
         F.col(id_col),
@@ -142,6 +157,13 @@ def cosine_dup_pairs(
         sign_bucket_expr(vec_col, bits).alias("__bkt"),
         norm2_expr(vec_col).alias("__n2"),
     )
+    if bucket_cap is not None:
+        wcap = Window.partitionBy("__bkt").orderBy(F.col(id_col).asc())
+        bucketed = (
+            bucketed.withColumn("__bn", F.row_number().over(wcap))
+            .filter(F.col("__bn") <= bucket_cap)
+            .drop("__bn")
+        )
     a = bucketed.select(
         F.col("__bkt"),
         F.col(id_col).alias("id_a"),

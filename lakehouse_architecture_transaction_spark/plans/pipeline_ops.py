@@ -538,15 +538,24 @@ _DUP_TAU = 0.25  # synthetic embeddings are near-uniform (cosine ~ N(0, 1/8)),
 # keeps the result non-empty while exercising the same plan.
 
 
+_DUP_CAP = 24  # per-sign-bucket candidate cap — ACTIVE at sf0.001 (~31
+# vectors/bucket), so the gate exercises the capped plan, not the bypass.
+
+
 @register(
     "emb_cosine_dup_pairs",
     oracle=f"""
-    WITH b AS (
+    WITH b0 AS (
         SELECT vec_id, embedding,
                array_to_string(list_transform(embedding[1:{_LSH_BITS}],
                    x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bkt,
                {_N2_FOLD} AS n2
         FROM embeddings
+    ),
+    b AS (
+        SELECT vec_id, embedding, bkt, n2 FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY bkt ORDER BY vec_id ASC) AS bn FROM b0
+        ) WHERE bn <= {_DUP_CAP}
     )
     SELECT q.vec_id AS id_a, c.vec_id AS id_b,
            {_DOT_FOLD} / (sqrt(q.n2) * sqrt(c.n2)) AS cosine
@@ -558,9 +567,17 @@ _DUP_TAU = 0.25  # synthetic embeddings are near-uniform (cosine ~ N(0, 1/8)),
 def emb_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pair mining
     (operators/similarity.py cosine_dup_pairs): sign-LSH bucketed
-    candidate generation, deterministic double-fold cosine, ≥ τ cut."""
+    candidate generation with a deterministic per-bucket cap
+    (anisotropy guard), double-fold cosine, ≥ τ cut."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.cosine_dup_pairs(emb, id_col="vec_id", vec_col="embedding", threshold=_DUP_TAU, bits=_LSH_BITS)
+    return S.cosine_dup_pairs(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=_DUP_TAU,
+        bits=_LSH_BITS,
+        bucket_cap=_DUP_CAP,
+    )
 
 
 @register(

@@ -249,3 +249,59 @@ def test_connected_components_chain_and_isolated(spark):
     edges = spark.createDataFrame([(2, 1), (2, 3), (4, 3), (5, 6)], "src long, dst long")
     comp = {r["id"]: r["component"] for r in connected_components(vertices, edges).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_connected_components_checkpoint_truncates_lineage(spark):
+    # A 16-node chain forces ≥15 propagation rounds; the returned plan
+    # must hang off a checkpoint scan (ExistingRDD), not a 15-round
+    # join tower — each round references the previous frame multiple
+    # times, so an unchecked plan tree grows geometrically.
+    from lakehouse_architecture_transaction_spark.operators.graph import connected_components
+
+    n = 16
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src long, dst long")
+    out = connected_components(vertices, edges)
+    comp = {r["id"]: r["component"] for r in out.collect()}
+    assert comp == {i: 0 for i in range(n)}
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, "lineage not truncated by localCheckpoint"
+
+
+def test_connected_components_warns_when_not_converged(spark):
+    import warnings as W
+
+    from lakehouse_architecture_transaction_spark.operators.graph import connected_components
+
+    vertices = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(9)], "src long, dst long")
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        connected_components(vertices, edges, max_iter=2).collect()
+    assert any("no fixpoint" in str(w.message) for w in caught)
+
+
+def test_connected_components_star_matches_propagation(spark):
+    # Chain (diameter 15) + a clique + isolates: the star variant must
+    # reach the SAME unique fixpoint as plain propagation, in
+    # O(log² n) rounds instead of O(diameter).
+    from lakehouse_architecture_transaction_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 16
+    vertices = spark.createDataFrame([(i,) for i in range(n + 5)], "id long")
+    chain = [(i, i + 1) for i in range(n - 1)]
+    clique = [(n, n + 1), (n + 1, n + 2), (n, n + 2)]
+    edges = spark.createDataFrame(chain + clique, "src long, dst long")
+    star = {
+        r["id"]: r["component"]
+        for r in connected_components_star(vertices, edges, id_col="id").collect()
+    }
+    assert star == {**{i: 0 for i in range(n)}, n: n, n + 1: n, n + 2: n, n + 3: n + 3, n + 4: n + 4}
+    prop = {
+        r["id"]: r["component"]
+        for r in connected_components(vertices, edges, max_iter=n).collect()
+    }
+    assert star == prop
