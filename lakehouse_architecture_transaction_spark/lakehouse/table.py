@@ -45,6 +45,20 @@ except ImportError:
     _HAVE_DELTA = False
 
 
+def _parquet_footer_rows(target: str) -> int:
+    """Row count from parquet footers only — no Spark job, no data
+    read. Used for commit-log metadata so a commit doesn't pay a
+    second full-table scan."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(target):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return total
+
+
 class LakeTable:
     """A named, partitioned, upsertable table rooted at ``path``."""
 
@@ -106,10 +120,18 @@ class LakeTable:
     def _commit(self, df: DataFrame, operation: str = "write") -> int:
         """Write the next snapshot and atomically advance the pointer.
         The write happens BEFORE the pointer moves, so a crashed commit
-        leaves an orphan directory, never a visible broken table."""
+        leaves an orphan directory, never a visible broken table; the
+        log entry is appended AFTER the pointer advance, so the log
+        never describes a version that was never visible (a crash
+        between advance and append loses only the log line, and
+        ``describe_history`` tolerates that by keying on versions)."""
         next_v = (self.latest_version() or 0) + 1 if self.latest_version() is not None else 0
         self._write(df, self._version_dir(next_v))
-        n_rows = self.spark.read.parquet(self._version_dir(next_v)).count()
+        n_rows = _parquet_footer_rows(self._version_dir(next_v))
+        tmp = self._pointer_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(next_v))
+        os.replace(tmp, self._pointer_path())
         with open(os.path.join(self.path, "_commits.jsonl"), "a") as f:
             f.write(
                 json.dumps(
@@ -122,10 +144,6 @@ class LakeTable:
                 )
                 + "\n"
             )
-        tmp = self._pointer_path() + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(next_v))
-        os.replace(tmp, self._pointer_path())
         return next_v
 
     def describe_history(self) -> list[dict]:
@@ -137,8 +155,13 @@ class LakeTable:
         latest = self.latest_version()
         with open(log_path) as f:
             entries = [json.loads(line) for line in f if line.strip()]
-        visible = [e for e in entries if latest is not None and e["version"] <= latest]
-        return sorted(visible, key=lambda e: e["version"], reverse=True)
+        # key by version, last entry wins: a retried commit may append
+        # the same version twice
+        by_version: dict[int, dict] = {}
+        for e in entries:
+            if latest is not None and e["version"] <= latest:
+                by_version[e["version"]] = e
+        return [by_version[v] for v in sorted(by_version, reverse=True)]
 
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Drop all but the last ``keep_last`` snapshots (Delta's
@@ -261,8 +284,19 @@ class LakeTable:
 
     def append(self, df: DataFrame) -> None:
         """Blind append (the reference's rejected-records zone uses
-        this mode — scripts/glue/script.py:190-192)."""
+        this mode — scripts/glue/script.py:190-192).
+
+        On a ``versioned=True`` table the append is itself a commit
+        (read latest snapshot, union, new immutable snapshot):
+        writing files straight into the table root would be invisible
+        to versioned ``read()`` and would litter the snapshot area."""
         self._check_constraints(df)
+        if self.versioned:
+            if not self.exists():
+                self._commit(df, operation="append")
+            else:
+                self._commit(self.read().unionByName(df), operation="append")
+            return
         writer = df.write.mode("append")
         if self.partition_by and self.partition_by in df.columns:
             writer = writer.partitionBy(self.partition_by)

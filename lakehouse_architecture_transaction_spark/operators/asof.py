@@ -36,20 +36,28 @@ def asof_join(
     columns from the latest ``right`` row whose ``right_ts`` <=
     ``left_ts`` for the same key (nulls when no such row exists).
     """
+    from pyspark.sql import types as T
+
     lcols = left.columns
+    # The payload travels as ONE struct so every output column comes
+    # from the SAME latest right row. Filling columns independently
+    # with last(ignorenulls) would let an older row's non-null value
+    # leak through a newer row's NULL — diverging from DuckDB/pandas
+    # ASOF semantics for nullable payloads.
+    payload_t = T.StructType([T.StructField(c, right.schema[c].dataType) for c in payload])
     tagged_left = left.select(
         F.col(left_on).alias("__k"),
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__is_left"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}") for c in payload],
+        F.lit(None).cast(payload_t).alias("__p"),
     )
     tagged_right = right.select(
         F.col(right_on).alias("__k"),
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(f"__p_{c}") for c in payload],
+        F.struct(*[F.col(c) for c in payload]).alias("__p"),
     )
     w = (
         Window.partitionBy("__k")
@@ -59,6 +67,9 @@ def asof_join(
     filled = tagged_left.unionByName(tagged_right).select(
         "__is_left",
         *lcols,
-        *[F.last(f"__p_{c}", ignorenulls=True).over(w).alias(c) for c in payload],
+        F.last("__p", ignorenulls=True).over(w).alias("__pf"),
     )
-    return filled.filter(F.col("__is_left") == 1).drop("__is_left")
+    return (
+        filled.filter(F.col("__is_left") == 1)
+        .select(*lcols, *[F.col(f"__pf.{c}").alias(c) for c in payload])
+    )

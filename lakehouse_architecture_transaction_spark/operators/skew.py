@@ -31,7 +31,19 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the left side salted and the right side
     replicated across all salt values. Output columns = left ++ right
-    (minus the duplicated right key)."""
+    (minus the duplicated right key).
+
+    Only left-preserving joins are allowed: with ``right``/``full``,
+    an unmatched right row would surface once PER SALT VALUE (the
+    right side is physically replicated ``salt`` times), multiplying
+    output rows.
+    """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports only left-preserving joins {sorted(allowed)}, got how={how!r}: "
+            "the replicated right side would emit unmatched right rows once per salt value"
+        )
     salted_left = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
     replicated_right = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

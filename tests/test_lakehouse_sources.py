@@ -148,6 +148,34 @@ def test_versioned_table_time_travel_and_vacuum(spark, tmp_path):
     assert {r["k"] for r in t.read().collect()} == {1, 2, 3, 4}
 
 
+def test_versioned_append_is_a_commit(spark, tmp_path):
+    # append() on a versioned table must commit a new snapshot, not
+    # drop files into the table root where versioned read() never looks.
+    t = LakeTable(spark, str(tmp_path / "va"), keys=["k"], versioned=True)
+    t.create(spark.createDataFrame([(1, "a")], "k int, s string"))
+    t.append(spark.createDataFrame([(2, "b")], "k int, s string"))
+    assert {r["k"] for r in t.read().collect()} == {1, 2}
+    # old snapshot still time-travels
+    assert {r["k"] for r in t.read(version=0).collect()} == {1}
+    # no stray parquet beside the version dirs / pointer / log
+    stray = [f for f in os.listdir(str(tmp_path / "va")) if f.endswith(".parquet")]
+    assert stray == []
+    ops = [e["operation"] for e in t.describe_history()]
+    assert ops == ["append", "create"]
+
+
+def test_describe_history_dedupes_retried_version(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "dd"), keys=["k"], versioned=True)
+    t.create(spark.createDataFrame([(1,)], "k int"))
+    # simulate a retried commit double-appending version 0's log line
+    with open(str(tmp_path / "dd" / "_commits.jsonl")) as f:
+        line = f.readline()
+    with open(str(tmp_path / "dd" / "_commits.jsonl"), "a") as f:
+        f.write(line)
+    hist = t.describe_history()
+    assert [e["version"] for e in hist] == [0]
+
+
 def test_compact_reduces_file_count(spark, sf_dir, tmp_path):
     from lakehouse_architecture_transaction_spark.catalog import load_table
 

@@ -83,6 +83,35 @@ def test_asof_join_backward_inclusive(spark):
     assert out == {"e0": None, "e1": 100.0, "e2": 150.0, "e3": None}
 
 
+def test_asof_join_payload_from_single_row(spark):
+    # The LATEST matching right row has v=NULL, u=non-null; an older
+    # row has v non-null. ASOF semantics (DuckDB/pandas): both payload
+    # columns come from the latest row — v must be NULL, not carried
+    # forward from the older row.
+    from lakehouse_architecture_transaction_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 20, "e")], "k long, t long, ev string")
+    right = spark.createDataFrame(
+        [(1, 10, 100.0, "old"), (1, 15, None, "new")],
+        "k long, t long, v double, u string",
+    )
+    row = asof_join(left, right, "k", "k", "t", "t", payload=["v", "u"]).collect()[0]
+    assert row["u"] == "new" and row["v"] is None
+
+
+def test_salted_join_rejects_right_preserving(spark):
+    import pytest
+
+    from lakehouse_architecture_transaction_spark.operators.skew import salted_join
+
+    a = spark.createDataFrame([(1, "x")], "k long, s string")
+    b = spark.createDataFrame([(1, 2.0)], "j long, v double")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="left-preserving"):
+            salted_join(a, b, "k", "j", how=how)
+    assert salted_join(a, b, "k", "j", how="left").count() == 1
+
+
 def test_scd2_collapses_noop_and_orders_intervals(spark):
     from lakehouse_architecture_transaction_spark.operators.scd2 import scd2_build
 
