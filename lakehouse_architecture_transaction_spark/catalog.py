@@ -70,3 +70,35 @@ def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = T
     """Register each table as a temp view for the SQL API."""
     for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def register_metastore(
+    spark: SparkSession,
+    sf_dir: str,
+    database: str = "lake",
+    tables: tuple[str, ...] = TABLES,
+) -> None:
+    """Register the lake in the session metastore so any SQL client
+    can query tables BY NAME — the engine-side analog of the
+    reference's Glue-crawler → Athena flow (reference
+    code/step_function_code.json "StartCrawler" state: crawl the
+    written S3 prefix, register schemas, query from Athena).
+
+    Plain parquet tables register as EXTERNAL (``USING parquet
+    LOCATION``): the metastore stores only schema + location, exactly
+    like a crawled Glue table — no data copied, and Catalyst still
+    gets pushdown/pruning through the catalog relation. ``events``
+    needs its nanos→TIMESTAMP_NTZ normalization (see load_table), so
+    it materializes as a managed table — the crawler-equivalent of a
+    normalizing ingest step. Idempotent: re-registration replaces.
+    """
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    for name in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {database}.{name}")
+        if name == "events":
+            load_table(spark, sf_dir, name).write.mode("overwrite").saveAsTable(f"{database}.{name}")
+        else:
+            path = os.path.abspath(table_path(sf_dir, name))
+            spark.sql(
+                f"CREATE TABLE {database}.{name} USING parquet LOCATION '{path}'"
+            )

@@ -148,6 +148,30 @@ def test_versioned_table_time_travel_and_vacuum(spark, tmp_path):
     assert {r["k"] for r in t.read().collect()} == {1, 2, 3, 4}
 
 
+def test_metastore_registration_sql_by_name(spark, sf_dir):
+    # Glue-crawler/Athena analog: after registration, a SQL client
+    # reaches every lake table by NAME through the metastore; external
+    # parquet tables keep pushdown through the catalog relation.
+    from lakehouse_architecture_transaction_spark.catalog import load_table, register_metastore
+
+    register_metastore(spark, sf_dir, database="lake_test")
+    try:
+        names = {t.name for t in spark.catalog.listTables("lake_test")}
+        assert {"orders", "lineitem", "events", "documents"} <= names
+        n_sql = spark.sql("SELECT count(*) AS n FROM lake_test.orders").collect()[0]["n"]
+        assert n_sql == load_table(spark, sf_dir, "orders").count()
+        # joined-by-name query resolves through the metastore
+        got = spark.sql(
+            "SELECT count(*) AS n FROM lake_test.orders o "
+            "JOIN lake_test.customer c ON o.o_custkey = c.c_custkey"
+        ).collect()[0]["n"]
+        assert got == n_sql
+        # events came through the ntz normalization, not raw nanos
+        assert dict(spark.sql("SELECT * FROM lake_test.events").dtypes)["ts"] == "timestamp_ntz"
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS lake_test CASCADE")
+
+
 def test_versioned_append_is_a_commit(spark, tmp_path):
     # append() on a versioned table must commit a new snapshot, not
     # drop files into the table root where versioned read() never looks.
