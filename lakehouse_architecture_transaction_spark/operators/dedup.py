@@ -119,6 +119,44 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def boilerplate_score(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, df_threshold: int = 10
+) -> DataFrame:
+    """Per-document boilerplate ratio: the fraction of a doc's
+    distinct n-gram shingles that occur in more than ``df_threshold``
+    documents (headers, footers, navigation chrome — the text a
+    training pipeline strips before dedup, since boilerplate inflates
+    similarity between unrelated pages).
+
+    Shingle document frequency is one count over the exploded
+    (doc, shingle) pairs — shingles are distinct per doc, so COUNT(*)
+    IS the document frequency; a window over the shingle key reuses
+    the same shuffle the frequency needs. Ratio = one double division
+    of exact counts; shingle-less docs (< n tokens) score 0.
+    """
+    sh = _doc_shingles(df, text_col, id_col, n)
+    w = Window.partitionBy("shingle")
+    flagged = sh.withColumn("__df", F.count("*").over(w))
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.when(F.col("__df") > df_threshold, 1).otherwise(0)).alias("n_boiler"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_shingles"), F.lit(0)).cast("bigint").alias("n_shingles"),
+            F.coalesce(F.col("n_boiler"), F.lit(0)).cast("bigint").alias("n_boiler"),
+            F.when(
+                F.coalesce(F.col("n_shingles"), F.lit(0)) == 0, F.lit(0.0)
+            )
+            .otherwise(F.col("n_boiler").cast("double") / F.col("n_shingles"))
+            .alias("boiler_ratio"),
+        )
+    )
+
+
 # ------------------------------------------------------------- MinHash
 
 

@@ -60,6 +60,44 @@ def hash_sample(df: DataFrame, id_col: str, fraction: float, salt: str = "sample
     ).drop("__bucket")
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "strat-v1",
+) -> DataFrame:
+    """Deterministic stratified sampling: within each stratum (e.g.
+    language, source), keep a per-stratum hash fraction of rows.
+    The training-mix knob — downsample the dominant language, keep
+    all of the rare one — with the same reproducibility guarantees as
+    hash_split (id-identity membership, repartition-stable).
+
+    The stratum value is folded into the hash salt, so the same id
+    draws independently in different strata. Pure column algebra: one
+    md5, one threshold per stratum via a when-chain — no shuffle at
+    all (the filter is map-side)."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "-", F.lit(salt), F.col(strata_col).cast("string"), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    )
+    bucket = h.cast("long") % BUCKETS
+    bound: Column = F.lit(int(round(default_fraction * BUCKETS)))
+    for stratum, frac in sorted(fractions.items()):
+        bound = F.when(F.col(strata_col) == stratum, F.lit(int(round(frac * BUCKETS)))).otherwise(bound)
+    return df.withColumn("__bucket", bucket).filter(F.col("__bucket") < bound).drop("__bucket")
+
+
 def shuffle_and_shard(
     df: DataFrame, id_col: str, batch_size: int, salt: str = "shuffle-v1"
 ) -> DataFrame:

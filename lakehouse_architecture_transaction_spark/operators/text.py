@@ -108,6 +108,55 @@ def lang_id(spark: SparkSession, docs: DataFrame, id_col: str, text_col: str) ->
     )
 
 
+def vocabulary(docs: DataFrame, id_col: str, text_col: str, k: int = 50) -> DataFrame:
+    """Corpus vocabulary: top-``k`` lowercased tokens by occurrence
+    count, with document frequency. The wordcount shape at scale: one
+    explode, one groupBy with map-side combine (the shuffle carries
+    one row per distinct token per partition, not per occurrence).
+    Deterministic top-k: (occurrences desc, token asc)."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok")
+    ).select(F.col(id_col), F.lower(F.col("tok")).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Top-``k`` characteristic terms per document by a RATIONAL
+    tf-idf: score = tf · (N+1) / (df+1).
+
+    The classic log-idf is avoided on purpose: ln() is a libm call
+    whose last-ulp behavior differs across engines, and the log is
+    MONOTONE in (N+1)/(df+1) — rankings are identical, while the
+    rational score is one double division of exact integers, so the
+    oracle reproduces it bit-for-bit. df shuffles at token
+    cardinality; N broadcasts as a 1-row aggregate."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok")
+    ).select(F.col(id_col), F.lower(F.col("tok")).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, on="term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", (F.col("tf") * (F.col("n_docs") + 1)).cast("double") / (F.col("df") + 1))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, F.col("rank").cast("int").alias("rank"), "term", "tf", "df", "score")
+    )
+
+
 #: Rolling-hash parameters (Rabin–Karp): classic base-31 polynomial
 #: over code points, large-prime modulus. Fits BIGINT: acc < 1e9+7, so
 #: acc*31 + cp < 2^63 with room to spare in both engines.

@@ -285,6 +285,123 @@ def docs_shuffled_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STRAT_FRACS = {"en": 0.25, "de": 1.0, "fr": 0.5, "es": 0.5, "zh": 0.5}
+
+
+def _strat_oracle() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{s}' THEN {int(round(f * 10000))}" for s, f in sorted(_STRAT_FRACS.items())
+    )
+    return f"""
+    WITH b AS (
+        SELECT doc_id, lang,
+               (('0x' || substr(md5('strat-v1' || '-' || lang || '-' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 10000 AS bucket,
+               CASE {whens} ELSE 0 END AS bound
+        FROM documents
+    )
+    SELECT doc_id, lang FROM b WHERE bucket < bound
+    ORDER BY doc_id ASC
+    """
+
+
+@register("docs_stratified_sample", oracle=_strat_oracle())
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified training-mix sampling (operators/sampling.py
+    stratified_hash_sample): per-language hash fractions — downsample
+    the dominant language, keep all of the rare one — deterministic,
+    repartition-stable, map-side (no shuffle)."""
+    from lakehouse_architecture_transaction_spark.operators.sampling import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_hash_sample(docs, id_col="doc_id", strata_col="lang", fractions=_STRAT_FRACS)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "docs_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lower(unnest({_TOKENS})) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               CAST(tf.tf * (n.n_docs + 1) AS DOUBLE) / (dfreq.df + 1) AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df, score FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    ORDER BY doc_id ASC, rank ASC
+    """,
+)
+def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by RATIONAL tf-idf
+    (operators/text.py tfidf_top_terms): score = tf·(N+1)/(df+1) —
+    monotone-equivalent to log-idf ranking without the cross-engine
+    libm hazard."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.tfidf_top_terms(docs, id_col="doc_id", text_col="text", k=3).orderBy("doc_id", "rank")
+
+
+_BOILER_DF = 10
+
+
+@register(
+    "docs_boilerplate",
+    oracle=f"""
+    WITH {_DOC_SHINGLES},
+    flagged AS (
+        SELECT doc_id, COUNT(*) OVER (PARTITION BY shingle) AS sdf FROM sh
+    ),
+    per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_shingles,
+               SUM(CASE WHEN sdf > {_BOILER_DF} THEN 1 ELSE 0 END) AS n_boiler
+        FROM flagged GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(p.n_boiler, 0) AS BIGINT) AS n_boiler,
+           CASE WHEN COALESCE(p.n_shingles, 0) = 0 THEN 0.0
+                ELSE CAST(p.n_boiler AS DOUBLE) / p.n_shingles END AS boiler_ratio
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    ORDER BY d.doc_id ASC
+    """,
+)
+def docs_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate scoring (operators/dedup.py boilerplate_score):
+    fraction of each doc's distinct 3-gram shingles shared by more
+    than {df} docs — the strip-before-dedup signal for web-scale
+    corpora.""".format(df=_BOILER_DF)
+    docs = load_table(spark, sf_dir, "documents")
+    return D.boilerplate_score(
+        docs, text_col="text", id_col="doc_id", n=3, df_threshold=_BOILER_DF
+    ).orderBy("doc_id")
+
+
+@register(
+    "docs_vocabulary",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lower(unnest({_TOKENS})) AS token FROM documents)
+    SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+    FROM tok
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token ASC
+    LIMIT 50
+    """,
+)
+def docs_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary (operators/text.py vocabulary): top-50 tokens
+    by occurrence with doc frequency — the wordcount shape with
+    map-side combine and a deterministic top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.vocabulary(docs, id_col="doc_id", text_col="text", k=50)
+
+
 # ------------------------------------------------------- text queries
 
 
