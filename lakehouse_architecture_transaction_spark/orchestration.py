@@ -1,0 +1,173 @@
+"""Event-driven orchestration stand-in: landing-zone watcher with
+archive-on-success / quarantine-on-failure.
+
+The reference wires S3 "object created" events through a Lambda that
+starts a Step Functions execution for the dropped file (reference
+scripts/lambda/trigger_sfn.py:1-38), and a second Lambda archives the
+source object once the pipeline succeeds (reference
+scripts/lambda/archive_on_success.py:1-44, plus the retry/catch states
+in code/step_function_code.json). This module reproduces those
+SEMANTICS over a filesystem landing zone — the cloud-event plumbing
+itself is a deployment concern, but the behaviors a user observes
+(drop file → pipeline runs → source archived; bad file → quarantined,
+good files unaffected; re-run → no double-processing) are engine
+surface and tested here.
+
+Filename convention (the reference extracts the dataset from the S3
+key the same way): ``<dataset>_<anything>.parquet`` where dataset ∈
+{products, orders, order_items}. Drops are processed in dependency
+order per cycle — products → orders → order_items — mirroring the
+Step Function's strict sequencing (order_items FK-validates against
+the CURATED dims).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import traceback
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+from lakehouse_architecture_transaction_spark.functions.validation import FkCheck, not_null, positive
+from lakehouse_architecture_transaction_spark.lakehouse.table import LakeTable
+from lakehouse_architecture_transaction_spark.pipelines import DatasetSpec, process_dataset
+
+#: Processing order: order_items validates against curated dims, so
+#: dims must land first within a cycle (reference
+#: code/step_function_code.json runs the three Glue jobs in sequence).
+DATASET_ORDER = ("products", "orders", "order_items")
+
+
+@dataclass
+class TriggerResult:
+    file: str
+    dataset: str
+    status: str  # "archived" | "quarantined" | "skipped"
+    detail: str = ""
+
+
+def _dataset_of(filename: str) -> str | None:
+    base = os.path.basename(filename)
+    # longest prefix first so order_items_* doesn't match orders
+    for ds in sorted(DATASET_ORDER, key=len, reverse=True):
+        if base.startswith(ds + "_") or base == f"{ds}.parquet":
+            return ds
+    return None
+
+
+def _spec_for(spark: SparkSession, dataset: str, lake_root: str) -> DatasetSpec:
+    if dataset == "products":
+        return DatasetSpec(
+            name="products",
+            keys=["p_partkey"],
+            rules=[not_null("p_partkey"), not_null("p_name", "Null product_name")],
+        )
+    if dataset == "orders":
+        return DatasetSpec(
+            name="orders",
+            keys=["o_orderkey"],
+            rules=[
+                not_null("o_orderkey"),
+                not_null("o_orderdate", "Invalid timestamp"),
+                positive("o_totalprice"),
+            ],
+        )
+    if dataset == "order_items":
+        fk_checks = []
+        for dim, fk_col, ref_col, err in (
+            ("orders", "l_orderkey", "o_orderkey", "Invalid order reference"),
+            ("products", "l_partkey", "p_partkey", "Invalid product reference"),
+        ):
+            dim_table = LakeTable(spark, os.path.join(lake_root, "curated", dim), keys=[ref_col])
+            if not dim_table.exists():
+                raise RuntimeError(
+                    f"order_items requires curated {dim!r} before it can FK-validate "
+                    "(Step Function sequencing)"
+                )
+            fk_checks.append(
+                FkCheck(fk_col=fk_col, ref=dim_table.read(), ref_col=ref_col, error=err)
+            )
+        return DatasetSpec(
+            name="order_items",
+            keys=["l_orderkey", "l_linenumber"],
+            rules=[
+                not_null("l_orderkey"),
+                not_null("l_linenumber"),
+                not_null("l_shipdate", "Invalid timestamp"),
+            ],
+            fk_checks=fk_checks,
+        )
+    raise KeyError(dataset)
+
+
+def process_landing(
+    spark: SparkSession,
+    landing_root: str,
+    archive_root: str,
+    error_root: str,
+    lake_root: str,
+) -> list[TriggerResult]:
+    """One watcher cycle: pick up every recognized file in the landing
+    zone (dependency order), run the per-dataset pipeline, then move
+    the source — archive on success (reference archive_on_success.py),
+    error quarantine on failure (the Step Function's Catch route).
+
+    Failures are isolated per file: one bad drop quarantines that file
+    and leaves the rest of the cycle running — the retry/catch
+    semantics of the reference state machine, minus the cloud."""
+    os.makedirs(archive_root, exist_ok=True)
+    os.makedirs(error_root, exist_ok=True)
+    drops: list[tuple[str, str]] = []
+    for f in sorted(os.listdir(landing_root)):
+        ds = _dataset_of(f)
+        if ds is not None:
+            drops.append((ds, os.path.join(landing_root, f)))
+    drops.sort(key=lambda p: DATASET_ORDER.index(p[0]))
+
+    results: list[TriggerResult] = []
+    for ds, path in drops:
+        try:
+            df = spark.read.parquet(path)
+            spec = _spec_for(spark, ds, lake_root)
+            process_dataset(spark, df, spec, lake_root)
+            dest = os.path.join(archive_root, os.path.basename(path))
+            shutil.move(path, dest)
+            results.append(TriggerResult(file=path, dataset=ds, status="archived", detail=dest))
+        except Exception:  # noqa: BLE001 - quarantine ANY failure, keep the cycle alive
+            dest = os.path.join(error_root, os.path.basename(path))
+            shutil.move(path, dest)
+            results.append(
+                TriggerResult(
+                    file=path,
+                    dataset=ds,
+                    status="quarantined",
+                    detail=traceback.format_exc(limit=1),
+                )
+            )
+    return results
+
+
+def watch(
+    spark: SparkSession,
+    landing_root: str,
+    archive_root: str,
+    error_root: str,
+    lake_root: str,
+    cycles: int = 1,
+    poll_seconds: float = 0.0,
+) -> list[TriggerResult]:
+    """Poll the landing zone for ``cycles`` rounds (the S3-event loop,
+    minus the cloud: moved files never reprocess because the landing
+    zone is drained each cycle)."""
+    import time
+
+    all_results: list[TriggerResult] = []
+    for i in range(cycles):
+        all_results.extend(
+            process_landing(spark, landing_root, archive_root, error_root, lake_root)
+        )
+        if poll_seconds and i + 1 < cycles:
+            time.sleep(poll_seconds)
+    return all_results

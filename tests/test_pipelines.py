@@ -56,3 +56,59 @@ def test_reference_pipeline_end_to_end(spark, sf_dir, tmp_path):
 
     sdf = summary_df(spark, results)
     assert sdf.count() == 3
+
+
+def test_landing_zone_watcher_e2e(spark, sf_dir, tmp_path):
+    # Drop files → pipeline runs in dependency order → sources archived;
+    # a corrupt drop is quarantined without killing the cycle; a second
+    # cycle is a no-op (landing zone drained — no double processing).
+    import os
+
+    from lakehouse_architecture_transaction_spark.lakehouse.table import LakeTable
+    from lakehouse_architecture_transaction_spark.orchestration import process_landing
+
+    landing = tmp_path / "landing"
+    archive = tmp_path / "archive"
+    errors = tmp_path / "errors"
+    lake = tmp_path / "lake"
+    landing.mkdir()
+
+    part = load_table(spark, sf_dir, "part").limit(100)
+    orders = load_table(spark, sf_dir, "orders").limit(200)
+    li = load_table(spark, sf_dir, "lineitem").limit(300)
+    part.write.parquet(str(landing / "products_batch1.parquet"))
+    orders.write.parquet(str(landing / "orders_batch1.parquet"))
+    li.write.parquet(str(landing / "order_items_batch1.parquet"))
+    # a malformed drop: recognized dataset name, unreadable content
+    (landing / "orders_corrupt.parquet").write_text("not parquet at all")
+
+    results = process_landing(spark, str(landing), str(archive), str(errors), str(lake))
+    by_file = {os.path.basename(r.file): r.status for r in results}
+    assert by_file["products_batch1.parquet"] == "archived"
+    assert by_file["orders_batch1.parquet"] == "archived"
+    assert by_file["order_items_batch1.parquet"] == "archived"
+    assert by_file["orders_corrupt.parquet"] == "quarantined"
+    assert sorted(os.listdir(landing)) == []  # drained
+    assert (errors / "orders_corrupt.parquet").exists()
+
+    curated = LakeTable(spark, str(lake / "curated" / "order_items"), keys=["l_orderkey", "l_linenumber"])
+    assert curated.exists() and curated.read().count() > 0
+
+    # second cycle: nothing to do
+    assert process_landing(spark, str(landing), str(archive), str(errors), str(lake)) == []
+
+
+def test_landing_zone_gates_items_on_missing_dims(spark, sf_dir, tmp_path):
+    # order_items dropped BEFORE any dims are curated must quarantine
+    # (Step Function sequencing: FK targets don't exist yet).
+    from lakehouse_architecture_transaction_spark.orchestration import process_landing
+
+    landing = tmp_path / "landing2"
+    landing.mkdir()
+    li = load_table(spark, sf_dir, "lineitem").limit(50)
+    li.write.parquet(str(landing / "order_items_early.parquet"))
+    results = process_landing(
+        spark, str(landing), str(tmp_path / "a2"), str(tmp_path / "e2"), str(tmp_path / "lake2")
+    )
+    assert len(results) == 1 and results[0].status == "quarantined"
+    assert "requires curated" in results[0].detail
