@@ -53,6 +53,16 @@ HEADLINE = [
     "docs_rolling_hash",
     "events_retention_cohorts",
     "scd2_customer_history",
+    # round-3 additions: TPC-H completion + pipeline ops
+    "q8_market_share",
+    "q13_order_count_distribution",
+    "q18_large_volume_customers",
+    "q21_sole_late_supplier",
+    "docs_tfidf_top_terms",
+    "docs_boilerplate",
+    "docs_vocabulary",
+    "docs_dup_clusters",
+    "docs_shuffled_batches",
 ]
 
 

@@ -282,6 +282,50 @@ class LakeTable:
             1 for root, _dirs, files in os.walk(target) for f in files if f.endswith(".parquet")
         )
 
+    def diff(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Change-data-capture between two committed snapshots (Delta's
+        CHANGE DATA FEED surface, computed from the copy-on-write
+        versions): one row per changed key with ``_change_type`` ∈
+        {insert, update_postimage, delete}. Unchanged rows are dropped.
+
+        Values come from the NEW snapshot for insert/update and the
+        OLD one for delete (postimage CDC). One full-outer join on the
+        keys; non-key comparison is a single null-safe struct
+        equality, so wide tables don't multiply join conditions.
+        Columns are aligned by name (schema evolution adds columns as
+        NULL on the older side)."""
+        if not self.versioned:
+            raise ValueError("diff requires versioned=True")
+        from pyspark.sql import functions as F
+
+        old = self.read(from_version)
+        new = self.read(to_version)
+        cols = list(dict.fromkeys(new.columns + [c for c in old.columns if c not in new.columns]))
+        nonkey = [c for c in cols if c not in self.keys]
+        for c in cols:
+            if c not in old.columns:
+                old = old.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
+            if c not in new.columns:
+                new = new.withColumn(c, F.lit(None).cast(old.schema[c].dataType))
+        o = old.select(*self.keys, F.struct(*[F.col(c) for c in nonkey]).alias("__o"))
+        n = new.select(*self.keys, F.struct(*[F.col(c) for c in nonkey]).alias("__n"))
+        j = o.join(n, on=self.keys, how="full_outer")
+        change = (
+            F.when(F.col("__o").isNull(), F.lit("insert"))
+            .when(F.col("__n").isNull(), F.lit("delete"))
+            .when(~F.col("__o").eqNullSafe(F.col("__n")), F.lit("update_postimage"))
+        )
+        payload = F.coalesce(F.col("__n"), F.col("__o"))
+        return (
+            j.withColumn("_change_type", change)
+            .filter(F.col("_change_type").isNotNull())
+            .select(
+                *self.keys,
+                *[payload.getField(c).alias(c) for c in nonkey],
+                "_change_type",
+            )
+        )
+
     def append(self, df: DataFrame) -> None:
         """Blind append (the reference's rejected-records zone uses
         this mode — scripts/glue/script.py:190-192).
@@ -306,32 +350,47 @@ class LakeTable:
             writer.parquet(self.path)
 
 
-def zorder_value(cols: list[str], bits: int = 16):
+def _interleave_bits(scaled, bits: int):
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, s in enumerate(scaled):
+            bit = F.shiftright(s, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * len(scaled) + i))
+    return z
+
+
+def zorder_value(df: DataFrame, cols: list[str], bits: int = 10):
     """Z-order (Morton) key: interleave the bits of each column's
-    rank-scaled value. Sorting a write by this key clusters rows that
-    are close in EVERY dimension into the same files, so min/max
+    quantile-scaled value. Sorting a write by this key clusters rows
+    that are close in EVERY dimension into the same files, so min/max
     file skipping prunes multi-predicate scans — Delta/Iceberg's
     OPTIMIZE ZORDER, as a plain column expression.
 
-    Columns are first scaled to [0, 2^bits) by percent_rank (rank
-    scaling makes the curve robust to skewed distributions). Pure
-    JVM expressions; no UDF.
-    """
-    from pyspark.sql import Window, functions as F
+    Columns are scaled to [0, 2^bits) by APPROXIMATE QUANTILE rank:
+    ``approxQuantile`` (Greenwald–Khanna, one pass, driver receives
+    only 2^bits boundary values) + a binary-search bucket lookup via a
+    broadcast boundary array. Quantile scaling keeps the curve robust
+    to skew — and unlike a ``percent_rank`` window (which funnels the
+    whole table through ONE partition to rank it) nothing here
+    materializes a global sort, so the same code runs at 100 TB.
+    Lookup is JVM-side (higher-order filter on a literal array); no
+    UDF."""
+    from pyspark.sql import functions as F
 
-    def _scaled(c: str):
-        w = Window.orderBy(F.col(c))
-        return (F.percent_rank().over(w) * ((1 << bits) - 1)).cast("long")
+    n_bins = 1 << bits
+    probs = [i / n_bins for i in range(1, n_bins)]
+    # relative error 1/(4·bins): boundaries land within a quarter-bin
+    bounds = df.stat.approxQuantile(cols, probs, 1.0 / (4 * n_bins))
 
-    def _interleave(scaled):
-        z = F.lit(0).cast("long")
-        for b in range(bits):
-            for i, s in enumerate(scaled):
-                bit = F.shiftright(s, b).bitwiseAND(F.lit(1))
-                z = z.bitwiseOR(F.shiftleft(bit, b * len(scaled) + i))
-        return z
+    def _scaled(c: str, bs: list[float]):
+        arr = F.array(*[F.lit(float(b)) for b in bs])
+        # bucket = #boundaries <= value — a size(filter(...)) over the
+        # broadcast literal array; bounded by 2^bits, data-independent
+        return F.size(F.filter(arr, lambda b: b <= F.col(c).cast("double"))).cast("long")
 
-    return _interleave([_scaled(c) for c in cols])
+    return _interleave_bits([_scaled(c, bs) for c, bs in zip(cols, bounds)], bits)
 
 
 def zorder_write(df: DataFrame, path: str, cols: list[str], num_files: int = 8, bits: int = 10) -> None:
@@ -339,11 +398,9 @@ def zorder_write(df: DataFrame, path: str, cols: list[str], num_files: int = 8, 
     range-partition then sort by the Morton key so each output file
     covers a compact hyper-rectangle of the key space (tight min/max
     footer stats on every zorder column → multi-column file skipping).
-
-    Note: percent_rank ranks globally (one pass); at extreme scale
-    swap in approx-quantile bucketing for the scaling step — the
-    interleave and write stages are unchanged."""
-    z = df.withColumn("__z", zorder_value(cols, bits=bits))
+    Two passes over the input (quantile sketch, then write) and one
+    range shuffle — no global sort, no single-partition stage."""
+    z = df.withColumn("__z", zorder_value(df, cols, bits=bits))
     (
         z.repartitionByRange(num_files, "__z")
         .sortWithinPartitions("__z")

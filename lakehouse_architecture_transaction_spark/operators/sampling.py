@@ -14,7 +14,7 @@ assignment (same discipline as functions/hashing.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 BUCKETS = 10_000
@@ -98,6 +98,48 @@ def stratified_hash_sample(
     return df.withColumn("__bucket", bucket).filter(F.col("__bucket") < bound).drop("__bucket")
 
 
+def packed_sequences(
+    df: DataFrame, id_col: str, weight_col: str, budget: int, block: int = 64
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are concatenated
+    in ``id_col`` order and chunked into ``budget``-token training
+    sequences; each doc is assigned the sequence containing its START
+    offset. The standard LLM pretraining packing (concatenate, then
+    split into fixed windows) — deterministic, no bin-packing search.
+
+    Adds (start_offset, seq_idx). The global running offset is an
+    EXCLUSIVE prefix sum computed without a global sort: ids bucket
+    into contiguous ranges (``id div block``), an in-bucket window
+    does the local cumsum in parallel, and per-bucket totals (one tiny
+    aggregate) turn into bucket offsets via a broadcast triangular
+    join — the same scale pattern as shuffle_and_shard. Requires a
+    numeric id; at extreme scale feed ids through repartitionByRange
+    first so blocks stay balanced under id skew.
+    """
+    b = df.withColumn("__pb", (F.col(id_col) / block).cast("long"))
+    w = (
+        Window.partitionBy("__pb")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = b.withColumn("__local", F.coalesce(F.sum(F.col(weight_col)).over(w), F.lit(0)).cast("long"))
+    counts = b.groupBy("__pb").agg(F.sum(F.col(weight_col)).cast("long").alias("__cnt"))
+    ca = counts.select(F.col("__pb").alias("__ba"), F.col("__cnt").alias("__ca"))
+    cb = counts.select(F.col("__pb").alias("__bb"), F.col("__cnt").alias("__cb"))
+    offsets = (
+        ca.join(F.broadcast(cb), F.col("__bb") < F.col("__ba"), "left")
+        .groupBy("__ba")
+        .agg(F.coalesce(F.sum("__cb"), F.lit(0)).cast("long").alias("__off"))
+        .select(F.col("__ba").alias("__pb"), "__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), on="__pb", how="inner")
+        .withColumn("start_offset", (F.col("__off") + F.col("__local")).cast("long"))
+        .withColumn("seq_idx", (F.col("start_offset") / budget).cast("long"))
+        .drop("__pb", "__local", "__off")
+    )
+
+
 def shuffle_and_shard(
     df: DataFrame, id_col: str, batch_size: int, salt: str = "shuffle-v1"
 ) -> DataFrame:
@@ -117,8 +159,6 @@ def shuffle_and_shard(
     single partition — the plan survives a 100 TB input where a
     ``Window.orderBy`` total sort would not.
     """
-    from pyspark.sql import Window
-
     key = F.md5(F.concat_ws("-", F.lit(salt), F.col(id_col).cast("string")))
     base = df.withColumn("__skey", key).withColumn("__sbkt", F.substring(F.col("__skey"), 1, 2))
     w = Window.partitionBy("__sbkt").orderBy(F.col("__skey").asc(), F.col(id_col).asc())

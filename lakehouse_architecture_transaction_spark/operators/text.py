@@ -157,6 +157,37 @@ def tfidf_top_terms(docs: DataFrame, id_col: str, text_col: str, k: int = 3) -> 
     )
 
 
+def bigram_lm(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Bigram language-model counts: P(w2 | w1) = c(w1,w2) / c(w1·)
+    over lowercased whitespace tokens.
+
+    The n-gram-count shape every corpus-statistics pipeline needs:
+    one explode to (w1, w2) pairs, one groupBy at bigram cardinality
+    with map-side combine, and the unigram context count folded in as
+    a window over the SAME w1 key (the window reuses the aggregation's
+    shuffle — no second pass over the corpus). The probability is one
+    double division of exact counts."""
+    tk = docs.select(F.col(id_col), F.expr(
+        f"transform(filter(split({text_col}, '\\\\s+'), x -> x != ''), t -> lower(t))"
+    ).alias("__tk"))
+    # sequence(1, 0) is DESCENDING in Spark, not empty — guard < 2 tokens
+    pairs = tk.select(
+        F.explode(
+            F.when(F.size("__tk") < 2, F.expr("CAST(array() AS array<struct<w1:string,w2:string>>)"))
+            .otherwise(
+                F.expr("transform(sequence(1, size(__tk) - 1), i -> struct(__tk[i-1] AS w1, __tk[i] AS w2))")
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    counted = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    w = Window.partitionBy("w1")
+    return (
+        counted.withColumn("c1", F.sum("c12").over(w))
+        .withColumn("p", F.col("c12").cast("double") / F.col("c1"))
+        .orderBy("w1", "w2")
+    )
+
+
 #: Rolling-hash parameters (Rabin–Karp): classic base-31 polynomial
 #: over code points, large-prime modulus. Fits BIGINT: acc < 1e9+7, so
 #: acc*31 + cp < 2^63 with room to spare in both engines.

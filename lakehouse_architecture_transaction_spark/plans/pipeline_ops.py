@@ -402,6 +402,71 @@ def docs_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.vocabulary(docs, id_col="doc_id", text_col="text", k=50)
 
 
+@register(
+    "docs_bigram_lm",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, list_transform({_TOKENS}, t -> lower(t)) AS tk FROM documents),
+    bg AS (
+        SELECT tk[i] AS w1, tk[i + 1] AS w2
+        FROM tok, UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+    ),
+    counted AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2)
+    SELECT w1, w2, c12,
+           CAST(SUM(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+           CAST(c12 AS DOUBLE) / CAST(SUM(c12) OVER (PARTITION BY w1) AS BIGINT) AS p
+    FROM counted
+    ORDER BY w1 ASC, w2 ASC
+    """,
+)
+def docs_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM counts P(w2|w1) (operators/text.py bigram_lm): one
+    explode, one bigram-cardinality groupBy, context counts via a
+    window on the same key — corpus statistics without a second
+    pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bigram_lm(docs, id_col="doc_id", text_col="text")
+
+
+_PACK_BUDGET = 512
+
+
+@register(
+    "docs_packed_sequences",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, CAST(len({_TOKENS}) AS BIGINT) AS n_tokens FROM documents),
+    o AS (
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS start_offset
+        FROM t
+    )
+    SELECT doc_id, n_tokens, start_offset,
+           CAST(start_offset // {_PACK_BUDGET} AS BIGINT) AS seq_idx
+    FROM o
+    ORDER BY doc_id ASC
+    """,
+)
+def docs_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/sampling.py
+    packed_sequences): docs concatenated in id order, chunked into
+    {b}-token training sequences, each doc labeled with the sequence
+    containing its start offset. The exclusive prefix sum runs
+    bucketed (block window + broadcast offsets) — no global-sort
+    window; the oracle states the same sum as one SQL window.""".format(b=_PACK_BUDGET)
+    from lakehouse_architecture_transaction_spark.operators.sampling import packed_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", F.size(D.tokens_expr("text")).cast("bigint").alias("n_tokens")
+    )
+    return (
+        packed_sequences(with_tokens, id_col="doc_id", weight_col="n_tokens", budget=_PACK_BUDGET)
+        .select("doc_id", "n_tokens", "start_offset", "seq_idx")
+        .orderBy("doc_id")
+    )
+
+
 # ------------------------------------------------------- text queries
 
 

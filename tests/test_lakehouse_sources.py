@@ -172,6 +172,24 @@ def test_metastore_registration_sql_by_name(spark, sf_dir):
         spark.sql("DROP DATABASE IF EXISTS lake_test CASCADE")
 
 
+def test_versioned_diff_cdc(spark, tmp_path):
+    # Delta-CDF-shape change feed between snapshots: insert / delete /
+    # update_postimage, unchanged rows dropped, postimage values.
+    t = LakeTable(spark, str(tmp_path / "cdc"), keys=["k"], versioned=True)
+    t.create(spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, s string, v double"))
+    # v1: update k=2, insert k=4 (merge semantics keep k=1,3)
+    t.upsert(spark.createDataFrame([(2, "B", 21.0), (4, "d", 40.0)], "k int, s string, v double"))
+    changes = {r["k"]: r["_change_type"] for r in t.diff(0).collect()}
+    assert changes == {2: "update_postimage", 4: "insert"}
+    row2 = {r["k"]: (r["s"], r["v"]) for r in t.diff(0).collect()}[2]
+    assert row2 == ("B", 21.0)
+    # deletes surface when diffing backwards is not the contract;
+    # simulate a delete by committing a filtered snapshot
+    t._commit(t.read().filter(F.col("k") != 1), operation="delete")
+    d = {r["k"]: r["_change_type"] for r in t.diff(1, 2).collect()}
+    assert d == {1: "delete"}
+
+
 def test_versioned_append_is_a_commit(spark, tmp_path):
     # append() on a versioned table must commit a new snapshot, not
     # drop files into the table root where versioned read() never looks.
