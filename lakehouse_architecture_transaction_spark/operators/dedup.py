@@ -157,6 +157,42 @@ def boilerplate_score(
     )
 
 
+def contamination_pairs(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    min_overlap: int = 5,
+    max_df: int | None = 100,
+) -> DataFrame:
+    """Benchmark decontamination: (train_id, test_id, n_shared) for
+    every train/eval document pair sharing ≥ ``min_overlap`` distinct
+    n-gram shingles — the contamination scan run before training so
+    eval answers aren't sitting in the training set.
+
+    Bipartite shingle-keyed join (train side never meets itself), so
+    cost is bounded by shared-shingle matches, not |train|×|test|.
+    ``max_df`` drops shingles present in more than that many TRAIN
+    docs (boilerplate cut — a stop-shingle would join every training
+    doc to every eval doc while carrying no contamination signal).
+    """
+    tr = _doc_shingles(train, text_col, id_col, n).select(
+        F.col(id_col).alias("train_id"), "shingle"
+    )
+    if max_df is not None:
+        w = Window.partitionBy("shingle")
+        tr = tr.withColumn("__df", F.count("*").over(w)).filter(F.col("__df") <= max_df).drop("__df")
+    te = _doc_shingles(test, text_col, id_col, n).select(F.col(id_col).alias("test_id"), "shingle")
+    return (
+        tr.join(te, on="shingle")
+        .groupBy("train_id", "test_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+        .orderBy("train_id", "test_id")
+    )
+
+
 # ------------------------------------------------------------- MinHash
 
 

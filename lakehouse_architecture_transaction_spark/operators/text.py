@@ -157,6 +157,50 @@ def tfidf_top_terms(docs: DataFrame, id_col: str, text_col: str, k: int = 3) -> 
     )
 
 
+def repetition_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Within-document repetition signals (the MassiveText/Gopher
+    repetition filters): distinct-token ratio, top-unigram share, and
+    repeated-bigram fraction. High repetition marks boilerplate,
+    keyword stuffing, and degenerate generations — filtered before
+    training.
+
+    Entirely per-row column algebra over the token array (no explode,
+    no shuffle): counts via higher-order functions, ratios as single
+    double divisions of exact integers."""
+    tk = F.col("__tk")
+    lower_tokens = F.expr(
+        f"transform(filter(split({text_col}, '\\\\s+'), x -> x != ''), t -> lower(t))"
+    )
+    staged = docs.select(F.col(id_col), lower_tokens.alias("__tk"))
+    n_tokens = F.size(tk).cast("bigint")
+    n_distinct = F.size(F.array_distinct(tk)).cast("bigint")
+    # top unigram share: max multiplicity via count-per-distinct-token
+    top_count = F.expr(
+        "array_max(transform(array_distinct(__tk), d -> size(filter(__tk, t -> t = d))))"
+    ).cast("bigint")
+    # repeated bigrams: #bigram occurrences - #distinct bigrams
+    bigrams = F.expr(
+        "CASE WHEN size(__tk) < 2 THEN CAST(array() AS array<string>) "
+        "ELSE transform(sequence(1, size(__tk) - 1), i -> concat(__tk[i-1], ' ', __tk[i])) END"
+    )
+    n_bigrams = F.size(bigrams).cast("bigint")
+    n_rep_bigrams = (F.size(bigrams) - F.size(F.array_distinct(bigrams))).cast("bigint")
+    return staged.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        F.when(n_tokens == 0, F.lit(0.0))
+        .otherwise(n_distinct.cast("double") / n_tokens)
+        .alias("distinct_ratio"),
+        F.when(n_tokens == 0, F.lit(0.0))
+        .otherwise(F.coalesce(top_count, F.lit(0)).cast("double") / n_tokens)
+        .alias("top_token_share"),
+        F.when(n_bigrams == 0, F.lit(0.0))
+        .otherwise(n_rep_bigrams.cast("double") / n_bigrams)
+        .alias("rep_bigram_ratio"),
+    )
+
+
 def bigram_lm(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Bigram language-model counts: P(w2 | w1) = c(w1,w2) / c(w1·)
     over lowercased whitespace tokens.

@@ -402,6 +402,88 @@ def docs_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.vocabulary(docs, id_col="doc_id", text_col="text", k=50)
 
 
+_LOWER_TOKENS = f"list_transform({_TOKENS}, t -> lower(t))"
+
+
+@register(
+    "docs_repetition_stats",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_LOWER_TOKENS} AS tk FROM documents),
+    m AS (
+        SELECT doc_id,
+               CAST(len(tk) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+               CAST(COALESCE(list_max(list_transform(list_distinct(tk),
+                    d -> len(list_filter(tk, t -> t = d)))), 0) AS BIGINT) AS top_count,
+               CASE WHEN len(tk) < 2 THEN [] ELSE
+                   list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1])
+               END AS bg
+        FROM tok
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_distinct AS DOUBLE) / n_tokens END AS distinct_ratio,
+           CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(top_count AS DOUBLE) / n_tokens END AS top_token_share,
+           CASE WHEN len(bg) = 0 THEN 0.0
+                ELSE CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg) END AS rep_bigram_ratio
+    FROM m
+    ORDER BY doc_id ASC
+    """,
+)
+def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filters (operators/text.py repetition_stats): the
+    MassiveText/Gopher within-doc signals — distinct-token ratio, top
+    unigram share, repeated-bigram fraction — computed row-local with
+    higher-order functions (no explode, no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.repetition_stats(docs, id_col="doc_id", text_col="text").orderBy("doc_id")
+
+
+_CONTAM_MIN = 5
+
+
+def _contam_oracle() -> str:
+    split_bucket = (
+        "(('0x' || substr(md5('split-v1' || '-' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 10000"
+    )
+    return f"""
+    WITH lab AS (SELECT *, {split_bucket} AS bucket FROM documents),
+    {_DOC_SHINGLES.replace('FROM documents', 'FROM documents')},
+    labeled AS (SELECT sh.doc_id, sh.shingle, lab.bucket
+                FROM sh JOIN lab ON sh.doc_id = lab.doc_id),
+    tr0 AS (SELECT doc_id AS train_id, shingle FROM labeled WHERE bucket < 9000),
+    tr AS (
+        SELECT train_id, shingle FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY shingle) AS df FROM tr0
+        ) WHERE df <= 100
+    ),
+    te AS (SELECT doc_id AS test_id, shingle FROM labeled WHERE bucket >= 9500)
+    SELECT train_id, test_id, COUNT(*) AS n_shared
+    FROM tr JOIN te USING (shingle)
+    GROUP BY train_id, test_id
+    HAVING COUNT(*) >= {_CONTAM_MIN}
+    ORDER BY train_id ASC, test_id ASC
+    """
+
+
+@register("docs_contamination", oracle=_contam_oracle())
+def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py
+    contamination_pairs): train/test split by the standard hash
+    buckets, then every train↔eval pair sharing ≥{m} distinct 3-gram
+    shingles — the scan run before training so eval answers aren't in
+    the training set. Bipartite shingle join + train-side stop-shingle
+    cut.""".format(m=_CONTAM_MIN)
+    from lakehouse_architecture_transaction_spark.operators.sampling import split_bucket_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    lab = docs.withColumn("__bucket", split_bucket_col("doc_id", "split-v1"))
+    train = lab.filter(F.col("__bucket") < 9000)
+    test = lab.filter(F.col("__bucket") >= 9500)
+    return D.contamination_pairs(
+        train, test, text_col="text", id_col="doc_id", n=3, min_overlap=_CONTAM_MIN, max_df=100
+    )
+
+
 @register(
     "docs_bigram_lm",
     oracle=f"""

@@ -92,3 +92,41 @@ def test_merge_upsert_key_algebra(spark, target, source):
     merged = {r["k"]: r["amount"] for r in merge_upsert(tdf, sdf, keys=["k"]).collect()}
     want = {**t, **s}  # source wins on matches, inserts otherwise
     assert merged == want
+
+
+@_SETTINGS
+@given(
+    weights=st.lists(st.integers(0, 100), min_size=1, max_size=24),
+    budget=st.integers(1, 64),
+    block=st.integers(1, 8),
+)
+def test_packed_sequences_is_exclusive_prefix_sum(spark, weights, budget, block):
+    # The bucketed implementation must equal the sequential definition
+    # for ANY id spacing / block size: start_offset[i] = sum of
+    # weights of all earlier ids; seq = start // budget.
+    from lakehouse_architecture_transaction_spark.operators.sampling import packed_sequences
+
+    rows = [(i * 3, w) for i, w in enumerate(weights)]  # gappy ids
+    df = spark.createDataFrame(rows, "id long, w long")
+    out = {
+        r["id"]: (r["start_offset"], r["seq_idx"])
+        for r in packed_sequences(df, "id", "w", budget=budget, block=block).collect()
+    }
+    acc = 0
+    for i, w in enumerate(weights):
+        assert out[i * 3] == (acc, acc // budget)
+        acc += w
+
+
+@_SETTINGS
+@given(ids=st.lists(st.integers(0, 10_000), min_size=0, max_size=30, unique=True))
+def test_shuffle_and_shard_is_a_permutation(spark, ids):
+    # Global positions must be exactly 0..n-1 (no dupes, no gaps) for
+    # any id set — the bucketed prefix-sum can't skip or repeat.
+    from lakehouse_architecture_transaction_spark.operators.sampling import shuffle_and_shard
+
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = sorted(
+        r["shuffle_pos"] for r in shuffle_and_shard(df, "id", batch_size=7).collect()
+    )
+    assert got == list(range(len(ids)))
