@@ -385,10 +385,12 @@ def zorder_value(df: DataFrame, cols: list[str], bits: int = 10):
     bounds = df.stat.approxQuantile(cols, probs, 1.0 / (4 * n_bins))
 
     def _scaled(c: str, bs: list[float]):
-        arr = F.array(*[F.lit(float(b)) for b in bs])
-        # bucket = #boundaries <= value — a size(filter(...)) over the
-        # broadcast literal array; bounded by 2^bits, data-independent
-        return F.size(F.filter(arr, lambda b: b <= F.col(c).cast("double"))).cast("long")
+        # bucket = #boundaries <= value, as a name-resolved expr over a
+        # literal array (bounded by 2^bits, data-independent)
+        lits = ", ".join(f"CAST({b!r} AS DOUBLE)" for b in bs)
+        return F.expr(
+            f"CAST(size(filter(array({lits}), b -> b <= CAST({c} AS DOUBLE))) AS BIGINT)"
+        )
 
     return _interleave_bits([_scaled(c, bs) for c, bs in zip(cols, bounds)], bits)
 

@@ -1,0 +1,111 @@
+"""Scalable global ranking: exact row_number/NTILE without a
+single-partition sort.
+
+A bare ``Window.orderBy`` computes exact global ranks by funneling
+EVERY row through one task — fine at thousands of rows, dead at
+billions. This module computes the SAME exact ranks with the bucketed
+prefix-sum pattern (also used by sampling.shuffle_and_shard):
+
+1. range-bucket rows on the numeric sort column using approxQuantile
+   boundaries (one pass; the driver receives only the boundary list);
+2. rank within buckets in parallel (window partitioned by bucket);
+3. offset by the exclusive prefix sum of bucket counts (a broadcast
+   triangular join over the tiny count table).
+
+Bucket boundaries only affect LOAD BALANCE, never correctness: any
+monotone bucketing of the sort key yields the same final rank, and
+ties (equal sort values) always land in the same bucket because the
+bucket is a function of the value alone — the tiebreaker columns only
+order within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_global_rank(
+    df: DataFrame,
+    value_col: str,
+    tiebreakers: list[str],
+    rank_col: str = "rank",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Add 1-based ``rank_col`` = exact global row_number under
+    ORDER BY (value_col ASC, *tiebreakers ASC) — no global sort.
+
+    ``value_col`` must be numeric (the range-bucket key); ties across
+    ``tiebreakers`` must be broken totally for a deterministic rank.
+    """
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    bounds = df.stat.approxQuantile(value_col, probs, 1.0 / (4 * num_buckets))
+    uniq = sorted(set(bounds))
+    # bucket = #boundaries <= value, as a descending when-chain of
+    # PLAIN comparisons. Deliberately not a higher-order filter() over
+    # a boundary array: the lambda subtree shared between this frame's
+    # two join branches (numbered + counts) trips Spark's attribute
+    # dedup (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND observed on the final
+    # join); scalar comparisons deduplicate fine.
+    v = F.col(value_col).cast("double")
+    if uniq:
+        chain = F.when(v >= uniq[-1], len(uniq))
+        for i in range(len(uniq) - 2, -1, -1):
+            chain = chain.when(v >= uniq[i], i + 1)
+        bucket = chain.otherwise(0).cast("long")
+    else:
+        bucket = F.lit(0).cast("long")
+    bucketed = df.withColumn("__rb", bucket)
+    order: list[Column] = [F.col(value_col).asc()] + [F.col(t).asc() for t in tiebreakers]
+    w = Window.partitionBy("__rb").orderBy(*order)
+    numbered = bucketed.withColumn("__lr", F.row_number().over(w))
+    counts = bucketed.select("__rb").groupBy("__rb").agg(F.count("*").alias("__cnt"))
+    ca = counts.select(F.col("__rb").alias("__ba"), F.col("__cnt").alias("__ca"))
+    cb = counts.select(F.col("__rb").alias("__bb"), F.col("__cnt").alias("__cb"))
+    offsets = (
+        ca.join(F.broadcast(cb), F.col("__bb") < F.col("__ba"), "left")
+        .groupBy("__ba")
+        .agg(F.coalesce(F.sum("__cb"), F.lit(0)).cast("long").alias("__off"))
+        .select(F.col("__ba").alias("__rb"), "__off")
+    )
+    return (
+        numbered.join(F.broadcast(offsets), on="__rb", how="inner")
+        .withColumn(rank_col, (F.col("__off") + F.col("__lr")).cast("long"))
+        .drop("__rb", "__lr", "__off")
+    )
+
+
+def ntile_exact(
+    df: DataFrame,
+    value_col: str,
+    tiebreakers: list[str],
+    n: int,
+    tile_col: str = "tile",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Exact NTILE(n) OVER (ORDER BY value, *tiebreakers) without a
+    global sort: bucketed exact rank + NTILE's closed form.
+
+    NTILE semantics (SQL standard): with N rows, base = N div n,
+    rem = N mod n; the first ``rem`` tiles carry base+1 rows. Given
+    the exact 1-based rank r:
+        r ≤ rem·(base+1)  →  tile = ⌈r / (base+1)⌉
+        otherwise         →  tile = rem + ⌈(r − rem·(base+1)) / base⌉
+    Integer ceilings via (x + d − 1) div d — no float rounding.
+    """
+    ranked = exact_global_rank(
+        df, value_col, tiebreakers, rank_col="__grank", num_buckets=num_buckets
+    )
+    total = df.agg(F.count("*").cast("long").alias("__N"))
+    staged = (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("__base", F.expr(f"__N div {n}"))
+        .withColumn("__rem", F.expr(f"__N % {n}"))
+        .withColumn("__head", F.expr("__rem * (__base + 1)"))
+    )
+    # integer `div` keeps the ceilings exact at any N (no double round-trip)
+    tile = F.expr(
+        "CASE WHEN __grank <= __head THEN (__grank + __base) div (__base + 1) "
+        "ELSE __rem + ((__grank - __head + greatest(__base, 1) - 1) div greatest(__base, 1)) END"
+    )
+    return staged.withColumn(tile_col, tile).drop("__grank", "__N", "__base", "__rem", "__head")

@@ -923,16 +923,20 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decile segmentation of customer lifetime spend (NTILE over a
-    totally-ordered ranking — unique tiebreaker makes bucket edges
-    deterministic). The global sort is over one row per customer, not
-    per order."""
+    """Decile segmentation of customer lifetime spend. NTILE needs the
+    exact global rank; instead of a ``Window.orderBy`` (which funnels
+    every customer through ONE task), the rank comes from the bucketed
+    prefix-sum pattern (operators/ranking.py ntile_exact): range
+    buckets from approxQuantile, parallel within-bucket numbering,
+    broadcast offsets, NTILE's closed form on the exact rank — same
+    result as the SQL NTILE the oracle states, at any scale."""
+    from lakehouse_architecture_transaction_spark.operators.ranking import ntile_exact
+
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)))").cast("decimal(18,2)").cast("double").alias("total")
     )
-    w = Window.orderBy(F.col("total").asc(), F.col("o_custkey").asc())
-    ranked = spend.withColumn("decile", F.ntile(10).over(w))
+    ranked = ntile_exact(spend, value_col="total", tiebreakers=["o_custkey"], n=10, tile_col="decile")
     return (
         ranked.groupBy(F.col("decile").cast("bigint").alias("decile"))
         .agg(

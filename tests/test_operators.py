@@ -334,3 +334,21 @@ def test_connected_components_star_matches_propagation(spark):
         for r in connected_components(vertices, edges, max_iter=n).collect()
     }
     assert star == prop
+
+
+def test_ntile_exact_matches_window_ntile(spark):
+    # NTILE's closed form over the bucketed exact rank must equal
+    # Spark's window NTILE for ragged N (not divisible by n) and ties.
+    from pyspark.sql import Window
+
+    from lakehouse_architecture_transaction_spark.operators.ranking import ntile_exact
+
+    rows = [(i, float((i * 7) % 23)) for i in range(137)]  # ties in value
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {
+        r["id"]: r["tile"]
+        for r in ntile_exact(df, value_col="v", tiebreakers=["id"], n=10).collect()
+    }
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    want = {r["id"]: r["t"] for r in df.withColumn("t", F.ntile(10).over(w)).collect()}
+    assert got == want
