@@ -603,6 +603,70 @@ def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.quality_score(docs, id_col="doc_id", text_col="text").orderBy("doc_id")
 
 
+def _keep_best_oracle() -> str:
+    pairs_sql = _minhash_oracle().format(cap=_BUCKET_CAP)
+    # cluster closure restated from the docs_dup_clusters oracle,
+    # quality restated from the docs_quality_score oracle, inline
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    clusters AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+    base AS (SELECT doc_id, text, {_TOKENS} AS tk FROM documents),
+    q AS (
+        SELECT doc_id,
+               CAST((CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN CAST(len(list_filter(tk, x -> list_contains({_STOPS_SQL}, lower(x)))) AS DOUBLE)
+                      / len(tk) >= 0.05 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text) <= 0.2
+                      THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN len(tk) BETWEEN 10 AND 2000 THEN 0.25 ELSE 0.0 END) AS DOUBLE) AS quality
+        FROM base
+    )
+    SELECT doc_id, cluster_id, quality FROM (
+        SELECT c.doc_id, c.cluster_id, q.quality,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+        FROM clusters c JOIN q ON c.doc_id = q.doc_id
+    ) WHERE rn = 1
+    ORDER BY doc_id ASC
+    """
+
+
+@register("docs_dedup_keep_best", oracle=_keep_best_oracle())
+def docs_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE near-dup curation pipeline as one query: MinHash →
+    LSH candidate pairs (capped buckets) → connected components → keep
+    the best-quality doc per cluster (argmax quality, doc_id
+    tiebreak). What a corpus curation job actually ships: the
+    deduplicated, quality-ranked survivor set."""
+    from pyspark.sql import Window
+
+    from lakehouse_architecture_transaction_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signature(docs, text_col="text", id_col="doc_id", num_perms=_NUM_PERMS, n=3)
+    pairs = D.lsh_candidate_pairs(
+        sig, id_col="doc_id", num_perms=_NUM_PERMS, bands=_BANDS, bucket_cap=_BUCKET_CAP
+    )
+    comp = connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
+    )
+    quality = T.quality_score(docs, id_col="doc_id", text_col="text").select("doc_id", "quality")
+    joined = comp.select("doc_id", F.col("component").alias("cluster_id")).join(quality, on="doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cluster_id", "quality")
+        .orderBy("doc_id")
+    )
+
+
 def _lex_values() -> str:
     rows = ", ".join(
         f"('{lang}', '{w}')" for lang, words in sorted(T.LEXICON.items()) for w in words
