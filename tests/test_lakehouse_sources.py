@@ -290,3 +290,19 @@ def test_commit_history_and_constraints(spark, tmp_path):
     # vacuum trims history visibility along with snapshots? (history keeps
     # only visible versions <= latest; vacuumed old dirs remain listed)
     assert len(t.describe_history()) == 3
+
+
+def test_orc_roundtrip_matches_parquet(spark, sf_dir, tmp_path):
+    # Format parity: the engine's tables read identically from ORC —
+    # columnar alternative some lakes standardize on; Spark-native
+    # reader keeps pushdown (no extra package needed).
+    from lakehouse_architecture_transaction_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    orc_path = str(tmp_path / "orders_orc")
+    orders.write.orc(orc_path)
+    back = spark.read.orc(orc_path)
+    assert back.schema == orders.schema
+    a = sorted(tuple(r) for r in back.collect())
+    b = sorted(tuple(r) for r in orders.collect())
+    assert a == b

@@ -123,3 +123,41 @@ def test_stream_stream_click_purchase_join(spark, sf_dir, tmp_path):
         assert len(emitted) == len(rows)  # no duplicate emissions
     finally:
         q.stop()
+
+
+def test_stream_upsert_versioned_cdc(spark, sf_dir, tmp_path):
+    # Streaming upserts into a VERSIONED LakeTable: each micro-batch is
+    # a commit, and diff() reads the change feed between versions —
+    # streaming ingestion + lakehouse CDC working together.
+    import shutil
+    import glob as globmod
+
+    def _drop(df, stage_dir, dest, tag):
+        # file-source streams list only the root: flatten part files in
+        df.coalesce(1).write.mode("overwrite").parquet(stage_dir)
+        part = globmod.glob(stage_dir + "/part-*.parquet")[0]
+        shutil.copy(part, f"{dest}/{tag}.parquet")
+
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    _drop(events.filter(F.col("event_id") % 2 == 0).limit(50), str(tmp_path / "st0"), str(src), "b0")
+    table = LakeTable(spark, str(tmp_path / "cdc_events"), keys=["event_id"], versioned=True)
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = stream_upsert_into(stream, table, checkpoint_dir=str(tmp_path / "cdc_ckpt"))
+    try:
+        q.processAllAvailable()
+        v_mid = table.latest_version()
+        _drop(events.filter(F.col("event_id") % 2 == 1).limit(30), str(tmp_path / "st1"), str(src), "b1")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert table.latest_version() > v_mid
+    feed = table.diff(v_mid)
+    types = {r["_change_type"] for r in feed.collect()}
+    assert types == {"insert"}  # disjoint ids: second batch is pure inserts
+    assert feed.count() == 30
