@@ -285,6 +285,58 @@ def docs_shuffled_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_click_attribution",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    hits AS (
+        SELECT p.event_id, COUNT(*) AS n
+        FROM p JOIN c ON p.user_id = c.user_id
+         AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        GROUP BY p.event_id
+    )
+    SELECT p.event_id, p.user_id, CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_prior_clicks
+    FROM p LEFT JOIN hits ON p.event_id = hits.event_id
+    ORDER BY p.event_id ASC
+    """,
+)
+def events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution range join (operators/interval.py
+    bucketed_interval_join): clicks within the hour BEFORE each
+    purchase, per user — the batch interval join Spark lacks natively,
+    bucketed so the shuffle is keyed by (user, time-bucket) instead of
+    degenerating to per-key history pairs."""
+    from lakehouse_architecture_transaction_spark.operators.interval import bucketed_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    pairs = bucketed_interval_join(
+        purchases,
+        clicks,
+        left_ts="ts",
+        right_ts="c_ts",
+        lower_seconds=-3600,
+        upper_seconds=0,
+        on=[("user_id", "c_user")],
+    )
+    hits = pairs.groupBy("event_id").agg(F.count("*").alias("n"))
+    return (
+        purchases.join(hits, on="event_id", how="left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_prior_clicks"),
+        )
+        .orderBy("event_id")
+    )
+
+
 _STRAT_FRACS = {"en": 0.25, "de": 1.0, "fr": 0.5, "es": 0.5, "zh": 0.5}
 
 

@@ -352,3 +352,36 @@ def test_ntile_exact_matches_window_ntile(spark):
     w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
     want = {r["id"]: r["t"] for r in df.withColumn("t", F.ntile(10).over(w)).collect()}
     assert got == want
+
+
+def test_bucketed_interval_join_exact_bounds(spark):
+    # Matches must be exactly the rows within [ts+lower, ts+upper],
+    # inclusive at both ends, including pairs that straddle a bucket
+    # boundary (the 2-bucket explode must not lose them).
+    import datetime as dt
+
+    from lakehouse_architecture_transaction_spark.operators.interval import bucketed_interval_join
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def t(sec):
+        return base + dt.timedelta(seconds=sec)
+
+    left = spark.createDataFrame([(1, t(1000)), (2, t(5000))], "lid long, lts timestamp_ntz")
+    right = spark.createDataFrame(
+        [
+            (10, t(400)),    # 600 before left 1 -> inside [-600, 0]
+            (11, t(399)),    # 601 before -> outside
+            (12, t(1000)),   # exact 0 -> inside (inclusive upper)
+            (13, t(4500)),   # 500 before left 2 -> inside
+            (14, t(5001)),   # after -> outside
+        ],
+        "rid long, rts timestamp_ntz",
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in bucketed_interval_join(
+            left, right, "lts", "rts", lower_seconds=-600, upper_seconds=0
+        ).collect()
+    )
+    assert got == [(1, 10), (1, 12), (2, 13)]
