@@ -286,6 +286,48 @@ def docs_shuffled_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_sliding_windows",
+    oracle="""
+    WITH base AS (
+        SELECT event_type, value, time_bucket(INTERVAL 30 MINUTES, ts) AS s0 FROM events
+    ),
+    assigned AS (
+        SELECT event_type, value, s0 - k * INTERVAL 30 MINUTES AS window_start
+        FROM base, UNNEST([0, 1, 2, 3]) AS t(k)
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_value
+    FROM assigned
+    GROUP BY window_start, event_type
+    ORDER BY window_start ASC, event_type ASC
+    """,
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (2 h windows every 30 min): each
+    event lands in exactly 4 overlapping windows — Spark's
+    ``F.window(ts, '2 hours', '30 minutes')`` assignment, mirrored in
+    the oracle as an explicit 4-window explode. The overlap factor is
+    the slide ratio, so the shuffle grows 4×, not quadratically."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
     "events_click_attribution",
     oracle="""
     WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
