@@ -11,6 +11,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,32 +24,37 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
-def _green_rounds() -> dict[str, int]:
-    """Per query: in how many prior rounds' CORRECTNESS files it appears.
+def _check_history() -> dict[str, tuple[int, int]]:
+    """Per query: (rounds checked, last round checked) from prior
+    CORRECTNESS files.
 
     The driver's correctness gate truncates at 50 entries in dict
     order, so with >50 registered queries a fixed order would leave a
     permanent never-checked tail (round 2 left 13 queries without a
-    driver row). Sorting by least-checked-first rotates coverage: every
-    query cycles through the gate across rounds.
+    driver row). Ordering by (fewest checks, least recently checked)
+    rotates coverage: every query cycles through the gate across
+    rounds, and staleness breaks ties.
     """
-    counts: dict[str, int] = {}
+    hist: dict[str, tuple[int, int]] = {}
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 for name in json.load(f):
-                    counts[name] = counts.get(name, 0) + 1
+                    count, _last = hist.get(name, (0, 0))
+                    hist[name] = (count + 1, rnd)
         except (OSError, ValueError):
             continue
-    return counts
+    return hist
 
 
 def _ordered_names() -> list[str]:
-    counts = _green_rounds()
+    hist = _check_history()
     names = list(REGISTRY)
     reg_pos = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (counts.get(n, 0), reg_pos[n]))
+    return sorted(names, key=lambda n: (*hist.get(n, (0, 0)), reg_pos[n]))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
