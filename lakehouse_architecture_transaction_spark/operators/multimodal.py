@@ -142,6 +142,55 @@ def extract_frame_features(mm: DataFrame, n_frames: int = N_FRAMES) -> DataFrame
     return mm.select("doc_id", "payload").mapInPandas(_frames, schema=out_schema)
 
 
+N_AUDIO_WINDOWS = 4
+AUDIO_WINDOW = 64  # samples per analysis window
+
+
+def decode_audio(payload: bytes, n_samples: int = N_AUDIO_WINDOWS * AUDIO_WINDOW, fake: bool = True) -> np.ndarray:
+    """Decode an audio payload to centered int16 PCM samples. Real
+    decode needs an audio library (not in this environment); the
+    deterministic fake chains sha256(content_sha || '-a' || i) digests
+    into a byte stream and centers to [-128, 127], so both the Spark
+    plumbing and the SQL oracle reproduce it exactly."""
+    if not fake:
+        raise NotImplementedError("audio decode requires an audio library (not in this environment)")
+    content_sha = hashlib.sha256(payload).hexdigest()
+    buf = b""
+    i = 0
+    while len(buf) < n_samples:
+        buf += hashlib.sha256(f"{content_sha}-a{i}".encode()).digest()
+        i += 1
+    return np.frombuffer(buf[:n_samples], dtype=np.uint8).astype(np.int16) - 128
+
+
+def extract_audio_features(mm: DataFrame, n_windows: int = N_AUDIO_WINDOWS) -> DataFrame:
+    """mapInPandas audio featurizer: decode → fixed windows → per-
+    window mean absolute amplitude (the audio-pipeline shape: decode →
+    frame → featurize, one output row per (doc, window)). mean_abs is
+    an exact power-of-two division of an integer sum, so the oracle
+    matches bit-for-bit."""
+    out_schema = "doc_id bigint, window_idx int, n_samples int, mean_abs double"
+
+    def _audio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                pcm = decode_audio(bytes(payload), n_windows * AUDIO_WINDOW, fake=True)
+                for w in range(n_windows):
+                    win = pcm[w * AUDIO_WINDOW : (w + 1) * AUDIO_WINDOW]
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "window_idx": w,
+                            "n_samples": AUDIO_WINDOW,
+                            "mean_abs": float(np.abs(win).sum()) / AUDIO_WINDOW,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return mm.select("doc_id", "payload").mapInPandas(_audio, schema=out_schema)
+
+
 def extract_features(mm: DataFrame, batch_target_rows: int = 1024, fake_decode: bool = True) -> DataFrame:
     """mapInPandas feature extractor: payload → byte-histogram feature
     vector (FEATURE_DIM buckets, L1-normalized) + content hash.

@@ -1072,6 +1072,40 @@ def _mm_frames_oracle() -> str:
     """
 
 
+def _mm_audio_oracle() -> str:
+    # window w = digests 2w, 2w+1 of the sha256 chain; sample byte j of
+    # digest d sits at hex chars [2j+1, 2j+2]. mean_abs = integer sum of
+    # |byte-128| over 64 samples / 64 — a power-of-two division, exact.
+    digs = " UNION ALL ".join(
+        f"SELECT doc_id, {d} AS dig_idx, sha256(sha256(text) || '-a' || '{d}') AS dig FROM documents"
+        for d in range(2 * M.N_AUDIO_WINDOWS)
+    )
+    return f"""
+    WITH dg AS ({digs}),
+    b AS (
+        SELECT doc_id, CAST(dig_idx // 2 AS INTEGER) AS window_idx,
+               abs(('0x' || substr(dig, 2 * i + 1, 2))::BIGINT - 128) AS a
+        FROM dg, UNNEST(generate_series(0, 31)) AS g(i)
+    )
+    SELECT doc_id, window_idx, CAST({M.AUDIO_WINDOW} AS INTEGER) AS n_samples,
+           CAST(SUM(a) AS DOUBLE) / {M.AUDIO_WINDOW} AS mean_abs
+    FROM b
+    GROUP BY doc_id, window_idx
+    ORDER BY doc_id ASC, window_idx ASC
+    """
+
+
+@register("mm_audio_features", oracle=_mm_audio_oracle())
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-shaped multimodal path (operators/multimodal.py
+    decode_audio + extract_audio_features): deterministic fake PCM via
+    chained sha256, per-window mean absolute amplitude over
+    mapInPandas — one row per (doc, window)."""
+    docs = load_table(spark, sf_dir, "documents")
+    mm = M.make_binary_table(docs, id_col="doc_id", text_col="text")
+    return M.extract_audio_features(mm).orderBy("doc_id", "window_idx")
+
+
 @register("mm_frame_features", oracle=_mm_frames_oracle())
 def mm_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-shaped multimodal path (operators/multimodal.py

@@ -385,3 +385,30 @@ def test_bucketed_interval_join_exact_bounds(spark):
         ).collect()
     )
     assert got == [(1, 10), (1, 12), (2, 13)]
+
+
+def test_audio_decode_stub_and_features(spark, sf_dir):
+    import numpy as np
+    import pytest
+
+    from lakehouse_architecture_transaction_spark.catalog import load_table
+    from lakehouse_architecture_transaction_spark.operators.multimodal import (
+        AUDIO_WINDOW,
+        N_AUDIO_WINDOWS,
+        decode_audio,
+        extract_audio_features,
+        make_binary_table,
+    )
+
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"xx", fake=False)
+    pcm = decode_audio(b"payload", fake=True)
+    assert pcm.shape == (N_AUDIO_WINDOWS * AUDIO_WINDOW,)
+    assert pcm.min() >= -128 and pcm.max() <= 127
+    assert np.array_equal(pcm, decode_audio(b"payload", fake=True))  # deterministic
+
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    out = extract_audio_features(make_binary_table(docs)).collect()
+    assert len(out) == 5 * N_AUDIO_WINDOWS
+    for r in out:
+        assert 0.0 <= r["mean_abs"] <= 128.0 and r["n_samples"] == AUDIO_WINDOW
