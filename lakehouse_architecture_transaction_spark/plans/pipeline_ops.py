@@ -1002,6 +1002,96 @@ def emb_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COV_DIMS = 8
+
+# 1e6 HALF_UP quantization (same emulation argument as _V9_HALF_UP at
+# 1e9 — v·1e6 is EXACT in double for any float32 |v| < 512, so
+# floor(+0.5) reproduces Spark's DECIMAL(18,6) cast bit-for-bit). The
+# coarser scale keeps every aggregate inside BIGINT: BIGINT→DOUBLE is
+# a correctly-rounded CPU conversion in both engines, whereas DuckDB's
+# HUGEINT/DECIMAL(38)→DOUBLE is NOT correctly rounded (observed 1-2
+# ulp drift) — so no intermediate may ever exceed int64.
+_V6_HALF_UP = (
+    "(CASE WHEN v < 0 THEN -1 ELSE 1 END) * "
+    "CAST(floor(abs(CAST(v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "emb_label_covariance",
+    oracle=f"""
+    WITH flat AS (
+        SELECT label, vec_id, generate_subscripts(embedding[1:{_COV_DIMS}], 1) AS pos,
+               unnest(embedding[1:{_COV_DIMS}]) AS v
+        FROM embeddings
+    ),
+    q AS (SELECT label, vec_id, pos, {_V6_HALF_UP} AS q FROM flat),
+    p AS (
+        SELECT a.label, a.pos AS i, b.pos AS j, a.q AS qi, b.q AS qj
+        FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.pos >= a.pos
+    ),
+    agg AS (
+        SELECT label, i, j, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(qi * qj) AS BIGINT) AS sxy,
+               CAST(SUM(qi) AS BIGINT) AS sx, CAST(SUM(qj) AS BIGINT) AS sy
+        FROM p GROUP BY label, i, j
+    )
+    SELECT label, CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j, n,
+           (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / n / 1e12 AS cov
+    FROM agg
+    ORDER BY label ASC, i ASC, j ASC
+    """,
+)
+def emb_label_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label feature covariance over the leading {d} embedding
+    dims (upper triangle): the feature-statistics shape — explode,
+    within-vector pair join, one groupBy at (label, i, j)
+    cardinality. Sums run over EXACT int64 numerators (HALF_UP 1e6
+    quantization both engines reproduce bit-for-bit; everything stays
+    in BIGINT because DuckDB's int128→double is not correctly
+    rounded); cov = (Σxy − Σx·Σy/n)/n emitted through one identical
+    double expression — no floating sum ever crosses partitions.""".format(d=_COV_DIMS)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_expr = (
+        "CAST(CAST(CAST(v AS DECIMAL(18,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(25,0)) "
+        "AS BIGINT)"
+    )
+    ex = (
+        emb.select(
+            "label", "vec_id", F.posexplode(F.slice("embedding", 1, _COV_DIMS)).alias("pos0", "v")
+        )
+        .withColumn("pos", F.col("pos0") + 1)
+        .withColumn("q", F.expr(q_expr))
+    )
+    a = ex.select("label", "vec_id", F.col("pos").alias("i"), F.col("q").alias("qi"))
+    b = ex.select(F.col("vec_id").alias("vid2"), F.col("pos").alias("j"), F.col("q").alias("qj"))
+    pairs = a.join(b, (F.col("vec_id") == F.col("vid2")) & (F.col("j") >= F.col("i")))
+    agg = pairs.groupBy("label", "i", "j").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("qi") * F.col("qj")).cast("bigint").alias("sxy"),
+        F.sum("qi").cast("bigint").alias("sx"),
+        F.sum("qj").cast("bigint").alias("sy"),
+    )
+    cov = (
+        (
+            F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy").cast("double") / F.col("n")
+        )
+        / F.col("n")
+        / F.lit(1e12)
+    )
+    return (
+        agg.select(
+            "label",
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            "n",
+            cov.alias("cov"),
+        )
+        .orderBy("label", "i", "j")
+    )
+
+
 @register(
     "emb_label_centroids",
     oracle=f"""
