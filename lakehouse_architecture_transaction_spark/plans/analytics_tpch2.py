@@ -531,6 +531,46 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_range_frame_spend",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               CAST(date_diff('day', TIMESTAMP '1970-01-01 00:00:00', o_orderdate) AS BIGINT) AS d,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        FROM orders
+    )
+    SELECT o_orderkey, o_custkey,
+           CAST(CAST(SUM(p) OVER (
+               PARTITION BY o_custkey ORDER BY d
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(18,2)) AS DOUBLE) AS spend_30d
+    FROM o
+    ORDER BY o_orderkey ASC
+    """,
+)
+def customer_range_frame_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (value-based, not row-based): per order, the
+    same customer's total spend over the trailing 30 DAYS inclusive.
+    Row frames break on ties and gaps; a RANGE frame over the
+    day-epoch is deterministic regardless of intra-day order — and is
+    the frame variant row-windows can't emulate. One shuffle on the
+    customer key; decimal sum, double boundary."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("timestamp_ntz")).cast("long").alias("d"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d").rangeBetween(-30, 0)
+    return (
+        o.withColumn("spend_30d", F.sum("p").over(w).cast("decimal(18,2)").cast("double"))
+        .select("o_orderkey", "o_custkey", "spend_30d")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
     "q22_idle_rich_customers",
     oracle="""
     WITH thresh AS (
