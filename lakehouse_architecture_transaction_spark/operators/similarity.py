@@ -124,6 +124,64 @@ def sign_lsh_ann(
     )
 
 
+def probe_buckets_expr(bucket_col: str, bits: int) -> Column:
+    """Multi-probe bucket list: the query's own sign bucket plus every
+    single-bit-flip neighbor (bits+1 probes). Near-miss neighbors most
+    often differ in exactly one thresholded dimension, so probing the
+    Hamming-1 shell recovers most of the recall lost to bucketing at
+    (bits+1)× the candidate cost — the classic multi-probe LSH
+    trade (Lv et al., VLDB'07)."""
+    flips = (
+        f"transform(sequence(1, {bits}), i -> concat(substring({bucket_col}, 1, i - 1), "
+        f"CASE WHEN substring({bucket_col}, i, 1) = '1' THEN '0' ELSE '1' END, "
+        f"substring({bucket_col}, i + 1)))"
+    )
+    return F.expr(f"array_union(array({bucket_col}), {flips})")
+
+
+def sign_lsh_multiprobe_ann(
+    emb: DataFrame, id_col: str, vec_col: str, query_ids: list[int], k: int = 5, bits: int = 4
+) -> DataFrame:
+    """Multi-probe sign-LSH ANN: like :func:`sign_lsh_ann` but each
+    query searches its own bucket AND all Hamming-1 neighbor buckets.
+    Corpus buckets partition the data (one bucket per vector), so the
+    probe explode cannot duplicate candidate pairs. Same output shape
+    and determinism contract as cosine_topk."""
+    bucketed = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        sign_bucket_expr(vec_col, bits).alias("__bkt"),
+        norm2_expr(vec_col).alias("__n2"),
+    )
+    q = (
+        bucketed.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            F.col("__n2").alias("__qn2"),
+            F.explode(probe_buckets_expr("__bkt", bits)).alias("__bkt"),
+        )
+    )
+    pairs = bucketed.join(F.broadcast(q), on="__bkt", how="inner").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        (
+            dot_expr("__qv", vec_col)
+            / (F.sqrt(F.col("__qn2")) * F.sqrt(F.col("__n2")))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
 def cosine_dup_pairs(
     emb: DataFrame,
     id_col: str,

@@ -531,6 +531,48 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_grouping_sets",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), (o_orderpriority, o_orderstatus), ())
+    ORDER BY gid ASC, o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+    """,
+)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube
+    specialize): four simultaneous aggregation granularities in ONE
+    pass — Spark expands the sets map-side and shuffles once, not once
+    per set. grouping_id disambiguates NULL-as-group from NULL data."""
+    orders = load_table(spark, sf_dir, "orders")
+    gid = (F.grouping("o_orderpriority") * 2 + F.grouping("o_orderstatus")).cast("bigint")
+    return (
+        orders.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"], ["o_orderpriority", "o_orderstatus"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            gid.alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("total"),
+        )
+        .select("o_orderpriority", "o_orderstatus", "gid", "n_orders", "total")
+        .orderBy(
+            F.col("gid").asc(),
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
     "customer_range_frame_spend",
     oracle="""
     WITH o AS (

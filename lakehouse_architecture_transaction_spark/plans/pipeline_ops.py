@@ -905,6 +905,47 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_ann_multiprobe",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, embedding,
+               array_to_string(list_transform(embedding[1:{_LSH_BITS}],
+                   x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bkt,
+               {_N2_FOLD} AS n2
+        FROM embeddings
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, embedding, n2,
+               unnest(list_distinct([bkt] || list_transform(generate_series(1, {_LSH_BITS}),
+                   i -> substr(bkt, 1, i - 1)
+                        || (CASE WHEN substr(bkt, i, 1) = '1' THEN '0' ELSE '1' END)
+                        || substr(bkt, i + 1)))) AS bkt
+        FROM b WHERE vec_id < {_Q_MAX}
+    ),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               {_DOT_FOLD} / (sqrt(q.n2) * sqrt(c.n2)) AS cosine
+        FROM b c JOIN probes q ON c.bkt = q.bkt AND c.vec_id != q.query_id
+    )
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {_K}
+    ORDER BY query_id ASC, rank ASC
+    """,
+)
+def emb_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH ANN (operators/similarity.py): each query
+    searches its bucket plus every Hamming-1 neighbor bucket — most of
+    single-probe's lost recall back for (bits+1)× candidates, no index
+    rebuild (Lv et al. multi-probe LSH)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.sign_lsh_multiprobe_ann(
+        emb, id_col="vec_id", vec_col="embedding", query_ids=list(range(_Q_MAX)), k=_K, bits=_LSH_BITS
+    )
+
+
+@register(
     "emb_ann_ivf",
     oracle=f"""
     WITH flat AS (SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v

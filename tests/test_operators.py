@@ -412,3 +412,35 @@ def test_audio_decode_stub_and_features(spark, sf_dir):
     assert len(out) == 5 * N_AUDIO_WINDOWS
     for r in out:
         assert 0.0 <= r["mean_abs"] <= 128.0 and r["n_samples"] == AUDIO_WINDOW
+
+
+def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
+    # Probing the Hamming-1 shell can only ADD candidates, so
+    # multi-probe recall vs exact kNN must be >= single-probe recall.
+    from lakehouse_architecture_transaction_spark.catalog import load_table
+    from lakehouse_architecture_transaction_spark.operators.similarity import (
+        cosine_topk,
+        sign_lsh_ann,
+        sign_lsh_multiprobe_ann,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(8))
+
+    def neighbors(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = neighbors(cosine_topk(emb, "vec_id", "embedding", qids, k=5))
+    single = neighbors(sign_lsh_ann(emb, "vec_id", "embedding", qids, k=5, bits=4))
+    multi = neighbors(sign_lsh_multiprobe_ann(emb, "vec_id", "embedding", qids, k=5, bits=4))
+
+    def recall(approx):
+        hits = sum(len(approx.get(q, set()) & exact[q]) for q in exact)
+        total = sum(len(v) for v in exact.values())
+        return hits / total
+
+    assert recall(multi) >= recall(single)
+    assert recall(multi) > 0
