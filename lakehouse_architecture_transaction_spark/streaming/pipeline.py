@@ -56,6 +56,39 @@ def hourly_stream_agg(events: DataFrame, watermark: str = "2 hours") -> DataFram
     )
 
 
+def sliding_stream_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked SLIDING-window counts per event type — the
+    trending-feed aggregation. Update-mode stream; rank downstream
+    with :func:`top_k_per_window` (streaming aggs can't window-rank,
+    so the rank belongs in the foreachBatch sink or the serving
+    layer)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def top_k_per_window(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Deterministic trending top-k per window over a (batch) counts
+    frame: (n desc, type asc) ranking — applied per micro-batch in a
+    foreachBatch sink or on the drained result table."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(F.col("n_events").desc(), F.col("event_type").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("window_start", F.col("rank").cast("int").alias("rank"), "event_type", "n_events")
+    )
+
+
 _SESSION_OUT = "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
 _SESSION_STATE = "session_start timestamp, session_end timestamp, n_events bigint"
 _GAP_SECONDS = 1800

@@ -161,3 +161,33 @@ def test_stream_upsert_versioned_cdc(spark, sf_dir, tmp_path):
     types = {r["_change_type"] for r in feed.collect()}
     assert types == {"insert"}  # disjoint ids: second batch is pure inserts
     assert feed.count() == 30
+
+
+def test_stream_trending_topk_matches_batch(spark, sf_dir, tmp_path):
+    # Sliding-window streaming counts, drained and ranked, must equal
+    # the same computation done in one batch pass.
+    from lakehouse_architecture_transaction_spark.streaming.pipeline import (
+        sliding_stream_counts,
+        top_k_per_window,
+    )
+
+    src = _stage_events(spark, sf_dir, tmp_path)
+    stream = read_event_stream(spark, src)
+    q = run_stream_to_memory(
+        sliding_stream_counts(stream), "trending_counts", output_mode="complete"
+    )
+    try:
+        got = top_k_per_window(spark.table("trending_counts"), k=3).collect()
+    finally:
+        q.stop()
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    want = top_k_per_window(batch, k=3).collect()
+    key = lambda r: (r["window_start"], r["rank"])
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) > 0
