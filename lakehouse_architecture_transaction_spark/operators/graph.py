@@ -62,8 +62,16 @@ def connected_components(
     graphs should use :func:`connected_components_star` instead.
     """
     sym = _symmetrize(edges, src_col, dst_col).persist(StorageLevel.MEMORY_AND_DISK)
-    labels = vertices.select(F.col(id_col).alias("a"), F.col(id_col).alias("label")).localCheckpoint(
-        eager=True
+    # Propagate over edge-incident nodes ONLY: isolated vertices can
+    # never change label, so they skip the loop entirely and rejoin at
+    # the end. For sparse duplicate graphs (the common case — a few %
+    # of a corpus has a near-dup) every round now touches the
+    # duplicate SUBGRAPH, not the whole corpus.
+    labels = (
+        sym.select("a")
+        .distinct()
+        .select(F.col("a"), F.col("a").alias("label"))
+        .localCheckpoint(eager=True)
     )
     converged = False
     for _ in range(max_iter):
@@ -100,7 +108,14 @@ def connected_components(
             RuntimeWarning,
             stacklevel=2,
         )
-    return labels.select(F.col("a").alias(id_col), F.col("label").alias("component"))
+    return (
+        vertices.select(F.col(id_col).alias("a"))
+        .join(labels, on="a", how="left")
+        .select(
+            F.col("a").alias(id_col),
+            F.coalesce(F.col("label"), F.col("a")).alias("component"),
+        )
+    )
 
 
 def _large_star(e: DataFrame) -> DataFrame:
