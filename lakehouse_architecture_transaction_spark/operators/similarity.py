@@ -322,6 +322,88 @@ def ivf_topk(
     )
 
 
+def _sqdist_expr(a: str, b: str) -> Column:
+    """Deterministic squared euclidean distance: (x-y)^2 left fold."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _assign(emb: DataFrame, id_col: str, vec_col: str, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (tiny) centroid set,
+    argmin squared distance, ties to the lowest cluster id."""
+    w = Window.partitionBy(id_col).orderBy(F.col("__d").asc(), F.col("cluster").asc())
+    return (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("__d", _sqdist_expr(vec_col, "__cvec"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, "cluster")
+    )
+
+
+def kmeans_lloyd(
+    emb: DataFrame, id_col: str, vec_col: str, k: int = 4, iters: int = 2
+) -> DataFrame:
+    """Deterministic Lloyd k-means over an embedding column: fixed
+    seeding (the vectors with the ``k`` lowest ids, cluster label =
+    seed id), ``iters`` update rounds, then a final assignment.
+    Returns (id, cluster).
+
+    Scale shape — the canonical distributed k-means plan:
+    - centroids are k×dim values, ALWAYS broadcast; the corpus is
+      never shuffled for assignment (map-side argmin over the
+      broadcast table);
+    - the update step is one narrow shuffle per round keyed by
+      (cluster, dim) — cardinality k·dim, independent of corpus size —
+      with map-side partial sums doing the heavy lifting;
+    - cost is iters × (one corpus scan + one k·dim-sized shuffle),
+      exactly how MLlib schedules it, but with the exact-decimal mean
+      so the DuckDB oracle can replay every round bit-for-bit.
+
+    Determinism: distances are (x-y)² left folds (one evaluation
+    order); centroid means are DECIMAL(18,9)-exact sums in ONE double
+    division; assignment ties break to the lowest cluster id. Every
+    round is therefore reproducible in any engine, and the fixpoint
+    after a FIXED number of rounds is unique — which is what makes a
+    cross-engine oracle possible for an iterative algorithm.
+    """
+    seeds = emb.filter(F.col(id_col) < k).select(
+        F.col(id_col).cast("int").alias("cluster"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("__cvec"),
+    )
+    cent = seeds
+    for _ in range(iters):
+        assigned = _assign(emb, id_col, vec_col, cent)
+        cent = (
+            assigned.select("cluster", F.posexplode(F.col(vec_col)).alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(
+                (
+                    F.sum(F.col("v").cast("decimal(18,9)")).cast("double") / F.count("*")
+                ).alias("cv")
+            )
+            .groupBy("cluster")
+            .agg(
+                F.expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").alias(
+                    "__cvec"
+                )
+            )
+            # k rows — but WITHOUT materializing here, every broadcast
+            # of round N's centroids re-executes rounds 1..N-1 (the
+            # lineage problem of every iterative op; SURVEY §6). One
+            # eager localCheckpoint per round keeps total work linear
+            # in iters and the plan depth flat.
+            .localCheckpoint(eager=True)
+        )
+    return (
+        _assign(emb, id_col, vec_col, cent)
+        .select(F.col(id_col), F.col("cluster"))
+        .orderBy(id_col)
+    )
+
+
 def label_centroids(emb: DataFrame, label_col: str, vec_col: str) -> DataFrame:
     """Per-label centroid, emitted flat as (label, pos, centroid).
 

@@ -1155,6 +1155,68 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KM_K, _KM_ITERS = 4, 2
+
+# One Lloyd round in DuckDB: argmin assignment against the previous
+# centroid CTE, then DECIMAL-exact per-(cluster,dim) means. Mirrors
+# operators/similarity.py kmeans_lloyd round-for-round.
+_KM_SQDIST = (
+    "list_reduce(list_transform(list_zip(e.embedding, c.cvec), "
+    "z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2])), (a, b) -> a + b)"
+)
+
+
+def _km_assign_sql(cent_cte: str) -> str:
+    return f"""(
+    SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_KM_SQDIST} ASC, c.cluster ASC) AS rn
+        FROM embeddings e CROSS JOIN {cent_cte} c
+    ) WHERE rn = 1)"""
+
+
+def _km_update_sql(assign_cte: str) -> str:
+    return f"""(
+    SELECT cluster, list(cv ORDER BY pos) AS cvec FROM (
+        SELECT a.cluster, x.pos, CAST(SUM({_V9_HALF_UP}) AS DOUBLE) / 1e9 / COUNT(*) AS cv
+        FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                     unnest(embedding) AS v FROM embeddings) x
+        JOIN {assign_cte} a USING (vec_id)
+        GROUP BY a.cluster, x.pos
+    ) GROUP BY cluster)"""
+
+
+def _kmeans_oracle() -> str:
+    parts = [
+        f"""c0 AS (
+        SELECT CAST(vec_id AS INTEGER) AS cluster,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+        FROM embeddings WHERE vec_id < {_KM_K})"""
+    ]
+    for i in range(_KM_ITERS):
+        parts.append(f"a{i + 1} AS {_km_assign_sql(f'c{i}')}")
+        parts.append(f"c{i + 1} AS {_km_update_sql(f'a{i + 1}')}")
+    parts.append(f"fin AS {_km_assign_sql(f'c{_KM_ITERS}')}")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT vec_id, cluster FROM fin ORDER BY vec_id ASC"
+    )
+
+
+@register("emb_kmeans", oracle=_kmeans_oracle())
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means (K=4, 2 rounds, fixed low-id seeds)
+    over the embedding corpus — the training half of the IVF index
+    whose probe half is emb_ann_ivf. Broadcast centroids, map-side
+    argmin, k·dim-cardinality update shuffle: the MLlib plan shape,
+    made bit-reproducible (decimal-exact means, left-fold distances)
+    so the oracle replays every round."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.kmeans_lloyd(emb, id_col="vec_id", vec_col="embedding", k=_KM_K, iters=_KM_ITERS)
+
+
 # ------------------------------------------------------- multimodal
 
 
