@@ -422,3 +422,31 @@ def label_centroids(emb: DataFrame, label_col: str, vec_col: str) -> DataFrame:
             ).alias("centroid")
         )
     )
+
+
+def scalar_quantize_int8(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Per-dimension scalar quantization to int8 — the storage-side
+    half of a vector index (what FAISS calls SQ8): q = round linearly
+    into [-127, 127] between the dimension's corpus min and max.
+
+    Plan shape at scale: the stats pass is one narrow groupBy with
+    dim-count cardinality (map-side combined); the quantize pass joins
+    the broadcast 64-row stats table and is otherwise map-side. Every
+    arithmetic step is a single IEEE double op chain on exact inputs
+    (min/max of floats are exact; floor(x + 0.5) is the cross-engine
+    deterministic round), so the oracle matches bit-for-bit.
+    Output is flat (id, pos, q) for narrow-row downstream use.
+    """
+    x = emb.select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("__p", "__v")).select(
+        F.col(id_col), (F.col("__p") + 1).alias("pos"), F.col("__v").cast("double").alias("v")
+    )
+    stats = x.groupBy("pos").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    q = (
+        F.when(F.col("hi") == F.col("lo"), F.lit(0.0))
+        .otherwise(
+            F.floor((F.col("v") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 254 + 0.5) - 127
+        )
+    )
+    return x.join(F.broadcast(stats), on="pos").select(
+        F.col(id_col), F.col("pos").cast("int").alias("pos"), q.cast("int").alias("q")
+    )

@@ -262,3 +262,57 @@ def rolling_hash(docs: DataFrame, id_col: str, text_col: str, prefix_len: int = 
     # (DuckDB's generate_series is empty) — guard the empty string.
     guarded = f"CASE WHEN length({text_col}) = 0 THEN CAST(0 AS BIGINT) ELSE {fold} END"
     return docs.select(F.col(id_col), F.expr(guarded).alias("rhash"))
+
+
+def redact_pii(
+    docs: DataFrame, id_col: str, text_col: str, patterns: dict[str, str]
+) -> DataFrame:
+    """PII scrubbing: count and redact every regex in ``patterns``
+    (label → pattern), replacing matches with ``<LABEL>``.
+
+    Output: (id, n_<label> per pattern, redacted_md5). Row-local
+    column algebra — no shuffle at all; at 100 TB this is a pure
+    map-side pass fused into whatever scan feeds it. Patterns must
+    stay in the Java∩RE2 common dialect (ASCII classes, bounded
+    quantifiers) so the DuckDB oracle matches byte-for-byte.
+    """
+    out = docs.select(F.col(id_col), F.col(text_col).alias("__t"))
+    counts = []
+    for label, pat in patterns.items():
+        # F.lit keeps the pattern out of the SQL-literal escape layer
+        # (an F.expr '...' literal would eat the backslashes).
+        counts.append(
+            F.size(F.regexp_extract_all(F.col("__t"), F.lit(pat), F.lit(0)))
+            .cast("bigint")
+            .alias(f"n_{label}")
+        )
+    red = F.col("__t")
+    for label, pat in patterns.items():
+        red = F.regexp_replace(red, pat, f"<{label.upper()}>")
+    return out.select(F.col(id_col), *counts, F.md5(red).alias("redacted_md5"))
+
+
+def char_chunks(
+    docs: DataFrame, id_col: str, text_col: str, size: int = 256, stride: int = 224
+) -> DataFrame:
+    """Fixed-width character chunking with overlap (size - stride):
+    the context-window splitter of a training pipeline. Emits
+    (id, chunk_idx, start, chunk_chars, chunk_md5) — the chunk hash,
+    not the text, so downstream dedup/sharding can run on narrow rows.
+
+    One generator expression per row (sequence → posexplode): row-local
+    fan-out bounded by len/stride, no shuffle. Chunk identity is
+    (id, start), so the explode order never matters.
+    """
+    starts = f"sequence(1, greatest(length({text_col}), 1), {stride})"
+    chunk = f"substring({text_col}, __start, {size})"
+    return (
+        docs.select(F.col(id_col), F.col(text_col), F.posexplode(F.expr(starts)).alias("__i", "__start"))
+        .select(
+            F.col(id_col),
+            F.col("__i").cast("int").alias("chunk_idx"),
+            F.col("__start").cast("int").alias("start"),
+            F.expr(f"length({chunk})").cast("int").alias("chunk_chars"),
+            F.expr(f"md5({chunk})").alias("chunk_md5"),
+        )
+    )

@@ -1348,3 +1348,134 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("feature", 1).cast("double").alias("f0"),
         F.element_at("feature", 2).cast("double").alias("f1"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------- quantization / PII / chunks
+
+_PII = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone": "\\+1-555-[0-9]+",
+}
+
+#: Deterministic PII injection: the raw corpus is synthetic prose with
+#: no PII, so the fixture plants one email per doc_id%7 and one phone
+#: per doc_id%11 — making the counts and redaction non-trivial while
+#: both engines build the identical augmented text.
+_PII_AUG_SPARK = (
+    "concat(text,"
+    " CASE WHEN doc_id % 7 = 0 THEN concat(' contact user', CAST(doc_id AS STRING), '@example.com now') ELSE '' END,"
+    " CASE WHEN doc_id % 11 = 0 THEN concat(' call +1-555-', CAST(doc_id AS STRING), ' today') ELSE '' END)"
+)
+_PII_AUG_DUCK = (
+    "text ||"
+    " (CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END) ||"
+    " (CASE WHEN doc_id % 11 = 0 THEN ' call +1-555-' || CAST(doc_id AS VARCHAR) || ' today' ELSE '' END)"
+)
+
+
+@register(
+    "docs_pii_redaction",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_DUCK} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII["email"]}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, '{_PII["phone"]}')) AS BIGINT) AS n_phone,
+           md5(regexp_replace(regexp_replace(t, '{_PII["email"]}', '<EMAIL>', 'g'),
+               '{_PII["phone"]}', '<PHONE>', 'g')) AS redacted_md5
+    FROM aug ORDER BY doc_id ASC
+    """,
+)
+def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/text.py redact_pii): count + redact
+    emails and phone numbers. Pure map-side regex pass — the filter
+    shape every compliance-scrub of a 100 TB crawl runs. Patterns live
+    in the Java∩RE2 common dialect so the oracle is byte-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", F.expr(_PII_AUG_SPARK).alias("text"))
+    return T.redact_pii(aug, id_col="doc_id", text_col="text", patterns=_PII).orderBy("doc_id")
+
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 256, 224
+
+
+@register(
+    "docs_char_chunks",
+    oracle=f"""
+    SELECT doc_id,
+           CAST((start - 1) / {_CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+           CAST(start AS INTEGER) AS start,
+           CAST(length(substr(text, start, {_CHUNK_SIZE})) AS INTEGER) AS chunk_chars,
+           md5(substr(text, start, {_CHUNK_SIZE})) AS chunk_md5
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(1, greatest(length(text), 1), {_CHUNK_STRIDE})) AS start
+          FROM documents)
+    ORDER BY doc_id ASC, chunk_idx ASC
+    """,
+)
+def docs_char_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width chunking (operators/text.py
+    char_chunks): the context-window splitter. Emits chunk hashes,
+    not text — narrow rows for downstream chunk-level dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.char_chunks(
+        docs, id_col="doc_id", text_col="text", size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "emb_int8_quantize",
+    oracle="""
+    WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                      CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+    s AS (SELECT pos, MIN(v) AS lo, MAX(v) AS hi FROM x GROUP BY pos)
+    SELECT vec_id, CAST(x.pos AS INTEGER) AS pos,
+           CAST(CASE WHEN s.hi = s.lo THEN 0.0
+                     ELSE floor((x.v - s.lo) / (s.hi - s.lo) * 254 + 0.5) - 127 END AS INTEGER) AS q
+    FROM x JOIN s USING (pos)
+    ORDER BY vec_id ASC, pos ASC
+    """,
+)
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization (operators/similarity.py
+    scalar_quantize_int8): per-dimension min/max stats (64-row agg,
+    broadcast back) then a map-side linear quantize — 4× storage cut
+    for ANN candidate stages."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.scalar_quantize_int8(emb, id_col="vec_id", vec_col="embedding").orderBy(
+        "vec_id", "pos"
+    )
+
+
+@register(
+    "events_rolling_distinct_users",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    spine AS (SELECT DISTINCT day FROM ud)
+    SELECT CAST(s.day AS TIMESTAMP) AS day, COUNT(DISTINCT u.user_id) AS users_7d
+    FROM spine s JOIN ud u ON u.day BETWEEN s.day - 6 AND s.day
+    GROUP BY s.day ORDER BY day ASC
+    """,
+)
+def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per active day. COUNT(DISTINCT)
+    over a sliding frame has no streamable window form, so the scale
+    plan is: dedupe to (user, day) — the only big shuffle, keyed by
+    user×day — then a BOUNDED 7× explode of each user-day into the
+    days it serves, and an exact distinct count per day. Fan-out is
+    constant (7), so the plan survives any corpus size; no
+    per-day self-joins, no window over the raw stream."""
+    events = load_table(spark, sf_dir, "events")
+    ud = events.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    spine = ud.select("day").distinct()
+    contrib = ud.select(
+        F.explode(F.expr("sequence(day, date_add(day, 6))")).alias("day"), "user_id"
+    )
+    return (
+        contrib.join(spine, on="day", how="inner")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+        # DATE splits engines at the pandas bridge — ship TIMESTAMP_NTZ
+        # like every other temporal output (see events_daily_gapfill).
+        .select(F.col("day").cast("timestamp_ntz").alias("day"), "users_7d")
+        .orderBy("day")
+    )
