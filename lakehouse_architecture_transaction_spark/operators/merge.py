@@ -62,3 +62,37 @@ def merge_upsert(
         for c in target.columns
     ]
     return joined.select(*picked)
+
+
+def apply_changes(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """CDC change application: Delta MERGE with a delete clause
+    (``whenMatchedDelete`` alongside update-all/insert-all), i.e. the
+    APPLY CHANGES shape. ``source`` carries the target's columns plus
+    ``op_col``; a matched row with op = ``delete_op`` is removed,
+    any other source row upserts, and a delete for an absent key is a
+    no-op.
+
+    Same scale shape as merge_upsert: one key shuffle per side (or a
+    broadcast when the change batch is small — the common CDC case,
+    left to Catalyst/AQE).
+    """
+    value_cols = [c for c in source.columns if c != op_col]
+    if set(value_cols) != set(target.columns):
+        raise ValueError(f"column mismatch: {target.columns} vs {value_cols}")
+    t = target.alias("t")
+    s = source.withColumn("__src", F.lit(True)).alias("s")
+    cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
+    joined = t.join(s, on=cond, how="full_outer")
+    matched = F.col("s.__src").isNotNull()
+    is_delete = matched & (F.col(f"s.{op_col}") == delete_op)
+    picked = [
+        F.when(matched, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+        for c in target.columns
+    ]
+    return joined.filter(~is_delete).select(*picked)

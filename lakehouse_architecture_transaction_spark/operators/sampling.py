@@ -178,3 +178,32 @@ def shuffle_and_shard(
         .withColumn("batch_idx", (F.col("shuffle_pos") / batch_size).cast("long"))
         .drop("__skey", "__sbkt", "__rn", "__off")
     )
+
+
+def weighted_stratum_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    weights: dict[str, float],
+    default: float = 1.0,
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Per-stratum weighted downsampling — the training-mixture knob
+    (keep 100% of wiki, 25% of crawl, ...). A row survives iff its
+    hash bucket falls under its stratum's weight threshold, so the
+    sample is deterministic, repartition-stable, and monotone in the
+    weight (raising a weight only ADDS rows — reproducible ablations).
+
+    Map-side only: the weight table is a literal CASE expression
+    (broadcast-free), membership is one md5 per row, no shuffle.
+    """
+    thresh: Column = F.lit(int(round(default * BUCKETS)))
+    for name, w in sorted(weights.items()):
+        thresh = F.when(F.col(stratum_col) == name, F.lit(int(round(w * BUCKETS)))).otherwise(
+            thresh
+        )
+    return (
+        df.withColumn("__bucket", split_bucket_col(id_col, salt))
+        .filter(F.col("__bucket") < thresh)
+        .drop("__bucket")
+    )

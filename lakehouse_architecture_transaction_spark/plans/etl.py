@@ -204,6 +204,61 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(orders, source, keys=["o_orderkey"]).orderBy("o_orderkey")
 
 
+_CDC_SOURCE_SQL = """
+    SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice + 10.0 AS o_totalprice,
+           o_orderdate, o_orderpriority, 'U' AS op
+    FROM orders WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT o_orderkey + 100000000, o_custkey, 'N' AS o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority, 'I' AS op
+    FROM orders WHERE o_orderkey % 10 = 1
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority, 'D' AS op
+    FROM orders WHERE o_orderkey % 10 = 5
+"""
+
+
+@register(
+    "merge_delete_orders",
+    oracle=f"""
+    WITH src AS ({_CDC_SOURCE_SQL})
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+    FROM src WHERE op != 'D'
+    UNION ALL
+    SELECT t.* FROM orders t WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM src)
+    ORDER BY o_orderkey ASC
+    """,
+)
+def merge_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta MERGE with a delete clause (whenMatchedDelete beside
+    update-all/insert-all — the APPLY CHANGES / CDC-apply shape the
+    reference's merge step needs once upstream emits deletions;
+    operators/merge.py apply_changes). Change batch: updates for
+    o_orderkey % 10 = 0, inserts of new keys (% 10 = 1, +1e8), and
+    deletions for % 10 = 5."""
+    from lakehouse_architecture_transaction_spark.operators.merge import apply_changes
+
+    orders = load_table(spark, sf_dir, "orders")
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 10.0)
+        .withColumn("op", F.lit("U"))
+    )
+    inserts = (
+        orders.filter(F.col("o_orderkey") % 10 == 1)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 100000000)
+        .withColumn("o_orderstatus", F.lit("N"))
+        .withColumn("op", F.lit("I"))
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 10 == 5).withColumn("op", F.lit("D"))
+    source = updates.unionByName(inserts.select(*updates.columns)).unionByName(
+        deletes.select(*updates.columns)
+    )
+    return apply_changes(orders, source, keys=["o_orderkey"], op_col="op").orderBy("o_orderkey")
+
+
 # --------------------------------------------------------------------------
 # The reference's CORE flow: order_items validated against BOTH dimension
 # datasets (products AND orders) with per-dataset rules, then deduplicated

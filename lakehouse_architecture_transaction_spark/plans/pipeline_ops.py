@@ -1479,3 +1479,45 @@ def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(F.col("day").cast("timestamp_ntz").alias("day"), "users_7d")
         .orderBy("day")
     )
+
+
+#: Training-mixture weights: src0..src19 cycle through 25/50/75/100%
+#: keep rates (i % 4). Generated, not hand-listed, so the Spark CASE
+#: and the oracle CASE can never disagree.
+_MIX_WEIGHTS = {f"src{i}": (i % 4 + 1) / 4.0 for i in range(20)}
+
+
+def _mix_oracle() -> str:
+    arms = " ".join(
+        f"WHEN source = '{s}' THEN {int(round(w * 10000))}" for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"""
+    WITH b AS (
+        SELECT doc_id, source, lang,
+               (('0x' || substr(md5('mix-v1' || '-' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 10000 AS bucket
+        FROM documents
+    )
+    SELECT doc_id, source, lang FROM b
+    WHERE bucket < (CASE {arms} ELSE 10000 END)
+    ORDER BY doc_id ASC
+    """
+
+
+@register("docs_source_mixture_sample", oracle=_mix_oracle())
+def docs_source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted mixture sampling (operators/sampling.py
+    weighted_stratum_sample): the per-domain keep-rate knob of a
+    training mix. Deterministic hash membership — map-side, no
+    shuffle, monotone in the weights."""
+    from lakehouse_architecture_transaction_spark.operators.sampling import (
+        weighted_stratum_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        weighted_stratum_sample(
+            docs, id_col="doc_id", stratum_col="source", weights=_MIX_WEIGHTS
+        )
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    )
