@@ -326,6 +326,23 @@ class LakeTable:
             )
         )
 
+    def scan(self, where: list[Predicate], version: int | None = None) -> tuple[DataFrame, dict]:
+        """Predicate scan with file-level data skipping over the
+        current (or time-traveled) snapshot — the Delta/Iceberg
+        manifest-pruning behavior, served from parquet footer stats
+        (see :func:`pruned_read`). Pair with a ``zorder_write``-style
+        clustered layout for tight per-file ranges."""
+        if self.versioned:
+            v = self.latest_version() if version is None else version
+            if v is None:
+                raise FileNotFoundError(f"no committed version at {self.path}")
+            target = self._version_dir(v)
+        else:
+            if version is not None:
+                raise ValueError("time travel requires versioned=True")
+            target = self.path
+        return pruned_read(self.spark, target, where)
+
     def append(self, df: DataFrame) -> None:
         """Blind append (the reference's rejected-records zone uses
         this mode — scripts/glue/script.py:190-192).
@@ -433,3 +450,112 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.option("path", path).format("parquet").saveAsTable(name)
+
+
+# ---------------------------------------------------- file skipping
+
+#: Conjunctive predicate: (column, op, literal) with op ∈ <,<=,>,>=,=.
+Predicate = tuple[str, str, object]
+
+
+def _file_column_ranges(target: str, cols: set[str]) -> list[tuple[str, dict[str, tuple]]]:
+    """Per-parquet-file [min, max] per requested column, from footer
+    statistics only — the same metadata a Delta/Iceberg log snapshots,
+    read here straight from the files (no Spark job, no data pages).
+    A column with missing stats in any row group is reported absent
+    for that file (→ never pruned on it)."""
+    import pyarrow.parquet as pq
+
+    out: list[tuple[str, dict[str, tuple]]] = []
+    for root, _dirs, files in os.walk(target):
+        for fname in sorted(files):
+            if not fname.endswith(".parquet"):
+                continue
+            fpath = os.path.join(root, fname)
+            md = pq.ParquetFile(fpath).metadata
+            ranges: dict[str, tuple] = {}
+            ok: set[str] = set(cols)
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    name = col.path_in_schema
+                    if name not in ok:
+                        continue
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        ok.discard(name)
+                        ranges.pop(name, None)
+                        continue
+                    lo, hi = st.min, st.max
+                    if name in ranges:
+                        plo, phi = ranges[name]
+                        lo, hi = min(plo, lo), max(phi, hi)
+                    ranges[name] = (lo, hi)
+            out.append((fpath, ranges))
+    return out
+
+
+def _range_may_match(rng: tuple, op: str, value) -> bool:
+    lo, hi = rng
+    try:
+        if op == "=":
+            return lo <= value <= hi
+        if op == "<":
+            return lo < value
+        if op == "<=":
+            return lo <= value
+        if op == ">":
+            return hi > value
+        if op == ">=":
+            return hi >= value
+    except TypeError:
+        return True  # incomparable literal/stat types: never prune
+    raise ValueError(f"unsupported op {op!r}")
+
+
+def pruned_read(
+    spark: SparkSession, path: str, where: list[Predicate]
+) -> tuple[DataFrame, dict]:
+    """Read a parquet directory with FILE-LEVEL data skipping: drop
+    every file whose footer min/max proves it cannot satisfy the
+    conjunctive ``where``, then apply the same predicates as ordinary
+    filters (pruning is an optimization; correctness never depends on
+    it — exactly Delta/Iceberg's contract, with the footer stats
+    standing in for the transaction-log manifest).
+
+    Returns (DataFrame, report) where report carries files_total /
+    files_read / files_skipped — the number a 100 TB table lives or
+    dies by: a zorder_write clustered on the predicate columns turns
+    this from "scan everything" into "scan a handful of files".
+
+    Driver cost is one footer read per file (no data pages). At real
+    scale the stats come from a manifest instead of refooting — same
+    pruning decision, cheaper metadata path; see zorder_write for the
+    layout that makes the ranges tight.
+    """
+    from pyspark.sql import functions as F
+
+    cols = {c for c, _op, _v in where}
+    stats = _file_column_ranges(path, cols)
+    keep = [
+        fpath
+        for fpath, ranges in stats
+        if all(c not in ranges or _range_may_match(ranges[c], op, v) for c, op, v in where)
+    ]
+    report = {
+        "files_total": len(stats),
+        "files_read": len(keep),
+        "files_skipped": len(stats) - len(keep),
+    }
+    base = (
+        spark.read.parquet(*keep)
+        if keep
+        else spark.read.parquet(path).limit(0)
+    )
+    import operator as _op
+
+    apply = {"=": _op.eq, "<": _op.lt, "<=": _op.le, ">": _op.gt, ">=": _op.ge}
+    for c, op, v in where:
+        base = base.filter(apply[op](F.col(c), F.lit(v)))
+    return base, report

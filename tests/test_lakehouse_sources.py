@@ -306,3 +306,49 @@ def test_orc_roundtrip_matches_parquet(spark, sf_dir, tmp_path):
     a = sorted(tuple(r) for r in back.collect())
     b = sorted(tuple(r) for r in orders.collect())
     assert a == b
+
+
+def test_pruned_read_file_skipping(spark, sf_dir, tmp_path):
+    """zorder_write + pruned_read = the Delta/Iceberg data-skipping
+    contract: selective predicates read a strict subset of files, and
+    results equal the unpruned filter exactly."""
+    from lakehouse_architecture_transaction_spark.catalog import load_table
+    from lakehouse_architecture_transaction_spark.lakehouse.table import pruned_read, zorder_write
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    out = str(tmp_path / "zo")
+    # 16 files → the Morton curve cuts FOUR leading bits (price/cust
+    # alternating), so a narrow custkey range maps to one custkey
+    # quartile of files.
+    zorder_write(orders, out, cols=["o_custkey", "o_totalprice"], num_files=16)
+
+    # Z-order's payoff is CONJUNCTIVE multi-column predicates: a
+    # quartile box in (custkey × totalprice) space touches only the
+    # files whose hyper-rectangle intersects it.
+    ck, tp = orders.stat.approxQuantile(["o_custkey", "o_totalprice"], [0.25], 0.01)
+    df, report = pruned_read(
+        spark, out, where=[("o_custkey", "<=", ck[0]), ("o_totalprice", "<=", tp[0])]
+    )
+    assert report["files_total"] >= 12
+    assert report["files_skipped"] >= report["files_total"] // 2
+    expected = orders.filter((orders.o_custkey <= ck[0]) & (orders.o_totalprice <= tp[0]))
+    assert df.count() == expected.count()
+    assert df.agg({"o_totalprice": "sum"}).collect()[0][0] == pytest.approx(
+        expected.agg({"o_totalprice": "sum"}).collect()[0][0]
+    )
+    # a predicate excluding everything reads zero files
+    _none, rep0 = pruned_read(spark, out, where=[("o_custkey", "<", -1)])
+    assert rep0["files_read"] == 0 and _none.count() == 0
+
+
+def test_laketable_scan_pruning(spark, tmp_path):
+    """LakeTable.scan prunes snapshot files by footer stats and stays
+    consistent with read()+filter across versions."""
+    rows = [(i, i % 50, float(i)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, g long, v double").repartitionByRange(8, "k")
+    t = LakeTable(spark, str(tmp_path / "scan"), keys=["k"], versioned=True)
+    t.create(df)
+    got, report = t.scan(where=[("k", ">=", 100), ("k", "<", 300)])
+    assert report["files_skipped"] > 0
+    assert got.count() == 200
+    assert {r["k"] for r in got.collect()} == set(range(100, 300))
