@@ -1252,3 +1252,65 @@ def events_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("event_type").asc())
     )
+
+
+@register(
+    "events_daily_anomalies",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, SUM(n) AS sx, SUM(n * n) AS sxx, COUNT(*) AS nd
+        FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, d.n AS n_events,
+           CAST(s.sx AS DOUBLE) / s.nd AS mean_events
+    FROM daily d JOIN stats s USING (event_type)
+    WHERE s.nd > 1
+      AND CAST(s.nd - 1 AS DOUBLE) * CAST(s.nd * d.n - s.sx AS DOUBLE) * CAST(s.nd * d.n - s.sx AS DOUBLE)
+          > 4.0 * CAST(s.nd AS DOUBLE) * CAST(s.nd * s.sxx - s.sx * s.sx AS DOUBLE)
+    ORDER BY d.event_type ASC, d.day ASC
+    """,
+)
+def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume anomaly detection: flag (event_type, day) cells whose
+    daily count sits more than 2 sample standard deviations from that
+    type's mean — the monitoring query every event pipeline runs.
+
+    The |z| > 2 test is evaluated as the cross-multiplied inequality
+    (nd-1)·(nd·x - sx)² > 4·nd·(nd·sxx - sx²) (2σ, so the synthetic
+    uniform fixture still yields non-empty output at every sf): sums and counts stay
+    exact BIGINTs from one narrow two-level aggregation (days × types
+    cardinality, map-side combined), and the comparison is a fixed
+    chain of correctly-rounded double ops on identical integers in
+    both engines — no sqrt, no per-group second pass, no window. The
+    stats side is tiny (one row per event_type) and broadcast."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.sum("n").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).alias("sxx"),
+        F.count("*").alias("nd"),
+    )
+    d, s = F.col, F.col
+    lhs = (
+        (s("nd") - 1).cast("double")
+        * (s("nd") * d("n") - s("sx")).cast("double")
+        * (s("nd") * d("n") - s("sx")).cast("double")
+    )
+    rhs = F.lit(4.0) * s("nd").cast("double") * (s("nd") * s("sxx") - s("sx") * s("sx")).cast("double")
+    return (
+        daily.join(F.broadcast(stats), on="event_type")
+        .filter((s("nd") > 1) & (lhs > rhs))
+        .select(
+            "event_type",
+            F.col("day").cast("timestamp_ntz").alias("day"),
+            F.col("n").alias("n_events"),
+            (s("sx").cast("double") / s("nd")).alias("mean_events"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -1521,3 +1521,104 @@ def docs_source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "lang")
         .orderBy("doc_id")
     )
+
+
+_CHDUP_SIZE, _CHDUP_DF_CAP = 64, 100
+
+
+@register(
+    "docs_chunk_dup_docs",
+    oracle=f"""
+    WITH inp AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    ch AS (
+        SELECT DISTINCT doc_id, md5(substr(text, start, {_CHDUP_SIZE})) AS h
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(1, greatest(length(text), 1), {_CHDUP_SIZE})) AS start
+              FROM inp)
+    ),
+    keep AS (
+        SELECT doc_id, h FROM (
+            SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS df FROM ch
+        ) WHERE df <= {_CHDUP_DF_CAP}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+    FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    ORDER BY doc_a ASC, doc_b ASC
+    """,
+)
+def docs_chunk_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granular duplicate mining: doc pairs sharing ≥1 identical
+    {sz}-char chunk (operators/text.py char_chunks) — catches embedded
+    copies (quotes, licenses, mirrored passages) that whole-doc
+    fingerprints miss. Same scale discipline as every LSH-family op:
+    the join is keyed by chunk hash, never all-pairs, and a
+    deterministic df cap (≤ {cap}) bounds any boilerplate bucket;
+    the cap window rides the same hash-partitioned exchange the join
+    needs. Fixture injects exact dups (doc_id+100000 for %10=0) so
+    the pair set is non-trivial at every sf.""".format(sz=_CHDUP_SIZE, cap=_CHDUP_DF_CAP)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    inp = docs.unionByName(dupes)
+    ch = T.char_chunks(
+        inp, id_col="doc_id", text_col="text", size=_CHDUP_SIZE, stride=_CHDUP_SIZE
+    ).select("doc_id", F.col("chunk_md5").alias("h")).distinct()
+    from pyspark.sql import Window as W
+
+    keep = ch.withColumn("df", F.count("*").over(W.partitionBy("h"))).filter(
+        F.col("df") <= _CHDUP_DF_CAP
+    )
+    a, b = keep.alias("a"), keep.alias("b")
+    return (
+        a.join(b, on=(F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _sq8_oracle() -> str:
+    return f"""
+    WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                      CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+    s AS (SELECT pos, MIN(v) AS lo, MAX(v) AS hi FROM x GROUP BY pos),
+    qz AS (SELECT vec_id, x.pos,
+                  CASE WHEN s.hi = s.lo THEN 0.0
+                       ELSE floor((x.v - s.lo) / (s.hi - s.lo) * 254 + 0.5) - 127 END AS q,
+                  s.lo, s.hi
+           FROM x JOIN s USING (pos)),
+    rec AS (SELECT vec_id,
+                   list(lo + (q + 127) * (hi - lo) / 254 ORDER BY pos) AS rvec
+            FROM qz GROUP BY vec_id),
+    n AS (SELECT vec_id, rvec,
+                 list_reduce(list_transform(rvec, e -> e * e), (a, b) -> a + b) AS n2
+          FROM rec),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_reduce(list_transform(list_zip(q.rvec, c.rvec), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
+                           (a, b) -> a + b) / (sqrt(q.n2) * sqrt(c.n2)) AS cosine
+        FROM n c CROSS JOIN n q
+        WHERE q.vec_id < {_Q_MAX} AND c.vec_id != q.vec_id
+    )
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {_K}
+    ORDER BY query_id ASC, rank ASC
+    """
+
+
+@register("emb_ann_sq8", oracle=_sq8_oracle())
+def emb_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k over int8-reconstructed vectors
+    (operators/similarity.py sq8_topk): the memory-bound search path
+    over the 4×-compressed corpus. Recall vs the exact search is
+    pinned by test (test_operators.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.sq8_topk(emb, id_col="vec_id", vec_col="embedding", query_ids=list(range(_Q_MAX)), k=_K)

@@ -444,3 +444,25 @@ def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
 
     assert recall(multi) >= recall(single)
     assert recall(multi) > 0
+
+
+def test_sq8_recall_vs_exact(spark, sf_dir):
+    # int8 reconstruction perturbs each coordinate by < (hi-lo)/254,
+    # so top-5 neighbor sets should survive nearly intact.
+    from lakehouse_architecture_transaction_spark.catalog import load_table
+    from lakehouse_architecture_transaction_spark.operators.similarity import cosine_topk, sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(8))
+
+    def neighbors(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = neighbors(cosine_topk(emb, "vec_id", "embedding", qids, k=5))
+    sq8 = neighbors(sq8_topk(emb, "vec_id", "embedding", qids, k=5))
+    hits = sum(len(sq8.get(q, set()) & exact[q]) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.8
