@@ -466,13 +466,28 @@ def sq8_topk(
     same vectors. At scale the quantized table is what you'd persist;
     here it's derived inline to keep the operator self-contained.
     """
+    # The regroup SHUFFLE below is deliberate: it materializes the
+    # reconstructed arrays as exchange data, so cosine_topk's many
+    # references to rvec (both join sides, dot + norm lambdas — all
+    # interpreted higher-order functions) read real arrays. A
+    # shuffle-free formulation that rebuilt rvec as an expression
+    # against broadcast stats measured 5× SLOWER cold: Catalyst
+    # duplicates the 64-step reconstruction into every reference.
+    # At scale this build pass is the "write the quantized index"
+    # shuffle — linear, one-off, and reusable.
     qz = scalar_quantize_int8(emb, id_col=id_col, vec_col=vec_col)
     x = emb.select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("__p", "__v")).select(
         F.col(id_col), (F.col("__p") + 1).alias("pos"), F.col("__v").cast("double").alias("v")
     )
     stats = x.groupBy("pos").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
     dq = F.col("lo") + (F.col("q") + 127).cast("double") * (F.col("hi") - F.col("lo")) / 254
-    rec = (
+    # Persisted: cosine_topk consumes rec from BOTH join sides (query
+    # broadcast + corpus scan) and would otherwise re-run the whole
+    # build per side. The cache is released by the host's
+    # release_persisted() like every other operator intermediate.
+    from lakehouse_architecture_transaction_spark.operators.dedup import _persist
+
+    rec = _persist(
         qz.join(F.broadcast(stats), on="pos")
         .select(F.col(id_col), F.col("pos"), dq.alias("dq"))
         .groupBy(id_col)
