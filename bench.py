@@ -63,6 +63,16 @@ HEADLINE = [
     "docs_vocabulary",
     "docs_dup_clusters",
     "docs_shuffled_batches",
+    # round-3 continuation: clustering, quantized ANN, chunk dedup,
+    # CDC delete-merge, rolling distinct, anomaly flags
+    "emb_kmeans",
+    "emb_ann_sq8",
+    "docs_chunk_dup_docs",
+    "docs_char_chunks",
+    "merge_delete_orders",
+    "events_rolling_distinct_users",
+    "events_daily_anomalies",
+    "docs_source_mixture_sample",
 ]
 
 
