@@ -5,5 +5,11 @@ Importing this package registers every query into
 exposes the registry to the driver.
 """
 
-from lakehouse_architecture_transaction_spark.plans import analytics, analytics_tpch2, etl, pipeline_ops  # noqa: F401
+from lakehouse_architecture_transaction_spark.plans import (  # noqa: F401
+    analytics,
+    analytics_tpch2,
+    behavior,
+    etl,
+    pipeline_ops,
+)
 from lakehouse_architecture_transaction_spark.plans.registry import REGISTRY, QuerySpec  # noqa: F401

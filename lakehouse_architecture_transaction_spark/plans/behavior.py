@@ -1,0 +1,154 @@
+"""Behavioral / sequence analytics: event-type transitions, top
+session paths, and market-basket co-occurrence.
+
+The sequence-mining tier of the extension surface (the reference's
+events flow stops at hourly rollups — reference scripts/glue/script.py
+processes batch tables only). Each query follows the registry's
+determinism discipline: exact integer counts, ONE double division per
+ratio, unique-tiebreaker ordering on every top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_transaction_spark.catalog import load_table
+from lakehouse_architecture_transaction_spark.plans.registry import register
+
+
+@register(
+    "events_user_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS prev_type,
+               LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next_type
+        FROM events
+    ),
+    c AS (
+        SELECT prev_type, next_type, COUNT(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n,
+           CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS n_prev,
+           CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p
+    FROM c
+    ORDER BY prev_type ASC, next_type ASC
+    """,
+)
+def events_user_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: P(next_type | prev_type) from consecutive event pairs.
+
+    Scale shape: ONE shuffle on user_id feeds the lead() window (the
+    same key sessionization uses — at 100 TB this is the unavoidable
+    per-user ordering pass), then the pair counts collapse to
+    |types|² rows with map-side combine; the denominator folds in as
+    a window over the SAME prev_type key, so no second corpus pass.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = events.select(
+        F.col("event_type").alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    counted = seq.groupBy("prev_type", "next_type").agg(F.count("*").alias("n"))
+    wprev = Window.partitionBy("prev_type")
+    return (
+        counted.withColumn("n_prev", F.sum("n").over(wprev))
+        .withColumn("p", F.col("n").cast("double") / F.col("n_prev"))
+        .orderBy("prev_type", "next_type")
+    )
+
+
+_PATH_LEN = 5
+_TOP_PATHS = 20
+
+
+@register(
+    "events_top_paths",
+    oracle=f"""
+    WITH s AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               list(event_type ORDER BY ts ASC, event_id ASC) AS seq
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    p AS (SELECT array_to_string(seq[1:{_PATH_LEN}], '>') AS path FROM s)
+    SELECT path, COUNT(*) AS n_user_days FROM p
+    GROUP BY path
+    ORDER BY n_user_days DESC, path ASC
+    LIMIT {_TOP_PATHS}
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} user-day paths: the first {n} event types of each
+    user-day, ordered by time, joined with '>' — the path-analysis
+    query behind every funnel-discovery UI.
+
+    Scale shape: one shuffle keyed by (user, day) builds the ordered
+    sequence via sort_array(collect_list(struct)) — per-group state is
+    bounded by a user's single-day volume, not corpus size — then the
+    path frequency count is a map-side-combining groupBy at path
+    cardinality, and the top-k executes as TakeOrdered (per-partition
+    heaps, no global sort). Ties break on path text.
+    """.format(k=_TOP_PATHS, n=_PATH_LEN)
+    events = load_table(spark, sf_dir, "events")
+    grp = (
+        events.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))).alias("seq"))
+    )
+    path = F.array_join(
+        F.slice(F.expr("transform(seq, s -> s.event_type)"), 1, _PATH_LEN), ">"
+    ).alias("path")
+    return (
+        grp.select(path)
+        .groupBy("path")
+        .agg(F.count("*").alias("n_user_days"))
+        .orderBy(F.col("n_user_days").desc(), F.col("path").asc())
+        .limit(_TOP_PATHS)
+    )
+
+
+_TOP_PAIRS = 20
+
+
+@register(
+    "orders_market_basket",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+    FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    ORDER BY n_orders DESC, part_a ASC, part_b ASC
+    LIMIT {_TOP_PAIRS}
+    """,
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: the top part pairs co-occurring in
+    the same order (frequent-itemset support counting, k=2).
+
+    Scale shape: the self-join keys BOTH sides on l_orderkey — one
+    shuffle each, co-partitioned — and per-order fan-out is bounded
+    by the square of the order's line count (TPC-H: ≤ 7 lines, ≤ 21
+    pairs), so the join output is a small constant multiple of the
+    input at any corpus size. Pair counts aggregate with map-side
+    combine at pair cardinality; the top-k is TakeOrdered with
+    (part_a, part_b) tiebreaks.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc())
+        .limit(_TOP_PAIRS)
+    )
