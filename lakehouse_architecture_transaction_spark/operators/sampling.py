@@ -60,6 +60,28 @@ def hash_sample(df: DataFrame, id_col: str, fraction: float, salt: str = "sample
     ).drop("__bucket")
 
 
+def hash_sample_exact(
+    df: DataFrame, id_col: str, n: int, salt: str = "sample-v1"
+) -> DataFrame:
+    """Deterministic EXACT-size uniform sample: rank every row by
+    md5(salt || id) and keep the ``n`` smallest — the batch
+    equivalent of reservoir sampling, but reproducible across runs
+    and partitionings (a true reservoir depends on encounter order).
+
+    Scale shape: orderBy(...).limit(n) executes as TakeOrdered —
+    each partition keeps an n-sized heap and the driver merges
+    |partitions| heaps of n — so no global sort shuffle ever
+    materializes. Safe for n up to ~millions; beyond that, switch to
+    the threshold form (hash_sample) with a calibrated fraction."""
+    h = F.md5(F.concat_ws("-", F.lit(salt), F.col(id_col).cast("string")))
+    return (
+        df.withColumn("__h", h)
+        .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("__h")
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     id_col: str,

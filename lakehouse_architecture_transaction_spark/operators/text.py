@@ -232,6 +232,70 @@ def bigram_lm(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def lm_familiarity(
+    docs: DataFrame, id_col: str, text_col: str, min_count: int = 2
+) -> DataFrame:
+    """Per-document LM familiarity: the fraction of a doc's bigram
+    OCCURRENCES whose corpus-wide bigram count is ≥ ``min_count`` —
+    the cheap perplexity stand-in quality pipelines use to drop
+    gibberish (a doc whose bigrams never recur anywhere scores 0).
+
+    Scale shape: the corpus bigram table and the per-doc occurrence
+    stream are both keyed by (w1, w2), so the self-statistics join is
+    ONE shuffle key reused twice (groupBy bigram → join bigram), then
+    a doc-keyed count with map-side combine. No driver-side model: the
+    "LM" stays a distributed table, joined not broadcast, because at
+    100 TB the bigram vocabulary is itself huge. The score is one
+    double division of exact counts.
+    """
+    tk = docs.select(
+        F.col(id_col),
+        F.expr(
+            f"transform(filter(split({text_col}, '\\\\s+'), x -> x != ''), t -> lower(t))"
+        ).alias("__tk"),
+    )
+    bg = tk.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("__tk") < 2,
+                F.expr("CAST(array() AS array<struct<w1:string,w2:string>>)"),
+            ).otherwise(
+                F.expr(
+                    "transform(sequence(1, size(__tk) - 1), i -> struct(__tk[i-1] AS w1, __tk[i] AS w2))"
+                )
+            )
+        ).alias("bg"),
+    ).select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    corpus = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("w1", "w2", F.lit(1).alias("__known"))
+    )
+    per = (
+        bg.join(corpus, on=["w1", "w2"], how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.count("__known").alias("n_known"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_known", F.lit(0)).alias("n_known"),
+            F.when(F.coalesce("n_bigrams", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(F.col("n_known").cast("double") / F.col("n_bigrams"))
+            .alias("familiarity"),
+        )
+        .orderBy(id_col)
+    )
+
+
 #: Rolling-hash parameters (Rabin–Karp): classic base-31 polynomial
 #: over code points, large-prime modulus. Fits BIGINT: acc < 1e9+7, so
 #: acc*31 + cp < 2^63 with room to spare in both engines.

@@ -1622,3 +1622,138 @@ def emb_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by test (test_operators.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.sq8_topk(emb, id_col="vec_id", vec_col="embedding", query_ids=list(range(_Q_MAX)), k=_K)
+
+
+# ------------------------------------------- round-3 continuation II
+
+_FAM_MIN_COUNT = 2
+
+
+@register(
+    "docs_lm_familiarity",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, list_transform({_TOKENS}, t -> lower(t)) AS tk FROM documents),
+    bg AS (
+        SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+        FROM tok, UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+    ),
+    corpus AS (
+        SELECT w1, w2 FROM bg GROUP BY w1, w2 HAVING COUNT(*) >= {_FAM_MIN_COUNT}
+    ),
+    per AS (
+        SELECT b.doc_id, COUNT(*) AS n_bigrams, COUNT(c.w1) AS n_known
+        FROM bg b LEFT JOIN corpus c ON b.w1 = c.w1 AND b.w2 = c.w2
+        GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(p.n_known, 0) AS BIGINT) AS n_known,
+           CASE WHEN COALESCE(p.n_bigrams, 0) = 0 THEN 0.0
+                ELSE CAST(p.n_known AS DOUBLE) / p.n_bigrams END AS familiarity
+    FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+    ORDER BY d.doc_id ASC
+    """,
+)
+def docs_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap-perplexity quality score (operators/text.py
+    lm_familiarity): fraction of each doc's bigram occurrences whose
+    corpus count is >= {c} — the LM-based gibberish filter, scored
+    against the corpus's own bigram table via a bigram-keyed join
+    (never a broadcast model).""".format(c=_FAM_MIN_COUNT)
+    docs = load_table(spark, sf_dir, "documents")
+    return T.lm_familiarity(docs, id_col="doc_id", text_col="text", min_count=_FAM_MIN_COUNT)
+
+
+_RSV_N = 100
+
+
+@register(
+    "docs_reservoir_sample",
+    oracle=f"""
+    SELECT doc_id, source, lang FROM (
+        SELECT doc_id, source, lang FROM documents
+        ORDER BY md5('rsv-v1' || '-' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+        LIMIT {_RSV_N}
+    ) ORDER BY doc_id ASC
+    """,
+)
+def docs_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-{n} deterministic uniform sample (operators/sampling.py
+    hash_sample_exact): the reproducible batch analogue of reservoir
+    sampling — smallest {n} md5(salt||id) ranks win. Executes as
+    TakeOrdered (per-partition n-heaps), no global sort.""".format(n=_RSV_N)
+    from lakehouse_architecture_transaction_spark.operators.sampling import hash_sample_exact
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return hash_sample_exact(docs, id_col="doc_id", n=_RSV_N, salt="rsv-v1").orderBy("doc_id")
+
+
+def _dup_cluster_sizes_oracle() -> str:
+    pairs_sql = _minhash_oracle().format(cap=_BUCKET_CAP)
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    clusters AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+    SELECT cluster_id, COUNT(*) AS n_docs
+    FROM clusters GROUP BY cluster_id HAVING COUNT(*) >= 2
+    ORDER BY cluster_id ASC
+    """
+
+
+@register("docs_dup_cluster_sizes", oracle=_dup_cluster_sizes_oracle())
+def docs_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster size profile: every multi-doc MinHash-LSH
+    cluster with its member count — the dedup-impact report (how much
+    of the corpus collapses) that precedes any survivor policy.
+    Composition of docs_dup_clusters; the extra groupBy is at cluster
+    cardinality."""
+    clusters = docs_dup_clusters(spark, sf_dir)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("cluster_id")
+    )
+
+
+@register(
+    "emb_dim_stats",
+    oracle="""
+    WITH x AS (
+        SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    )
+    SELECT CAST(dim AS INTEGER) AS dim,
+           CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS mean_v,
+           MIN(v) AS min_v, MAX(v) AS max_v
+    FROM x GROUP BY dim ORDER BY dim ASC
+    """,
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (mean/min/max) — the
+    embedding-QA pass that catches dead or exploding dimensions
+    before indexing. One posexplode + one groupBy at DIMENSION
+    cardinality (64 groups regardless of corpus size), map-side
+    combine carrying (decimal sum, count, min, max). Mean follows the
+    exact-decimal-sum / one-double-division discipline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(F.posexplode("embedding").alias("dim", "v")).select(
+        "dim", F.col("v").cast("double").alias("v")
+    )
+    return (
+        x.groupBy("dim")
+        .agg(
+            (F.sum(F.col("v").cast("decimal(18,9)")).cast("double") / F.count("*")).alias(
+                "mean_v"
+            ),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+        .orderBy("dim")
+    )
