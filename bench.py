@@ -73,6 +73,14 @@ HEADLINE = [
     "events_rolling_distinct_users",
     "events_daily_anomalies",
     "docs_source_mixture_sample",
+    # round-3 continuation II: sequence analytics, LM familiarity,
+    # exact sampling, cluster profile, embedding QA
+    "events_user_transitions",
+    "events_top_paths",
+    "orders_market_basket",
+    "docs_lm_familiarity",
+    "docs_dup_cluster_sizes",
+    "emb_dim_stats",
 ]
 
 

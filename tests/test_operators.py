@@ -466,3 +466,47 @@ def test_sq8_recall_vs_exact(spark, sf_dir):
     hits = sum(len(sq8.get(q, set()) & exact[q]) for q in exact)
     total = sum(len(v) for v in exact.values())
     assert hits / total >= 0.8
+
+
+def test_hash_sample_exact_size_stable_and_no_global_sort(spark):
+    from lakehouse_architecture_transaction_spark.operators.sampling import hash_sample_exact
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    s1 = sorted(r["doc_id"] for r in hash_sample_exact(df, "doc_id", 50, "t-v1").collect())
+    s2 = sorted(
+        r["doc_id"]
+        for r in hash_sample_exact(df.repartition(13), "doc_id", 50, "t-v1").collect()
+    )
+    assert len(s1) == 50 and s1 == s2  # exact size, partitioning-invariant
+    plan = hash_sample_exact(df, "doc_id", 50, "t-v1")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # per-partition heaps, not a global sort
+
+
+def test_lm_familiarity_bounds_and_gibberish_zero(spark):
+    from lakehouse_architecture_transaction_spark.operators.text import lm_familiarity
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the mat"),  # dup: every bigram recurs
+            (3, "qwfp zxcv plmk ujnh"),  # gibberish: no bigram recurs
+            (4, "one"),  # single token: no bigrams at all
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in lm_familiarity(docs, "doc_id", "text").collect()}
+    assert out[1]["familiarity"] == 1.0 and out[2]["familiarity"] == 1.0
+    assert out[3]["familiarity"] == 0.0
+    assert out[4]["n_bigrams"] == 0 and out[4]["familiarity"] == 0.0
+    assert all(0.0 <= r["familiarity"] <= 1.0 for r in out.values())
+
+
+def test_transition_probabilities_sum_to_one(spark, sf_dir):
+    from lakehouse_architecture_transaction_spark.plans.behavior import events_user_transitions
+
+    rows = events_user_transitions(spark, sf_dir).collect()
+    by_prev = {}
+    for r in rows:
+        by_prev.setdefault(r["prev_type"], []).append(r["p"])
+    for prev, ps in by_prev.items():
+        assert abs(sum(ps) - 1.0) < 1e-9, prev
