@@ -494,3 +494,150 @@ def sq8_topk(
         .agg(F.expr("transform(array_sort(collect_list(struct(pos, dq))), s -> s.dq)").alias("rvec"))
     )
     return cosine_topk(rec, id_col=id_col, vec_col="rvec", query_ids=query_ids, k=k)
+
+
+#: HALF_UP 1e6 quantization of a double inside a SQL lambda — the
+#: int64-exact-numerator discipline of emb_label_covariance (see
+#: plans/pipeline_ops.py _V6_HALF_UP for why sums must stay in BIGINT:
+#: DuckDB's int128→double conversion is not correctly rounded).
+_Q6_LAMBDA = (
+    "CAST(CAST(CAST({x} AS DECIMAL(18,6)) * CAST(1000000 AS DECIMAL(7,0)) "
+    "AS DECIMAL(25,0)) AS BIGINT)"
+)
+
+
+def pca_power_project(
+    emb: DataFrame, id_col: str, vec_col: str, dim: int, iters: int = 12, squarings: int = 2
+) -> DataFrame:
+    """Project every vector onto the corpus's top principal component:
+    centered covariance → ``squarings`` matrix self-squarings (C→C²→C⁴)
+    → ``iters`` unrolled power-iteration rounds → per-vector dot with
+    the (centered) eigenvector. Returns (id, pc1).
+
+    Squaring first is the convergence accelerator for a narrow
+    eigengap: iterating with C⁴ makes ``iters`` rounds equivalent to
+    ``iters·2^squarings`` plain rounds, and because the covariance is
+    SYMMETRIC, each C²[i][j] is dot(row_i, row_j) — a deterministic
+    left fold over two row lists, no column extraction needed.
+
+    The iterative-linear-algebra shape, kept fully deterministic so a
+    SQL oracle can replay it:
+    - covariance numerators are EXACT int64 sums of HALF_UP-1e6
+      quantized values — the d²-cell aggregate sees only BIGINTs, so
+      accumulation order is irrelevant;
+    - each matrix·vector product is a left fold from a 0.0 seed over
+      index order (== DuckDB's seedless list_reduce), normalization is
+      one correctly-rounded sqrt and one division per element;
+    - iteration count is FIXED, and v₀ = e₀, so the whole trajectory
+      is a pure function of the corpus.
+
+    Scale shape: pair cells are generated MAP-SIDE from each row's own
+    array (no self-join, no shuffle before aggregation), collapsing
+    into a d²-cardinality groupBy with map-side combine — one narrow
+    shuffle of d² cells regardless of corpus size. The matrix (d²
+    doubles) then iterates entirely on a d-row frame with broadcast
+    cross-joins — never touching the corpus again until the final
+    map-side projection. O(N·d²) work, O(d²) shuffle, driver never
+    holds data.
+    """
+    q6 = _Q6_LAMBDA.format(x="x")
+    qarr = F.expr(f"transform({vec_col}, x -> {q6})")
+    cells = (
+        emb.select(F.explode(
+            F.expr(
+                f"flatten(transform(transform({vec_col}, x -> {q6}), (qi, i) -> "
+                f"transform(transform({vec_col}, x -> {q6}), (qj, j) -> "
+                "struct(i AS i, j AS j, qi AS qi, qj AS qj))))"
+            )
+        ).alias("c"))
+        .select("c.*")
+        .groupBy("i", "j")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("qi") * F.col("qj")).cast("bigint").alias("sxy"),
+            F.sum("qi").cast("bigint").alias("sx"),
+            F.sum("qj").cast("bigint").alias("sy"),
+        )
+    )
+    cov = (
+        (
+            F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy").cast("double") / F.col("n")
+        )
+        / F.col("n")
+        / F.lit(1e12)
+    )
+    cmat = (
+        cells.select("i", "j", cov.alias("cov"))
+        .groupBy("i")
+        .agg(F.expr("transform(array_sort(collect_list(struct(j, cov))), s -> s.cov)").alias("row"))
+        .localCheckpoint(eager=True)
+    )
+    # C → C^(2^squarings): C²[i][j] = dot(row_i, row_j) by symmetry.
+    rowdot = (
+        "aggregate(zip_with(a.row, b.row, (x, y) -> x * y), CAST(0.0 AS DOUBLE), "
+        "(acc, e) -> acc + e)"
+    )
+    for _ in range(squarings):
+        sq = (
+            cmat.alias("a")
+            .crossJoin(F.broadcast(cmat.alias("b")))
+            .select(F.col("a.i").alias("i"), F.col("b.i").alias("j"), F.expr(rowdot).alias("cov"))
+        )
+        cmat = (
+            sq.groupBy("i")
+            .agg(
+                F.expr("transform(array_sort(collect_list(struct(j, cov))), s -> s.cov)").alias(
+                    "row"
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+    # per-dim means from the SAME quantized values (j via posexplode)
+    means = (
+        emb.select(F.posexplode(qarr).alias("j", "q"))
+        .groupBy("j")
+        .agg(F.sum("q").cast("bigint").alias("sq"), F.count("*").cast("bigint").alias("n"))
+    )
+    marr = means.groupBy().agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(j, CAST(sq AS DOUBLE) / n / 1e6 AS m))), s -> s.m)"
+        ).alias("m")
+    ).localCheckpoint(eager=True)
+    spark = emb.sparkSession
+    v = spark.range(1).select(
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), i -> CASE WHEN i = 0 THEN CAST(1.0 AS DOUBLE) "
+            "ELSE CAST(0.0 AS DOUBLE) END)"
+        ).alias("v")
+    )
+    matvec = (
+        "aggregate(zip_with(row, v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, e) -> acc + e)"
+    )
+    for _ in range(iters):
+        u = cmat.crossJoin(F.broadcast(v)).select("i", F.expr(matvec).alias("u"))
+        v = (
+            u.groupBy()
+            .agg(F.expr("transform(array_sort(collect_list(struct(i, u))), s -> s.u)").alias("uv"))
+            .select(
+                F.expr(
+                    "transform(uv, x -> x / sqrt(aggregate(transform(uv, e -> e * e), "
+                    "CAST(0.0 AS DOUBLE), (acc, e) -> acc + e)))"
+                ).alias("v")
+            )
+            .localCheckpoint(eager=True)
+        )
+    proj = (
+        "aggregate(zip_with(zip_with(xd, m, (a, b) -> a - b), v, (c, d) -> c * d), "
+        "CAST(0.0 AS DOUBLE), (acc, e) -> acc + e)"
+    )
+    return (
+        emb.select(
+            F.col(id_col),
+            F.expr(f"transform({vec_col}, e -> CAST(e AS DOUBLE))").alias("xd"),
+        )
+        .crossJoin(F.broadcast(marr))
+        .crossJoin(F.broadcast(v))
+        .select(F.col(id_col), F.expr(proj).alias("pc1"))
+        .orderBy(id_col)
+    )

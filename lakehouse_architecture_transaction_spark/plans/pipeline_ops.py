@@ -1757,3 +1757,85 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+_PCA_DIM = 64
+_PCA_ITERS = 12
+_PCA_SQUARINGS = 2
+
+
+def _pca_oracle() -> str:
+    """Replay pca_power_project: exact-int64 covariance, matrix
+    squarings (C→C²→C⁴ via symmetric row·row folds), then the power
+    iteration UNROLLED as chained CTEs (one matvec + one normalize
+    per round — recursive CTEs can't aggregate, so the fixed
+    iteration count is generated into the SQL)."""
+    d, iters = _PCA_DIM, _PCA_ITERS
+    ctes = [
+        f"flat AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos, "
+        f"CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)",
+        f"q AS (SELECT vec_id, pos, {_V6_HALF_UP} AS q FROM flat)",
+        "agg AS (SELECT a.pos AS i, b.pos AS j, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(a.q * b.q) AS BIGINT) AS sxy, CAST(SUM(a.q) AS BIGINT) AS sx, "
+        "CAST(SUM(b.q) AS BIGINT) AS sy "
+        "FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY a.pos, b.pos)",
+        "cmat0 AS (SELECT i, list((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / n / 1e12 "
+        "ORDER BY j) AS row FROM agg GROUP BY i)",
+        "means AS (SELECT pos AS j, CAST(SUM(q) AS BIGINT) AS sq, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM q GROUP BY pos)",
+        "marr AS (SELECT list(CAST(sq AS DOUBLE) / n / 1e6 ORDER BY j) AS m FROM means)",
+        f"v0 AS (SELECT list_transform(generate_series(0, {d - 1}), "
+        "i -> CASE WHEN i = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS v)",
+    ]
+    for s in range(_PCA_SQUARINGS):
+        ctes.append(
+            f"sq{s} AS (SELECT a.i AS i, b.i AS j, list_reduce(list_transform("
+            "list_zip(a.row, b.row), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), "
+            f"(x, y) -> x + y) AS cov FROM cmat{s} a, cmat{s} b)"
+        )
+        ctes.append(
+            f"cmat{s + 1} AS (SELECT i, list(cov ORDER BY j) AS row FROM sq{s} GROUP BY i)"
+        )
+    cm = f"cmat{_PCA_SQUARINGS}"
+    for t in range(iters):
+        ctes.append(
+            f"u{t} AS (SELECT c.i, list_reduce(list_transform(list_zip(c.row, p.v), "
+            f"z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b) AS u "
+            f"FROM {cm} c, v{t} p)"
+        )
+        ctes.append(f"r{t} AS (SELECT list(u ORDER BY i) AS uv FROM u{t})")
+        ctes.append(
+            f"v{t + 1} AS (SELECT list_transform(uv, x -> x / "
+            f"sqrt(list_reduce(list_transform(uv, e -> e * e), (a, b) -> a + b))) AS v FROM r{t})"
+        )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body},
+    xs AS (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS xd FROM embeddings)
+    SELECT xs.vec_id,
+           list_reduce(list_transform(list_zip(xs.xd, m.m, vv.v),
+                       z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * CAST(z[3] AS DOUBLE)),
+                       (a, b) -> a + b) AS pc1
+    FROM xs, marr m, v{iters} vv
+    ORDER BY xs.vec_id ASC
+    """
+
+
+@register("emb_pca_project", oracle=_pca_oracle())
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-principal-component projection (operators/similarity.py
+    pca_power_project): centered covariance with exact int64
+    numerators, {t} fixed power-iteration rounds, per-vector centered
+    dot with the eigenvector — the embedding-drift / visualization
+    axis a training pipeline monitors. Map-side pair generation (no
+    self-join), one d²-cell shuffle, iteration on a {d}-row frame
+    only.""".format(t=_PCA_ITERS, d=_PCA_DIM)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.pca_power_project(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        dim=_PCA_DIM,
+        iters=_PCA_ITERS,
+        squarings=_PCA_SQUARINGS,
+    )

@@ -510,3 +510,24 @@ def test_transition_probabilities_sum_to_one(spark, sf_dir):
         by_prev.setdefault(r["prev_type"], []).append(r["p"])
     for prev, ps in by_prev.items():
         assert abs(sum(ps) - 1.0) < 1e-9, prev
+
+
+def test_pca_projection_matches_numpy_top_eigenvector(spark, sf_dir):
+    import numpy as np
+
+    from lakehouse_architecture_transaction_spark.catalog import load_table
+    from lakehouse_architecture_transaction_spark.operators.similarity import pca_power_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pca_power_project(emb, "vec_id", "embedding", dim=64, iters=8).collect()
+    got = {r["vec_id"]: r["pc1"] for r in out}
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Xc = X - X.mean(axis=0)
+    _, vecs = np.linalg.eigh(np.cov(Xc.T, bias=True))
+    ref = Xc @ vecs[:, -1]  # exact top-PC projection
+    ours = np.array([got[i] for i in ids])
+    corr = abs(np.corrcoef(ours, ref)[0, 1])
+    assert corr > 0.99, corr  # 8 power rounds converge to the top axis
