@@ -81,6 +81,9 @@ HEADLINE = [
     "docs_lm_familiarity",
     "docs_dup_cluster_sizes",
     "emb_dim_stats",
+    "emb_pca_project",
+    "nation_yoy_growth",
+    "events_bot_users",
 ]
 
 

@@ -152,3 +152,106 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc())
         .limit(_TOP_PAIRS)
     )
+
+
+_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+_SUM_REV = f"CAST(CAST(SUM({_REV}) AS DECIMAL(18,4)) AS DOUBLE)"
+
+
+@register(
+    "nation_yoy_growth",
+    oracle=f"""
+    WITH y AS (
+        SELECT n.n_name AS nation,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS year,
+               {_SUM_REV} AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER)
+    )
+    SELECT nation, year, revenue,
+           LAG(revenue) OVER (PARTITION BY nation ORDER BY year ASC) AS prev_revenue,
+           (revenue - LAG(revenue) OVER (PARTITION BY nation ORDER BY year ASC))
+               / LAG(revenue) OVER (PARTITION BY nation ORDER BY year ASC) AS yoy_growth
+    FROM y
+    ORDER BY nation ASC, year ASC
+    """,
+)
+def nation_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year supplier-nation revenue growth: the
+    lag-over-aggregate reporting shape. One fact shuffle
+    (orders↔lineitem), broadcast dims, then the lag window runs on
+    the AGGREGATE (|nations|·|years| rows) — never on the fact table;
+    growth is IEEE ops on the exact decimal-sum revenue."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    y = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("year"),
+        )
+        .agg(F.expr(f"SUM({_REV})").cast("decimal(18,4)").cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("nation").orderBy(F.col("year").asc())
+    prev = F.lag("revenue").over(w)
+    return (
+        y.withColumn("prev_revenue", prev)
+        .withColumn("yoy_growth", (F.col("revenue") - prev) / prev)
+        .orderBy("nation", "year")
+    )
+
+
+_BOT_FACTOR = 1.2
+
+
+@register(
+    "events_bot_users",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id, COUNT(*) AS n_events,
+               COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+        FROM events GROUP BY user_id
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_events) AS BIGINT) AS total_events,
+               CAST(SUM(n_days) AS BIGINT) AS total_days
+        FROM per_user
+    )
+    SELECT user_id, n_events, n_days,
+           CAST(n_events AS DOUBLE) / n_days AS events_per_day
+    FROM per_user, tot
+    WHERE CAST(n_events AS DOUBLE) / n_days >
+          {_BOT_FACTOR} * (CAST(total_events AS DOUBLE) / total_days)
+    ORDER BY user_id ASC
+    """,
+)
+def events_bot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-rate flagging: users whose events-per-active-day exceeds {f}× the corpus average — the traffic-cleaning filter ahead of any
+    behavioral modeling. One user-keyed aggregate; the global average
+    is a broadcast 1-row scalar (exact integer sums, one division per
+    side of the comparison — both engines evaluate the identical IEEE
+    expression).""".format(f=_BOT_FACTOR)
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct(F.to_date("ts")).alias("n_days"),
+    )
+    tot = per_user.groupBy().agg(
+        F.sum("n_events").cast("bigint").alias("total_events"),
+        F.sum("n_days").cast("bigint").alias("total_days"),
+    )
+    epd = F.col("n_events").cast("double") / F.col("n_days")
+    avg = F.col("total_events").cast("double") / F.col("total_days")
+    return (
+        per_user.crossJoin(F.broadcast(tot))
+        .filter(epd > F.lit(_BOT_FACTOR) * avg)
+        .select("user_id", "n_events", "n_days", epd.alias("events_per_day"))
+        .orderBy("user_id")
+    )

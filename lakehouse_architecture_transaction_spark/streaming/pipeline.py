@@ -186,6 +186,17 @@ def click_purchase_join(events: DataFrame, within_seconds: int = 3600) -> DataFr
     )
 
 
+def enrich_stream_static(stream_df: DataFrame, dim: DataFrame, on: str, how: str = "left") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against a
+    BATCH dimension table. Spark re-plans the static side per batch
+    (so a dim refresh is picked up) and broadcasts it when small —
+    the streaming analogue of the batch star-join dims, and the shape
+    the reference's curated-dimension lookups take when the fact feed
+    is a stream (reference scripts/glue/script.py FK validation joins).
+    No watermark needed: the static side holds no streaming state."""
+    return stream_df.join(F.broadcast(dim), on=on, how=how)
+
+
 def stream_upsert_into(stream_df: DataFrame, table, checkpoint_dir: str):
     """foreachBatch upsert sink: each micro-batch MERGEs into the
     LakeTable on its keys (idempotent per epoch re-run because merge

@@ -191,3 +191,34 @@ def test_stream_trending_topk_matches_batch(spark, sf_dir, tmp_path):
     key = lambda r: (r["window_start"], r["rank"])
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     assert len(got) > 0
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
+    from lakehouse_architecture_transaction_spark.streaming.pipeline import enrich_stream_static
+
+    src = _stage_events(spark, sf_dir, tmp_path)
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"), ("purchase", "revenue"),
+         ("signup", "growth"), ("error", "ops")],
+        "event_type string, category string",
+    )
+    stream = read_event_stream(spark, src)
+    enriched = enrich_stream_static(stream, dim, on="event_type")
+    q = run_stream_to_memory(
+        enriched.groupBy("category").agg(F.count("*").alias("n")),
+        "enriched_counts",
+        output_mode="complete",
+    )
+    try:
+        got = {r["category"]: r["n"] for r in spark.table("enriched_counts").collect()}
+    finally:
+        q.stop()
+    batch = {
+        r["category"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .join(dim, on="event_type", how="left")
+        .groupBy("category")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == batch and len(got) >= 4
