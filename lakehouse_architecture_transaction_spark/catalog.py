@@ -41,22 +41,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which the Spark
-        # vectorized reader rejects; read nanos as long and convert to
-        # micros (same truncation DuckDB applies reading the file).
-        # Emitted as TIMESTAMP_NTZ: parquet nanos carry no zone, and
-        # every other timestamp column in the lake reads as ntz.
-        # Built as epoch-date + day-time interval rather than a
-        # timestamp_micros→NTZ cast because that cast routes through
-        # the SESSION TIMEZONE — correct under our UTC-pinned session
-        # but silently wrong wall-clocks under any other driver's
-        # session. This construction is timezone-independent and
-        # micro-exact (interval seconds carry a decimal(18,0)/1e6).
+        # events.ts must come out TIMESTAMP_NTZ regardless of how the
+        # parquet stores it — generator snapshots have varied between
+        # TIMESTAMP(NANOS) (Spark reads as long under nanosAsLong) and
+        # tz-less TIMESTAMP(MICROS) (Spark 4 reads natively as ntz).
+        # Branch on the type actually read. Non-ntz sources are
+        # normalized through epoch-date + day-time interval rather
+        # than a plain cast because casts route through the SESSION
+        # TIMEZONE — correct under our UTC-pinned session but silently
+        # wrong wall-clocks under any other driver's session. This
+        # construction is timezone-independent and micro-exact
+        # (interval seconds carry a decimal(18,0)/1e6).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type == "timestamp_ntz":
+            return df
+        # long = legacy nanos file; timestamp (ltz reader) = epoch
+        # micros, which unix_micros() extracts timezone-independently.
+        micros = "ts DIV 1000" if ts_type in ("long", "bigint") else "unix_micros(ts)"
         ntz = (
-            "CAST(date_add(DATE '1970-01-01', CAST(ts DIV 86400000000000 AS INT)) AS TIMESTAMP_NTZ)"
-            " + make_dt_interval(0, 0, 0, CAST((ts DIV 1000) % 86400000000 AS DECIMAL(18,0)) / 1000000)"
+            f"CAST(date_add(DATE '1970-01-01', CAST(({micros}) DIV 86400000000 AS INT)) AS TIMESTAMP_NTZ)"
+            f" + make_dt_interval(0, 0, 0, CAST(({micros}) % 86400000000 AS DECIMAL(18,0)) / 1000000)"
         )
         return df.withColumn("ts", F.expr(ntz))
     return spark.read.parquet(table_path(sf_dir, name))
