@@ -84,6 +84,12 @@ HEADLINE = [
     "emb_pca_project",
     "nation_yoy_growth",
     "events_bot_users",
+    # round-3 continuation III: customer-value tier + winnowing
+    "customer_interpurchase_gaps",
+    "customer_cohort_ltv",
+    "supplier_revenue_pareto",
+    "customer_rfm_segments",
+    "docs_winnowing",
 ]
 
 

@@ -75,6 +75,70 @@ def exact_global_rank(
     )
 
 
+def exact_global_cumsum(
+    df: DataFrame,
+    value_col: str,
+    sum_col: str,
+    tiebreakers: list[str],
+    rank_col: str = "rank",
+    cum_col: str = "cum",
+    descending: bool = False,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Exact running SUM(``sum_col``) + 1-based row_number under
+    ORDER BY (value_col ASC|DESC, *tiebreakers ASC) — the Pareto /
+    cumulative-share window — without a single-partition sort.
+
+    Same bucketed prefix pattern as exact_global_rank, with the bucket
+    offset table carrying (count, sum) instead of count alone. Keep
+    ``sum_col`` DECIMAL for exact, order-independent accumulation: the
+    running sum then equals a naive global-window sum bit-for-bit.
+    """
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    bounds = df.stat.approxQuantile(value_col, probs, 1.0 / (4 * num_buckets))
+    uniq = sorted(set(bounds))
+    v = F.col(value_col).cast("double")
+    if uniq:
+        chain = F.when(v >= uniq[-1], len(uniq))
+        for i in range(len(uniq) - 2, -1, -1):
+            chain = chain.when(v >= uniq[i], i + 1)
+        bucket = chain.otherwise(0).cast("long")
+    else:
+        bucket = F.lit(0).cast("long")
+    bucketed = df.withColumn("__rb", bucket)
+    lead = F.col(value_col).desc() if descending else F.col(value_col).asc()
+    order: list[Column] = [lead] + [F.col(t).asc() for t in tiebreakers]
+    wn = Window.partitionBy("__rb").orderBy(*order)
+    ws = wn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    numbered = bucketed.withColumn("__lr", F.row_number().over(wn)).withColumn(
+        "__ls", F.sum(sum_col).over(ws)
+    )
+    totals = bucketed.groupBy("__rb").agg(
+        F.count("*").alias("__cnt"), F.sum(sum_col).alias("__bsum")
+    )
+    ca = totals.select(F.col("__rb").alias("__ba"))
+    cb = totals.select(
+        F.col("__rb").alias("__bb"), F.col("__cnt").alias("__cb"), F.col("__bsum").alias("__sb")
+    )
+    # preceding-in-ORDER buckets: lower ids ascending, higher descending
+    cond = F.col("__bb") > F.col("__ba") if descending else F.col("__bb") < F.col("__ba")
+    offsets = (
+        ca.join(F.broadcast(cb), cond, "left")
+        .groupBy("__ba")
+        .agg(
+            F.coalesce(F.sum("__cb"), F.lit(0)).cast("long").alias("__off"),
+            F.sum("__sb").alias("__soff"),
+        )
+        .select(F.col("__ba").alias("__rb"), "__off", "__soff")
+    )
+    return (
+        numbered.join(F.broadcast(offsets), on="__rb", how="inner")
+        .withColumn(rank_col, (F.col("__off") + F.col("__lr")).cast("long"))
+        .withColumn(cum_col, F.col("__ls") + F.coalesce(F.col("__soff"), F.lit(0)))
+        .drop("__rb", "__lr", "__ls", "__off", "__soff")
+    )
+
+
 def ntile_exact(
     df: DataFrame,
     value_col: str,

@@ -328,6 +328,53 @@ def rolling_hash(docs: DataFrame, id_col: str, text_col: str, prefix_len: int = 
     return docs.select(F.col(id_col), F.expr(guarded).alias("rhash"))
 
 
+def winnowing_fingerprints(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 8,
+    prefix_len: int = 512,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-gram, slide a window
+    of ``w`` consecutive hashes, keep the minimum of each window
+    (leftmost position on ties), emit the distinct selected
+    (position, hash) pairs. Guarantees every match of length
+    ≥ w + k - 1 shares a fingerprint, with ~2/(w+1) selection density —
+    the standard local-similarity/plagiarism primitive, robust where a
+    single whole-doc hash (rolling_hash) is all-or-nothing.
+
+    Scale shape: entirely row-local — gram hashing, window minima and
+    dedup all happen inside per-row array expressions (no shuffle, no
+    UDF); output fan-out is bounded by ~prefix_len/(w/2) rows per doc.
+    The gram array is projected into its own column first (Catalyst
+    would otherwise inline the transform() per reference — the r2
+    tokenizer lesson). md5 keeps gram hashes engine-portable; window
+    minima compare the hex strings lexicographically in both engines.
+    """
+    t = f"substring({text_col}, 1, {prefix_len})"
+    grams = (
+        f"transform(sequence(1, greatest(length({t}) - {k - 1}, 1)),"
+        f" i -> md5(substring({t}, i, {k})))"
+    )
+    sel = (
+        f"array_distinct(transform(sequence(1, greatest(size(__g) - {w - 1}, 1)),"
+        f" j -> struct("
+        f"CAST(j - 1 + array_position(slice(__g, j, {w}), array_min(slice(__g, j, {w}))) AS INT) AS pos,"
+        f" array_min(slice(__g, j, {w})) AS gram_hash)))"
+    )
+    return (
+        docs.select(F.col(id_col), F.expr(grams).alias("__g"))
+        .select(F.col(id_col), F.explode(F.expr(sel)).alias("__fp"))
+        .select(
+            F.col(id_col),
+            F.col("__fp.pos").alias("pos"),
+            F.col("__fp.gram_hash").alias("gram_hash"),
+        )
+    )
+
+
 def redact_pii(
     docs: DataFrame, id_col: str, text_col: str, patterns: dict[str, str]
 ) -> DataFrame:

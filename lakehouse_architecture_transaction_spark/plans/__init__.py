@@ -9,6 +9,7 @@ from lakehouse_architecture_transaction_spark.plans import (  # noqa: F401
     analytics,
     analytics_tpch2,
     behavior,
+    customer_value,
     etl,
     pipeline_ops,
 )

@@ -818,6 +818,41 @@ def docs_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.rolling_hash(docs, id_col="doc_id", text_col="text").orderBy("doc_id")
 
 
+@register(
+    "docs_winnowing",
+    oracle="""
+    WITH d AS (SELECT doc_id, substr(text, 1, 512) AS t FROM documents),
+    g AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, greatest(length(t) - 7, 1)),
+                              i -> md5(substr(t, i, 8))) AS grams
+        FROM d
+    ),
+    s AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, greatest(len(grams) - 7, 1)),
+                   j -> {'pos': CAST(j - 1 + list_position(grams[j:j+7], list_min(grams[j:j+7])) AS INT),
+                         'gram_hash': list_min(grams[j:j+7])}) AS fps
+        FROM g
+    )
+    SELECT DISTINCT doc_id, fp.pos AS pos, fp.gram_hash AS gram_hash
+    FROM (SELECT doc_id, UNNEST(fps) AS fp FROM s)
+    ORDER BY doc_id ASC, pos ASC, gram_hash ASC
+    """,
+)
+def docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (operators/text.py
+    winnowing_fingerprints): window-min selection over k-gram md5
+    hashes — every shared substring of length ≥ w+k-1 = 15 is
+    guaranteed a common fingerprint, at ~2/(w+1) density. The oracle
+    replays the identical selection with DuckDB list lambdas (row
+    DISTINCT stands in for array_distinct — same set semantics)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.winnowing_fingerprints(docs, id_col="doc_id", text_col="text").orderBy(
+        "doc_id", "pos", "gram_hash"
+    )
+
+
 # -------------------------------------------------- embedding queries
 
 _Q_MAX = 8  # query set = vec_id < 8

@@ -531,3 +531,62 @@ def test_pca_projection_matches_numpy_top_eigenvector(spark, sf_dir):
     ours = np.array([got[i] for i in ids])
     corr = abs(np.corrcoef(ours, ref)[0, 1])
     assert corr > 0.99, corr  # 8 power rounds converge to the top axis
+
+
+def test_exact_global_cumsum_matches_window(spark):
+    # Bucketed running sum must equal a bare global-window running sum
+    # bit-for-bit, ascending AND descending, with ties in the value
+    # and DECIMAL sums (exact, order-independent accumulation).
+    from pyspark.sql import Window
+
+    from lakehouse_architecture_transaction_spark.operators.ranking import exact_global_cumsum
+
+    rows = [(i, float((i * 13) % 37), f"{(i * 7) % 100}.25") for i in range(211)]
+    df = spark.createDataFrame(rows, "id long, v double, m string").withColumn(
+        "m", F.col("m").cast("decimal(18,2)")
+    )
+    for desc in (False, True):
+        lead = F.col("v").desc() if desc else F.col("v").asc()
+        w = Window.orderBy(lead, F.col("id").asc())
+        want = {
+            (r["id"]): (r["rnk"], str(r["cum"]))
+            for r in df.withColumn("rnk", F.row_number().over(w))
+            .withColumn("cum", F.sum("m").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+            .collect()
+        }
+        got = {
+            r["id"]: (r["rank"], str(r["cum"]))
+            for r in exact_global_cumsum(
+                df, value_col="v", sum_col="m", tiebreakers=["id"], descending=desc
+            ).collect()
+        }
+        assert got == want, f"descending={desc}"
+
+
+def test_winnowing_guarantee_and_density(spark):
+    # Winnowing guarantee: any substring shared by two docs with
+    # length >= w + k - 1 (= 15 here) must yield at least one common
+    # selected gram hash; and selection keeps roughly 2/(w+1) of the
+    # k-gram positions.
+    from lakehouse_architecture_transaction_spark.operators.text import winnowing_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"  # 44 chars >> 15
+    docs = spark.createDataFrame(
+        [
+            (1, "AAAA" + shared + "BBBBCCCCDDDDEEEE"),
+            (2, "zzzzyyyyxxxxwwww" + shared + "qqqq"),
+            (3, "completely different text with no overlap at all 123"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnowing_fingerprints(docs, id_col="doc_id", text_col="text").collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r["doc_id"], set()).add(r["gram_hash"])
+    assert by_doc[1] & by_doc[2], "shared 44-char substring must share a fingerprint"
+    # density: windows = n - k - w + 2; distinct minima ~ 2/(w+1) of positions
+    n1 = len(docs.filter("doc_id = 1").collect()[0]["text"])
+    assert len(by_doc[1]) <= (n1 - 7) // 2  # far below one-per-position
+    # determinism: re-run yields the identical fingerprint set
+    fp2 = winnowing_fingerprints(docs, id_col="doc_id", text_col="text").collect()
+    assert sorted(map(tuple, fp)) == sorted(map(tuple, fp2))
