@@ -542,35 +542,44 @@ def pca_power_project(
     """
     q6 = _Q6_LAMBDA.format(x="x")
     qarr = F.expr(f"transform({vec_col}, x -> {q6})")
-    cells = (
-        emb.select(F.explode(
-            F.expr(
-                f"flatten(transform(transform({vec_col}, x -> {q6}), (qi, i) -> "
-                f"transform(transform({vec_col}, x -> {q6}), (qj, j) -> "
-                "struct(i AS i, j AS j, qi AS qi, qj AS qj))))"
-            )
-        ).alias("c"))
-        .select("c.*")
-        .groupBy("i", "j")
+    # SURVEY §6 array-projection hygiene: the quantized array is
+    # projected into its own column BEFORE the pair-cell lambda.
+    # Referencing the transform inline inside the outer lambda makes
+    # Catalyst re-evaluate the d-element HALF_UP quantization once per
+    # outer index — d quantization passes per row instead of 1.
+    # Gram rows, not pair cells: explode only d rows per input (one
+    # per dimension i, carrying the quantized array), then row i of
+    # QᵀQ is d codegen'd bigint SUM columns qi·__q[j] — no d²-row
+    # generate, no d²-group hash aggregate. The shuffle is still the
+    # same O(d²) volume (d groups × d sum columns of partials per
+    # partition), but the map side does d² fused multiply-adds per row
+    # inside whole-stage codegen instead of materializing d² rows.
+    sums = (
+        emb.select(qarr.alias("__q"))
+        .select(F.posexplode("__q").alias("i", "qi"), "__q")
+        .groupBy("i")
         .agg(
-            F.count("*").cast("bigint").alias("n"),
-            F.sum(F.col("qi") * F.col("qj")).cast("bigint").alias("sxy"),
+            *[F.sum(F.expr(f"qi * __q[{j}]")).cast("bigint").alias(f"s{j}") for j in range(dim)],
             F.sum("qi").cast("bigint").alias("sx"),
-            F.sum("qj").cast("bigint").alias("sy"),
+            F.count("*").cast("bigint").alias("n"),
         )
+        .localCheckpoint(eager=True)
     )
-    cov = (
-        (
-            F.col("sxy").cast("double")
-            - F.col("sx").cast("double") * F.col("sy").cast("double") / F.col("n")
-        )
-        / F.col("n")
-        / F.lit(1e12)
+    # per-dim exact sums as one broadcast array + the corpus count
+    sarr = sums.groupBy().agg(
+        F.expr("transform(array_sort(collect_list(struct(i, sx))), x -> x.sx)").alias("sv"),
+        F.max("n").alias("n"),
+    )
+    # cmat row i directly: cov(i,j) = (sxy_ij − sx_i·sx_j/n)/n/1e12
+    sxyarr = F.array(*[F.col(f"s{j}").cast("double") for j in range(dim)])
+    covrow = (
+        "zip_with(__sxy, sv, (a, b) -> "
+        "(a - CAST(sx AS DOUBLE) * CAST(b AS DOUBLE) / n) / n / 1e12)"
     )
     cmat = (
-        cells.select("i", "j", cov.alias("cov"))
-        .groupBy("i")
-        .agg(F.expr("transform(array_sort(collect_list(struct(j, cov))), s -> s.cov)").alias("row"))
+        sums.select(F.col("i"), sxyarr.alias("__sxy"), F.col("sx"))
+        .crossJoin(F.broadcast(sarr))
+        .select("i", F.expr(covrow).alias("row"))
         .localCheckpoint(eager=True)
     )
     # C → C^(2^squarings): C²[i][j] = dot(row_i, row_j) by symmetry.
@@ -593,17 +602,16 @@ def pca_power_project(
             )
             .localCheckpoint(eager=True)
         )
-    # per-dim means from the SAME quantized values (j via posexplode)
-    means = (
-        emb.select(F.posexplode(qarr).alias("j", "q"))
-        .groupBy("j")
-        .agg(F.sum("q").cast("bigint").alias("sq"), F.count("*").cast("bigint").alias("n"))
+    # per-dim means from the SAME quantized sums frame
+    marr = (
+        sums.groupBy()
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, CAST(sx AS DOUBLE) / n / 1e6 AS m))), s -> s.m)"
+            ).alias("m")
+        )
+        .localCheckpoint(eager=True)
     )
-    marr = means.groupBy().agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(j, CAST(sq AS DOUBLE) / n / 1e6 AS m))), s -> s.m)"
-        ).alias("m")
-    ).localCheckpoint(eager=True)
     spark = emb.sparkSession
     v = spark.range(1).select(
         F.expr(

@@ -1795,8 +1795,11 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PCA_DIM = 64
-_PCA_ITERS = 12
-_PCA_SQUARINGS = 2
+# 6 rounds with C⁸ ≡ 48 plain power rounds (same effective trajectory
+# budget as the previous 12×C⁴), but 9 checkpointed mini-jobs instead
+# of 14 — each localCheckpoint round is a fixed-latency job.
+_PCA_ITERS = 6
+_PCA_SQUARINGS = 3
 
 
 def _pca_oracle() -> str:
