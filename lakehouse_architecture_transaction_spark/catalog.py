@@ -37,7 +37,25 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Guarantee scan parallelism for compute-bound row-local
+    pipelines. A single-row-group parquet file is UNSPLITTABLE — Spark
+    assigns it to one task no matter what maxPartitionBytes says — so
+    a small-file table would run an expensive per-row pipeline (text
+    hashing, PCA gram rows, quantization) on one core. Round-robin
+    repartition ONLY when the file count is below the cluster's
+    parallelism: at real scale the table arrives as many files and
+    this is a no-op (no shuffle); at bench/test scale it costs one
+    tiny shuffle of the input bytes and buys full-width execution."""
+    par = spark.sparkContext.defaultParallelism
+    if len(df.inputFiles()) < par:
+        return df.repartition(par)
+    return df
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     if name == "events":
@@ -52,11 +70,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # wrong wall-clocks under any other driver's session. This
         # construction is timezone-independent and micro-exact
         # (interval seconds carry a decimal(18,0)/1e6).
+        prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
         ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type not in ("long", "bigint"):
+            # The file is not legacy-NANOS, so execution never needs
+            # the conf — restore the caller's session state instead of
+            # leaking it (a NANOS file must keep it set: the scan
+            # itself re-reads footers under the session conf).
+            if prior is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
         if ts_type == "timestamp_ntz":
-            return df
+            return _spread(df, spark) if spread else df
         # long = legacy nanos file; timestamp (ltz reader) = epoch
         # micros, which unix_micros() extracts timezone-independently.
         micros = "ts DIV 1000" if ts_type in ("long", "bigint") else "unix_micros(ts)"
@@ -64,8 +92,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             f"CAST(date_add(DATE '1970-01-01', CAST(({micros}) DIV 86400000000 AS INT)) AS TIMESTAMP_NTZ)"
             f" + make_dt_interval(0, 0, 0, CAST(({micros}) % 86400000000 AS DECIMAL(18,0)) / 1000000)"
         )
-        return df.withColumn("ts", F.expr(ntz))
-    return spark.read.parquet(table_path(sf_dir, name))
+        df = df.withColumn("ts", F.expr(ntz))
+        return _spread(df, spark) if spread else df
+    df = spark.read.parquet(table_path(sf_dir, name))
+    return _spread(df, spark) if spread else df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -348,24 +348,48 @@ def winnowing_fingerprints(
     Scale shape: entirely row-local — gram hashing, window minima and
     dedup all happen inside per-row array expressions (no shuffle, no
     UDF); output fan-out is bounded by ~prefix_len/(w/2) rows per doc.
-    The gram array is projected into its own column first (Catalyst
-    would otherwise inline the transform() per reference — the r2
-    tokenizer lesson). md5 keeps gram hashes engine-portable; window
-    minima compare the hex strings lexicographically in both engines.
+    The code-point and gram arrays are each projected into their own
+    column first (Catalyst would otherwise inline the transform() per
+    reference — the r2 tokenizer lesson). Gram hashes are Karp–Rabin
+    polynomial hashes over code points (the SIGMOD'03 paper's own hash
+    family), BIGINT mod 1e9+7 — engine-portable as a left fold, and
+    window minima compare cheap integers, not 32-char md5 hex strings
+    (the md5 variant cost ~3× more at sf0.1).
     """
     t = f"substring({text_col}, 1, {prefix_len})"
-    grams = (
-        f"transform(sequence(1, greatest(length({t}) - {k - 1}, 1)),"
-        f" i -> md5(substring({t}, i, {k})))"
+    cps = (
+        f"transform(sequence(1, greatest(length({t}), 1)),"
+        f" i -> CAST(coalesce(ascii(substr({t}, i, 1)), 0) AS BIGINT))"
     )
+    # Unrolled polynomial sum — congruent to the step-wise fold mod P
+    # (the oracle replays the fold form), but with no per-gram
+    # sequence/fold allocation. Max term ≈ 1.1e6·31⁷ ≈ 3e16, ×k = 2.4e17
+    # — safely inside BIGINT in both engines.
+    terms = " + ".join(
+        f"coalesce(try_element_at(__cp, j + {di}), 0) * {ROLLING_BASE ** (k - 1 - di)}"
+        for di in range(k)
+    )
+    grams = (
+        f"transform(sequence(1, greatest(size(__cp) - {k - 1}, 1)),"
+        f" j -> ({terms}) % {ROLLING_MOD})"
+    )
+    # Each window's slice is built ONCE and its minimum computed ONCE
+    # (bound via nested transform levels — SQL lambdas have no `let`):
+    # the single-level form rebuilt the slice three times per window
+    # (two array_min calls + one array_position), tripling the
+    # interpreted per-window constant.
     sel = (
-        f"array_distinct(transform(sequence(1, greatest(size(__g) - {w - 1}, 1)),"
-        f" j -> struct("
-        f"CAST(j - 1 + array_position(slice(__g, j, {w}), array_min(slice(__g, j, {w}))) AS INT) AS pos,"
-        f" array_min(slice(__g, j, {w})) AS gram_hash)))"
+        f"array_distinct(transform("
+        f"transform("
+        f"transform(sequence(1, greatest(size(__g) - {w - 1}, 1)),"
+        f" j -> struct(j AS j, slice(__g, j, {w}) AS s)),"
+        f" x -> struct(x.j AS j, x.s AS s, array_min(x.s) AS m)),"
+        f" y -> struct(CAST(y.j - 1 + array_position(y.s, y.m) AS INT) AS pos,"
+        f" y.m AS gram_hash)))"
     )
     return (
-        docs.select(F.col(id_col), F.expr(grams).alias("__g"))
+        docs.select(F.col(id_col), F.expr(cps).alias("__cp"))
+        .select(F.col(id_col), F.expr(grams).alias("__g"))
         .select(F.col(id_col), F.explode(F.expr(sel)).alias("__fp"))
         .select(
             F.col(id_col),

@@ -97,7 +97,7 @@ def customer_interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + (month(o.o_orderdate) - month(f.first_dt)) AS BIGINT) AS month_offset,
            COUNT(DISTINCT o.o_custkey) AS n_active,
            COUNT(*) AS n_orders,
-           CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS revenue
     FROM orders o JOIN f ON o.o_custkey = f.o_custkey
     GROUP BY 1, 2
     ORDER BY cohort_month ASC, month_offset ASC
@@ -133,8 +133,12 @@ def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("o_custkey").alias("n_active"),
             F.count("*").alias("n_orders"),
+            # DECIMAL(28,2) cell sums (not 18,2): a cohort cell at the
+            # 100 TB point can exceed DECIMAL(18,2)'s 1e16 bound, and
+            # Spark would null the overflow. Consistent with the RFM
+            # monetary sum.
             F.sum(F.expr("CAST(o_totalprice AS DECIMAL(18,2))"))
-            .cast("decimal(18,2)")
+            .cast("decimal(28,2)")
             .cast("double")
             .alias("revenue"),
         )
@@ -185,11 +189,17 @@ def supplier_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (
         li.groupBy(F.col("l_suppkey").alias("suppkey"))
         .agg(F.expr(f"SUM({_REV})").cast("decimal(18,4)").alias("rev"))
-        .withColumn("revd", F.col("rev").cast("double"))
+        # Rank on the WIDENED INTEGER key (rev·10⁴ is exact in BIGINT
+        # up to 9.2e14 currency units): a double key would collide
+        # distinct decimals beyond 2^53 and tiebreak by suppkey where
+        # the oracle orders by true decimal value. Bucket boundaries
+        # still come from the double projection internally — they only
+        # affect load balance, never order.
+        .withColumn("revi", F.expr("CAST(rev * 10000 AS BIGINT)"))
     )
     tot = s.agg(F.sum("rev").alias("t"))
     ranked = exact_global_cumsum(
-        s, value_col="revd", sum_col="rev", tiebreakers=["suppkey"],
+        s, value_col="revi", sum_col="rev", tiebreakers=["suppkey"],
         rank_col="rank", cum_col="cum", descending=True,
     )
     share = F.col("cum").cast("double") / F.col("t").cast("double")
