@@ -94,49 +94,82 @@ _SESSION_STATE = "session_start timestamp, session_end timestamp, n_events bigin
 _GAP_SECONDS = 1800
 
 
-def _session_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
-    """Incremental gap-sessionizer: rows extend the open session or
-    close it and start a new one. Sessions close ONLY when a
-    gap-exceeding event arrives (NoTimeout): wall-clock timers under
-    ``processAllAvailable`` schedule unbounded empty batches (round-1's
-    ProcessingTimeTimeout variant never drained), whereas event-driven
-    closure terminates with the input. The open session per user stays
-    in state; a production deployment that must flush idle sessions
-    would add EventTimeTimeout keyed to the watermark."""
-    (user_id,) = key
-    ts = pd.concat([p["ts"] for p in pdfs]).sort_values()
-    closed = []
-    if state.exists:
-        start, end, n = state.get
-    else:
-        start = end = None
-        n = 0
-    for t in ts:
-        if start is None:
-            start, end, n = t, t, 1
-        elif (t - end).total_seconds() > _GAP_SECONDS:
-            closed.append({"user_id": user_id, "session_start": start, "session_end": end, "n_events": n})
-            start, end, n = t, t, 1
+def _make_session_fn(idle_timeout_ms: int | None):
+    """Build the incremental gap-sessionizer. Rows extend the open
+    session or close it and start a new one.
+
+    Closure policy:
+    - ``idle_timeout_ms=None`` (default): sessions close ONLY when a
+      gap-exceeding event arrives (NoTimeout). Wall-clock timers under
+      ``processAllAvailable`` schedule unbounded empty batches
+      (round-1's always-on ProcessingTimeTimeout variant never
+      drained), whereas event-driven closure terminates with the
+      input. The open session per user stays in state.
+    - ``idle_timeout_ms=N``: production idle-flush semantics — after
+      each update the key arms a processing-time timer; when no event
+      arrives for N ms the group is invoked with ``state.hasTimedOut``
+      and the open session is emitted and the state dropped, so a
+      lone event's session eventually closes without a successor.
+    """
+
+    def _session_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            # timer fired: no data for this key — flush the open session
+            if state.exists:
+                start, end, n = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    [{"user_id": user_id, "session_start": start, "session_end": end, "n_events": n}]
+                )
+            return
+        ts = pd.concat([p["ts"] for p in pdfs]).sort_values()
+        closed = []
+        if state.exists:
+            start, end, n = state.get
         else:
-            end, n = t, n + 1
-    state.update((start, end, n))
-    if closed:
-        yield pd.DataFrame(closed)
+            start = end = None
+            n = 0
+        for t in ts:
+            if start is None:
+                start, end, n = t, t, 1
+            elif (t - end).total_seconds() > _GAP_SECONDS:
+                closed.append({"user_id": user_id, "session_start": start, "session_end": end, "n_events": n})
+                start, end, n = t, t, 1
+            else:
+                end, n = t, n + 1
+        state.update((start, end, n))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        if closed:
+            yield pd.DataFrame(closed)
+
+    return _session_fn
 
 
-def sessionize_stateful(events: DataFrame) -> DataFrame:
+#: module-level default (pickled by reference in tests/tools)
+_session_fn = _make_session_fn(None)
+
+
+def sessionize_stateful(events: DataFrame, idle_timeout_ms: int | None = None) -> DataFrame:
     """Custom stateful operator: per-user gap sessions maintained in
     group state (the streaming twin of plans/analytics.py
-    sessionize_events)."""
+    sessionize_events). With ``idle_timeout_ms`` set, idle keys are
+    flushed by a processing-time timer (see _make_session_fn)."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         events.select("user_id", "ts")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _session_fn,
+            _make_session_fn(idle_timeout_ms),
             outputStructType=_SESSION_OUT,
             stateStructType=_SESSION_STATE,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )
 

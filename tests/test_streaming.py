@@ -60,6 +60,49 @@ def test_stateful_sessionization_closes_sessions(spark, sf_dir, tmp_path):
         q.stop()
 
 
+def test_stateful_sessionization_idle_timeout_flush(spark, tmp_path):
+    # A lone event's session must close WITHOUT a successor event:
+    # the idle-timeout variant arms a processing-time timer per key,
+    # and the timed-out group flushes its open session.
+    import time
+
+    src = tmp_path / "lone_landing"
+    src.mkdir()
+    lone = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7, "click", 1.0, "{}")],
+        "event_id bigint, ts string, user_id bigint, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    lone.coalesce(1).write.parquet(str(src / "b0"))
+
+    from lakehouse_architecture_transaction_spark.streaming.pipeline import read_event_stream
+
+    stream = read_event_stream(spark, str(src / "*"))
+    q = (
+        sessionize_stateful(stream, idle_timeout_ms=1000)
+        .writeStream.format("memory")
+        .queryName("idle_sessions_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        # processAllAvailable is unusable here: pending processing-time
+        # timers keep scheduling batches, so it never drains (the
+        # round-1 finding). That same property is what flushes idle
+        # keys with NO successor event — so poll the sink instead.
+        deadline = time.time() + 90
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM idle_sessions_out WHERE user_id = 7").collect()
+            if rows:
+                break
+            time.sleep(0.5)
+        assert len(rows) == 1, "lone event's session never flushed by idle timeout"
+        assert rows[0]["n_events"] == 1
+        assert rows[0]["session_start"] == rows[0]["session_end"]
+    finally:
+        q.stop()
+
+
 def test_stream_upsert_into_laketable(spark, sf_dir, tmp_path):
     src = _stage_events(spark, sf_dir, tmp_path)
     table = LakeTable(spark, str(tmp_path / "events_table"), keys=["event_id"])
