@@ -343,6 +343,23 @@ class LakeTable:
             target = self.path
         return pruned_read(self.spark, target, where)
 
+    def register_scan(
+        self, name: str, where: list[Predicate], version: int | None = None
+    ) -> dict:
+        """Register a footer-pruned scan as a temp view so SQL-BY-NAME
+        queries get file-level data skipping too — the metastore leg of
+        the Delta/Iceberg contract (the reference's Athena queries hit
+        a Glue-crawled table whose manifest prunes partitions;
+        reference code/step_function_code.json "StartCrawler" →
+        Athena). The view's relation is built from the kept file list,
+        so every ``spark.sql(f"SELECT ... FROM {name}")`` plan scans
+        only surviving files; the residual predicates are applied in
+        the view, keeping correctness pruning-independent. Returns the
+        skipping report (files_total/read/skipped)."""
+        df, report = self.scan(where, version=version)
+        df.createOrReplaceTempView(name)
+        return report
+
     def append(self, df: DataFrame) -> None:
         """Blind append (the reference's rejected-records zone uses
         this mode — scripts/glue/script.py:190-192).

@@ -341,6 +341,32 @@ def test_pruned_read_file_skipping(spark, sf_dir, tmp_path):
     assert rep0["files_read"] == 0 and _none.count() == 0
 
 
+def test_register_scan_sql_by_name_pruning(spark, sf_dir, tmp_path):
+    """LakeTable.register_scan: SQL-by-name queries run over the
+    footer-pruned file set (the metastore path of data skipping) —
+    the plan's scan relation holds only surviving files, and results
+    equal the unpruned filter."""
+    from lakehouse_architecture_transaction_spark.catalog import load_table
+    from lakehouse_architecture_transaction_spark.lakehouse.table import LakeTable, zorder_write
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    out = str(tmp_path / "zo_sql")
+    zorder_write(orders, out, cols=["o_custkey", "o_totalprice"], num_files=16)
+    t = LakeTable(spark, out, keys=["o_orderkey"])
+    ck, tp = orders.stat.approxQuantile(["o_custkey", "o_totalprice"], [0.25], 0.01)
+    where = [("o_custkey", "<=", ck[0]), ("o_totalprice", "<=", tp[0])]
+    report = t.register_scan("orders_box", where)
+    assert report["files_skipped"] >= report["files_total"] // 2
+    got = spark.sql("SELECT COUNT(*) AS n, SUM(o_totalprice) AS s FROM orders_box").collect()[0]
+    expected = orders.filter((orders.o_custkey <= ck[0]) & (orders.o_totalprice <= tp[0]))
+    want = expected.agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("s")).collect()[0]
+    assert got["n"] == want["n"]
+    assert got["s"] == pytest.approx(want["s"])
+    # the by-name plan reads only the kept files
+    files = spark.sql("SELECT * FROM orders_box").inputFiles()
+    assert len(files) == report["files_read"]
+
+
 def test_laketable_scan_pruning(spark, tmp_path):
     """LakeTable.scan prunes snapshot files by footer stats and stays
     consistent with read()+filter across versions."""
