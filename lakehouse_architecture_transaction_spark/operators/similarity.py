@@ -254,9 +254,13 @@ def ivf_topk(
     label_col: str,
     query_ids: list[int],
     k: int = 5,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-style ANN: coarse quantization by per-label centroids, then
-    exact cosine inside the single nearest inverted list (nprobe=1).
+    exact cosine inside the ``nprobe`` nearest inverted lists.
+    Raising nprobe trades candidates (≈ nprobe·N/|cells| per query)
+    for recall without rebuilding the index — the standard IVF
+    recall knob (see tools/ann_frontier.py for the measured curve).
 
     The classic IVF structure with the labels standing in for trained
     k-means cells (the assignment/probe plan is identical; training is
@@ -296,12 +300,14 @@ def ivf_topk(
         .crossJoin(F.broadcast(cent))
         .withColumn("__d", F.expr(sqdist))
         .withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") == 1)
+        .filter(F.col("__rn") <= nprobe)
         .select("query_id", "__qv", F.col(label_col).alias("__cell"))
     )
     corpus = emb.select(
         F.col(id_col), F.col(vec_col), F.col(label_col).alias("__cell"), norm2_expr(vec_col).alias("__n2")
     )
+    # each corpus vector lives in exactly one cell, so probing nprobe
+    # disjoint cells needs no candidate dedup
     pairs = corpus.join(F.broadcast(assign), on="__cell", how="inner").filter(
         F.col(id_col) != F.col("query_id")
     )

@@ -885,6 +885,7 @@ def docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q_MAX = 8  # query set = vec_id < 8
 _K = 5
 _LSH_BITS = 4
+_IVF_NPROBE = 2  # probe the 2 nearest cells (~2·N/|cells| candidates)
 
 # Exact half-up quantization of a float to 9 decimals, as an integer
 # numerator. Spark's float→DECIMAL(18,9) cast rounds HALF_UP on the
@@ -1028,7 +1029,7 @@ def emb_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT query_id, qv, label FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d ASC, label ASC) AS rn
             FROM dist
-        ) WHERE rn = 1
+        ) WHERE rn <= {_IVF_NPROBE}
     ),
     c AS (SELECT vec_id, embedding, label, {_N2_FOLD} AS n2 FROM embeddings),
     scored AS (
@@ -1049,12 +1050,13 @@ def emb_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (operators/similarity.py ivf_topk): per-label centroid
-    coarse quantizer, nearest-cell probe, exact cosine inside the
-    cell's inverted list — the scale path past sign-LSH when lists
-    must shrink to N/|cells|."""
+    coarse quantizer, nprobe nearest-cell probes, exact cosine inside
+    the probed inverted lists — the scale path past sign-LSH when
+    lists must shrink to N/|cells|."""
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
     return S.ivf_topk(
-        emb, id_col="vec_id", vec_col="embedding", label_col="label", query_ids=list(range(_Q_MAX)), k=_K
+        emb, id_col="vec_id", vec_col="embedding", label_col="label",
+        query_ids=list(range(_Q_MAX)), k=_K, nprobe=_IVF_NPROBE,
     )
 
 
