@@ -90,6 +90,18 @@ HEADLINE = [
     "supplier_revenue_pareto",
     "customer_rfm_segments",
     "docs_winnowing",
+    # round-4 additions: window coverage, corpus/embedding QA,
+    # salted group top-k, jaccard estimates
+    "customer_order_span",
+    "orders_pctrank_in_segment",
+    "orders_gap_islands",
+    "events_interarrival_by_type",
+    "events_peak_hour_per_day",
+    "docs_minhash_jaccard_est",
+    "docs_rare_shingle_score",
+    "docs_top_quality_per_source",
+    "emb_norm_outliers",
+    "emb_nearest_centroid_confusion",
 ]
 
 

@@ -7,10 +7,12 @@ exposes the registry to the driver.
 
 from lakehouse_architecture_transaction_spark.plans import (  # noqa: F401
     analytics,
+    analytics3,
     analytics_tpch2,
     behavior,
     customer_value,
     etl,
     pipeline_ops,
+    pipeline_ops2,
 )
 from lakehouse_architecture_transaction_spark.plans.registry import REGISTRY, QuerySpec  # noqa: F401

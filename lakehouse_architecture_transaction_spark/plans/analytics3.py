@@ -1,0 +1,455 @@
+"""Analytics library, round 4: window-function coverage (FIRST/LAST
+VALUE, PERCENT_RANK/CUME_DIST, DENSE_RANK, LAG deltas, gaps-and-islands)
+plus calendar/profile shapes (weekday, monthly share, peak hour,
+top-brand-per-type, per-segment medians).
+
+Registry determinism discipline as everywhere: exact DECIMAL money
+sums with a DOUBLE output boundary, one double division per ratio,
+integer date arithmetic, unique tiebreakers on every ordering, and
+dates surfaced as midnight TIMESTAMP_NTZ (the lake's date-output
+convention — pandas/DuckDB then agree on dtype).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_transaction_spark.catalog import load_table
+from lakehouse_architecture_transaction_spark.plans.analytics import _REV
+from lakehouse_architecture_transaction_spark.plans.registry import register
+
+
+@register(
+    "customer_order_span",
+    oracle="""
+    SELECT o_custkey,
+           CAST(CAST(first_dt AS DATE) AS TIMESTAMP) AS first_dt,
+           CAST(CAST(last_dt AS DATE) AS TIMESTAMP) AS last_dt,
+           CAST(first_price AS DOUBLE) AS first_price,
+           CAST(last_price AS DOUBLE) AS last_price,
+           n_orders
+    FROM (
+        SELECT o_custkey,
+               FIRST_VALUE(o_orderdate) OVER w AS first_dt,
+               LAST_VALUE(o_orderdate) OVER w AS last_dt,
+               FIRST_VALUE(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS first_price,
+               LAST_VALUE(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS last_price,
+               COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ) WHERE rn = 1
+    ORDER BY o_custkey ASC
+    """,
+)
+def customer_order_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE/LAST_VALUE over an unbounded frame: each customer's
+    first and last order date and price in ONE window pass (no
+    min/max + join-back). Partitioned by custkey — fully parallel at
+    any scale; (date, orderkey) ordering makes the frame total."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    price = F.expr("CAST(o_totalprice AS DECIMAL(18,2))")
+    return (
+        orders.select(
+            "o_custkey",
+            F.first(F.col("o_orderdate")).over(wf).alias("__fd"),
+            F.last(F.col("o_orderdate")).over(wf).alias("__ld"),
+            F.first(price).over(wf).alias("__fp"),
+            F.last(price).over(wf).alias("__lp"),
+            F.count("*").over(Window.partitionBy("o_custkey")).alias("n_orders"),
+            F.row_number().over(w).alias("__rn"),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            "o_custkey",
+            F.expr("CAST(CAST(__fd AS DATE) AS TIMESTAMP_NTZ)").alias("first_dt"),
+            F.expr("CAST(CAST(__ld AS DATE) AS TIMESTAMP_NTZ)").alias("last_dt"),
+            F.col("__fp").cast("double").alias("first_price"),
+            F.col("__lp").cast("double").alias("last_price"),
+            "n_orders",
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "orders_pctrank_in_segment",
+    oracle="""
+    SELECT o.o_orderkey,
+           c.c_mktsegment,
+           CAST(year(o.o_orderdate) AS INTEGER) AS yr,
+           CAST(o.o_totalprice AS DOUBLE) AS price,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume_dist
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WINDOW w AS (PARTITION BY c.c_mktsegment, year(o.o_orderdate)
+                 ORDER BY CAST(o.o_totalprice AS DECIMAL(18,2)) ASC)
+    ORDER BY o_orderkey ASC
+    """,
+)
+def orders_pctrank_in_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK + CUME_DIST of each order's value within its
+    (market segment × year): where a given order sits in its peer
+    distribution. Ties share ranks (the SQL-standard semantics), so no
+    tiebreaker is needed for determinism; ordering is on the exact
+    DECIMAL value. Partitioning by segment×year keeps window groups
+    bounded (a bare per-segment window would funnel 1/5 of the fact
+    table through one task at 100 TB)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("c_mktsegment", F.year("o_orderdate")).orderBy(
+        F.expr("CAST(o_totalprice AS DECIMAL(18,2))").asc()
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "o_orderkey",
+            "c_mktsegment",
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume_dist"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "lineitem_returnflag_discount_ranks",
+    oracle=f"""
+    WITH a AS (
+        SELECT l_returnflag, l_discount,
+               COUNT(*) AS n_items,
+               CAST(SUM({_REV}) AS DECIMAL(18,4)) AS rev
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_returnflag, CAST(l_discount AS DOUBLE) AS discount, n_items,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY rev DESC) AS BIGINT) AS rev_rank
+    FROM a
+    ORDER BY l_returnflag ASC, rev_rank ASC, discount ASC
+    """,
+)
+def lineitem_returnflag_discount_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DENSE_RANK of discount levels by revenue within each return flag.
+    The window runs over the AGGREGATE (3 flags × 11 discount levels —
+    constant cardinality however large the fact table), never the
+    fact; dense_rank is tie-stable so no tiebreaker is needed in the
+    rank itself (the output ordering carries one)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.groupBy("l_returnflag", "l_discount").agg(
+        F.count("*").alias("n_items"),
+        F.expr(f"SUM({_REV})").cast("decimal(18,4)").alias("rev"),
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("rev").desc())
+    return a.select(
+        "l_returnflag",
+        F.col("l_discount").cast("double").alias("discount"),
+        "n_items",
+        F.col("rev").cast("double").alias("revenue"),
+        F.dense_rank().over(w).cast("bigint").alias("rev_rank"),
+    ).orderBy(F.col("l_returnflag").asc(), F.col("rev_rank").asc(), F.col("discount").asc())
+
+
+@register(
+    "events_interarrival_by_type",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               date_diff('microseconds',
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+                   ts) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(gap_us) AS n_gaps,
+           CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) / 1e6 AS mean_gap_s,
+           MIN(gap_us) AS min_gap_us,
+           MAX(gap_us) AS max_gap_us
+    FROM seq WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type ASC
+    """,
+)
+def events_interarrival_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gaps (LAG over the user timeline) in
+    exact integer MICROSECONDS — second-granularity date_diff counts
+    boundary crossings differently across engines, micros are the
+    storage resolution and exact in both — re-aggregated by the
+    arriving event's type. One user-key window pass, then a small
+    groupBy; mean is one division of exact BIGINT sums."""
+    events = load_table(spark, sf_dir, "events")
+    gaps = events.select(
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND, lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC), ts)"
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            (F.sum("gap_us").cast("double") / F.count("gap_us") / F.lit(1e6)).alias("mean_gap_s"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "orders_gap_islands",
+    oracle="""
+    WITH m AS (
+        SELECT DISTINCT o_custkey,
+               year(o_orderdate) * 12 + month(o_orderdate) AS mnum
+        FROM orders
+    ),
+    isl AS (
+        SELECT o_custkey,
+               mnum - ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY mnum ASC) AS island_key
+        FROM m
+    ),
+    lens AS (
+        SELECT o_custkey, island_key, COUNT(*) AS island_len
+        FROM isl GROUP BY 1, 2
+    )
+    SELECT CAST(island_len AS BIGINT) AS island_len,
+           COUNT(*) AS n_islands,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM lens GROUP BY island_len
+    ORDER BY island_len ASC
+    """,
+)
+def orders_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over each customer's active MONTHS: runs of
+    consecutive ordering months (island_key = month_number − row_number,
+    the classic trick), profiled as a run-length histogram. Everything
+    is integer arithmetic on custkey-partitioned windows — parallel at
+    any scale, and the final histogram is at run-length cardinality."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mnum"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy(F.col("mnum").asc())
+    isl = m.select("o_custkey", (F.col("mnum") - F.row_number().over(w)).alias("island_key"))
+    lens = isl.groupBy("o_custkey", "island_key").agg(F.count("*").alias("island_len"))
+    return (
+        lens.groupBy(F.col("island_len").cast("bigint").alias("island_len"))
+        .agg(F.count("*").alias("n_islands"), F.countDistinct("o_custkey").alias("n_customers"))
+        .orderBy("island_len")
+    )
+
+
+@register(
+    "orders_weekday_profile",
+    oracle="""
+    WITH a AS (
+        SELECT isodow(CAST(o_orderdate AS DATE)) AS dow,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+        FROM orders GROUP BY 1
+    ),
+    t AS (SELECT SUM(rev) AS tot FROM a)
+    SELECT CAST(dow AS INTEGER) AS dow, n_orders,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev AS DOUBLE) / n_orders AS avg_order_value,
+           CAST(rev AS DOUBLE) / CAST(t.tot AS DOUBLE) AS revenue_share
+    FROM a, t
+    ORDER BY dow ASC
+    """,
+)
+def orders_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order volume/revenue by ISO weekday (1=Mon..7=Sun): map-side
+    combinable 7-group aggregate; shares divide by a broadcast scalar
+    total (no window over the aggregate needed). Spark's weekday()
+    (0=Mon) + 1 equals DuckDB's isodow."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.groupBy((F.expr("weekday(o_orderdate)") + 1).cast("int").alias("dow")).agg(
+        F.count("*").alias("n_orders"),
+        F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)))").cast("decimal(18,2)").alias("rev"),
+    )
+    tot = a.agg(F.sum("rev").alias("tot"))
+    return (
+        a.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "n_orders",
+            F.col("rev").cast("double").alias("revenue"),
+            (F.col("rev").cast("double") / F.col("n_orders")).alias("avg_order_value"),
+            (F.col("rev").cast("double") / F.col("tot").cast("double")).alias("revenue_share"),
+        )
+        .orderBy("dow")
+    )
+
+
+@register(
+    "events_peak_hour_per_day",
+    oracle="""
+    WITH h AS (
+        SELECT CAST(ts AS DATE) AS day, hour(ts) AS hr, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day,
+           CAST(hr AS INTEGER) AS peak_hour, n AS n_events
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY day ORDER BY n DESC, hr ASC) AS rn
+        FROM h
+    ) WHERE rn = 1
+    ORDER BY day ASC
+    """,
+)
+def events_peak_hour_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Busiest hour of each day: aggregate to (day, hour) first (the
+    shuffle collapses to 24 rows per day with map-side combine), then
+    a row_number over each day's ≤24 rows — argmax with a
+    deterministic (count desc, hour asc) tiebreak, never a window over
+    raw events."""
+    events = load_table(spark, sf_dir, "events")
+    h = events.groupBy(
+        F.expr("CAST(ts AS DATE)").alias("day"), F.hour("ts").alias("hr")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("day").orderBy(F.col("n").desc(), F.col("hr").asc())
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.expr("CAST(day AS TIMESTAMP_NTZ)").alias("day"),
+            F.col("hr").cast("int").alias("peak_hour"),
+            F.col("n").alias("n_events"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "orders_monthly_share",
+    oracle="""
+    WITH a AS (
+        SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mon,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    y AS (SELECT yr, SUM(rev) AS yrev FROM a GROUP BY yr)
+    SELECT CAST(a.yr AS INTEGER) AS yr, CAST(a.mon AS INTEGER) AS mon, a.n_orders,
+           CAST(a.rev AS DOUBLE) AS revenue,
+           CAST(a.rev AS DOUBLE) / CAST(y.yrev AS DOUBLE) AS share_of_year
+    FROM a JOIN y ON a.yr = y.yr
+    ORDER BY yr ASC, mon ASC
+    """,
+)
+def orders_monthly_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue as a share of its year: fact collapses to
+    (year, month) with exact decimal sums; year totals re-aggregate
+    the 12-row groups and broadcast back — no window over the fact,
+    one double division per share."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mon")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)))").cast("decimal(18,2)").alias("rev"),
+    )
+    y = a.groupBy("yr").agg(F.sum("rev").alias("yrev"))
+    return (
+        a.join(F.broadcast(y), on="yr")
+        .select(
+            F.col("yr").cast("int").alias("yr"),
+            F.col("mon").cast("int").alias("mon"),
+            "n_orders",
+            F.col("rev").cast("double").alias("revenue"),
+            (F.col("rev").cast("double") / F.col("yrev").cast("double")).alias("share_of_year"),
+        )
+        .orderBy("yr", "mon")
+    )
+
+
+@register(
+    "part_top_brand_per_type",
+    oracle=f"""
+    WITH a AS (
+        SELECT p.p_type, p.p_brand,
+               COUNT(*) AS n_items,
+               CAST(SUM({_REV}) AS DECIMAL(18,4)) AS rev
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    )
+    SELECT p_type, p_brand AS top_brand, n_items,
+           CAST(rev AS DOUBLE) AS revenue
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY p_type ORDER BY rev DESC, p_brand ASC) AS rn
+        FROM a
+    ) WHERE rn = 1
+    ORDER BY p_type ASC
+    """,
+)
+def part_top_brand_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top revenue brand per part type: partkey-keyed fact-dim join,
+    aggregate to (type, brand) — ~150×25 rows — then argmax per type
+    over the tiny aggregate with a (revenue desc, brand asc)
+    tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type", "p_brand")
+    a = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_type", "p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.expr(f"SUM({_REV})").cast("decimal(18,4)").alias("rev"),
+        )
+    )
+    w = Window.partitionBy("p_type").orderBy(F.col("rev").desc(), F.col("p_brand").asc())
+    return (
+        a.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_type",
+            F.col("p_brand").alias("top_brand"),
+            "n_items",
+            F.col("rev").cast("double").alias("revenue"),
+        )
+        .orderBy("p_type")
+    )
+
+
+@register(
+    "customer_segment_median_order",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           quantile_cont(o.o_totalprice, 0.5) AS median_value,
+           quantile_cont(o.o_totalprice, 0.9) AS p90_value,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_value
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    ORDER BY c_mktsegment ASC
+    """,
+)
+def customer_segment_median_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median/p90 order value per market segment (both engines
+    interpolate at rank p·(n−1), so doubles match bit-for-bit — the
+    events_value_percentiles precedent), mean as one division of the
+    exact decimal sum. custkey-keyed join, 5-group aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("median_value"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90_value"),
+            (
+                F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)))").cast("double") / F.count("*")
+            ).alias("mean_value"),
+        )
+        .orderBy("c_mktsegment")
+    )

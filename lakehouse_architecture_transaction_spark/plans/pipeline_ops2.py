@@ -1,0 +1,615 @@
+"""Pipeline operators, round 4: corpus QA profiles (length histogram,
+char-class profile, shingle document-frequency histogram, rare-shingle
+novelty), dedup adjuncts (prefix-hash dup groups, MinHash Jaccard
+estimates, salted top-quality-per-source), embedding QA (exact-integer
+norm outliers, centroid distance matrix, nearest-centroid confusion)
+and two event-stream QA shapes (type co-occurrence, per-user activity
+quantiles).
+
+Same registry determinism discipline as pipeline_ops: every
+probabilistic value is md5-derived, every sum that feeds a double
+crosses the boundary from exact BIGINT/DECIMAL, no intermediate
+exceeds int64 (DuckDB's HUGEINT→DOUBLE is not correctly rounded), and
+every ordering carries a unique tiebreaker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_transaction_spark.catalog import load_table
+from lakehouse_architecture_transaction_spark.functions.hashing import MERSENNE_P, perm_coeffs
+from lakehouse_architecture_transaction_spark.operators import dedup as D
+from lakehouse_architecture_transaction_spark.operators import text as T
+from lakehouse_architecture_transaction_spark.plans.pipeline_ops import (
+    _BANDS,
+    _BUCKET_CAP,
+    _DOC_SHINGLES,
+    _NUM_PERMS,
+    _STOPS_SQL,
+    _TOKENS,
+)
+from lakehouse_architecture_transaction_spark.plans.registry import register
+
+# ------------------------------------------------------- document QA
+
+#: power-of-two length buckets (lower bound label); CASE chains are
+#: identical integer comparisons in both engines.
+_LEN_BOUNDS = [64, 128, 256, 512, 1024, 2048, 4096]
+
+
+def _len_bucket_sql(col: str) -> str:
+    whens = " ".join(f"WHEN {col} < {b} THEN {lo}" for lo, b in zip([0] + _LEN_BOUNDS, _LEN_BOUNDS))
+    return f"CASE {whens} ELSE {_LEN_BOUNDS[-1]} END"
+
+
+@register(
+    "docs_length_histogram",
+    oracle=f"""
+    WITH a AS (
+        SELECT CAST({_len_bucket_sql('n_chars')} AS BIGINT) AS bucket_lo,
+               COUNT(*) AS n_docs,
+               MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        FROM documents GROUP BY 1
+    ),
+    t AS (SELECT SUM(n_docs) AS total FROM a)
+    SELECT bucket_lo, n_docs, min_chars, max_chars,
+           CAST(n_docs AS DOUBLE) / t.total AS share
+    FROM a, t
+    ORDER BY bucket_lo ASC
+    """,
+)
+def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two document-length histogram — the corpus length
+    profile a filtering pipeline tunes its min/max-length cuts
+    against. Map-side combinable CASE-bucket aggregate (constant group
+    count), share via broadcast scalar total."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    a = docs.groupBy(
+        F.expr(_len_bucket_sql("n_chars")).cast("bigint").alias("bucket_lo")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    t = a.agg(F.sum("n_docs").alias("total"))
+    return (
+        a.crossJoin(F.broadcast(t))
+        .select(
+            "bucket_lo", "n_docs", "min_chars", "max_chars",
+            (F.col("n_docs").cast("double") / F.col("total")).alias("share"),
+        )
+        .orderBy("bucket_lo")
+    )
+
+
+_PFX = 16  # rolling-hash prefix length (code points) for front-dup groups
+
+
+@register(
+    "docs_prefix_dup_groups",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id,
+               CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT) ELSE
+                   list_reduce(
+                       [CAST(0 AS BIGINT)] || list_transform(
+                           generate_series(1, least(length(text), {_PFX})),
+                           i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+                       (acc, c) -> (acc * {T.ROLLING_BASE} + c) % {T.ROLLING_MOD})
+               END AS rhash
+        FROM documents
+    )
+    SELECT rhash, COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM h GROUP BY rhash HAVING COUNT(*) >= 2
+    ORDER BY rhash ASC
+    """,
+)
+def docs_prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Front-duplicate groups: docs sharing the rolling hash of their
+    first {n} code points (operators/text.py rolling_hash) — the cheap
+    shared-boilerplate-head / mirror-page detector that runs before
+    any shingling. One fixed-cost hash per doc, one groupBy at hash
+    cardinality.""".format(n=_PFX)
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    h = T.rolling_hash(docs, id_col="doc_id", text_col="text", prefix_len=_PFX)
+    return (
+        h.groupBy("rhash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("rhash")
+    )
+
+
+def _jaccard_est_oracle() -> str:
+    mins = ", ".join(
+        f"MIN((h * {a} + {b}) % {MERSENNE_P}) AS m{i}"
+        for i, (a, b) in enumerate(perm_coeffs(_NUM_PERMS))
+    )
+    rows = _NUM_PERMS // _BANDS
+    bands = []
+    for b in range(_BANDS):
+        cols = ", ".join(f"m{b * rows + r}::VARCHAR" for r in range(rows))
+        bands.append(f"SELECT doc_id, {b} AS band, md5(concat_ws('-', {cols})) AS bkey FROM sig")
+    band_union = " UNION ALL ".join(bands)
+    matches = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(_NUM_PERMS)
+    )
+    return f"""
+    WITH {_DOC_SHINGLES},
+    sig AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id),
+    bnd AS ({band_union}),
+    bndc AS (
+        SELECT doc_id, band, bkey FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY band, bkey ORDER BY doc_id ASC) AS bn FROM bnd
+        ) WHERE bn <= {_BUCKET_CAP}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bndc a JOIN bndc b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           CAST(({matches}) AS DOUBLE) / {_NUM_PERMS} AS jaccard_est
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.id_a
+    JOIN sig sb ON sb.doc_id = p.id_b
+    ORDER BY id_a ASC, id_b ASC
+    """
+
+
+@register("docs_minhash_jaccard_est", oracle=_jaccard_est_oracle())
+def docs_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated Jaccard for each LSH candidate pair from the MinHash
+    signatures already in hand (matching permutations / num_perms —
+    the textbook unbiased estimator): the cheap post-LSH filter that
+    decides which candidates earn an exact-verification pass. Two
+    signature joins at pair cardinality; no shingle re-join."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    sig = D.minhash_signature(docs, text_col="text", id_col="doc_id", num_perms=_NUM_PERMS, n=3)
+    pairs = D.lsh_candidate_pairs(
+        sig, id_col="doc_id", num_perms=_NUM_PERMS, bands=_BANDS, bucket_cap=_BUCKET_CAP
+    )
+    sa = sig.select(F.col("doc_id").alias("id_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(_NUM_PERMS)])
+    sb = sig.select(F.col("doc_id").alias("id_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(_NUM_PERMS)])
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(_NUM_PERMS)
+    )
+    return (
+        pairs.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .select(
+            "id_a", "id_b",
+            (matches.cast("double") / F.lit(_NUM_PERMS)).alias("jaccard_est"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+_DF_CLIP = 20
+
+
+@register(
+    "docs_shingle_df_hist",
+    oracle=f"""
+    WITH {_DOC_SHINGLES},
+    df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+    SELECT CAST(LEAST(df, {_DF_CLIP}) AS BIGINT) AS df_bucket,
+           COUNT(*) AS n_shingles
+    FROM df GROUP BY 1
+    ORDER BY df_bucket ASC
+    """,
+)
+def docs_shingle_df_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle document-frequency histogram (df clipped at {c}) — the
+    distribution that justifies the stop-shingle max-df cut: boilerplate
+    shingles sit in the clipped tail. Shuffle keyed on the shingle,
+    then a constant-cardinality histogram.""".format(c=_DF_CLIP)
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select("doc_id", D.tokens_expr("text").alias("__tk"))
+    sh = toks.select("doc_id", F.explode(D.shingle_expr(F.col("__tk"), 3)).alias("shingle"))
+    df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    return (
+        df.groupBy(F.least(F.col("df"), F.lit(_DF_CLIP)).cast("bigint").alias("df_bucket"))
+        .agg(F.count("*").alias("n_shingles"))
+        .orderBy("df_bucket")
+    )
+
+
+@register(
+    "docs_char_class_profile",
+    oracle=f"""
+    WITH m AS (
+        SELECT source,
+               CAST(length(text) AS BIGINT) AS chars,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digits,
+               CAST(len(regexp_extract_all(text, ' ')) AS BIGINT) AS spaces,
+               CAST(len({_TOKENS}) AS BIGINT) AS toks
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(chars) AS BIGINT) AS total_chars,
+           CAST(SUM(chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(SUM(digits) AS DOUBLE) / SUM(chars) AS digit_ratio,
+           CAST(SUM(spaces) AS DOUBLE) / SUM(chars) AS space_ratio,
+           CAST(SUM(chars) AS DOUBLE) / SUM(toks) AS chars_per_token
+    FROM m GROUP BY source
+    ORDER BY source ASC
+    """,
+)
+def docs_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-class profile (digit/space ratios, chars
+    per token) — the source-level QA table that flags machine-generated
+    or mis-encoded feeds before they enter the training mix. Row-local
+    counting, source-cardinality aggregate, ratios as single divisions
+    of exact BIGINT sums."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    m = docs.select(
+        "source",
+        F.length("text").cast("bigint").alias("chars"),
+        F.expr("size(regexp_extract_all(text, '[0-9]', 0))").cast("bigint").alias("digits"),
+        F.expr("size(regexp_extract_all(text, ' ', 0))").cast("bigint").alias("spaces"),
+        F.size(D.tokens_expr("text")).cast("bigint").alias("toks"),
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("chars").alias("total_chars"),
+            (F.sum("chars").cast("double") / F.count("*")).alias("avg_chars"),
+            (F.sum("digits").cast("double") / F.sum("chars")).alias("digit_ratio"),
+            (F.sum("spaces").cast("double") / F.sum("chars")).alias("space_ratio"),
+            (F.sum("chars").cast("double") / F.sum("toks")).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )
+
+
+_TOP_Q = 2
+_Q_SALTS = 8
+
+
+@register(
+    "docs_top_quality_per_source",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, source, text, {_TOKENS} AS tk FROM documents),
+    m AS (
+        SELECT doc_id, source,
+               CAST(length(text) AS BIGINT) AS chars,
+               CAST(len(tk) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text) AS punct_ratio,
+               CAST(len(list_filter(tk, x -> list_contains({_STOPS_SQL}, lower(x)))) AS DOUBLE) / len(tk) AS stop_ratio
+        FROM base
+    ),
+    q AS (
+        SELECT doc_id, source, CAST(
+              (CASE WHEN chars BETWEEN 50 AND 5000 THEN 0.25 ELSE 0.0 END)
+            + (CASE WHEN stop_ratio >= 0.05 THEN 0.25 ELSE 0.0 END)
+            + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END)
+            + (CASE WHEN n_tokens BETWEEN 10 AND 2000 THEN 0.25 ELSE 0.0 END) AS DOUBLE) AS quality
+        FROM m
+    )
+    SELECT source, doc_id, quality, CAST(rn AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rn
+        FROM q
+    ) WHERE rn <= {_TOP_Q}
+    ORDER BY source ASC, rank ASC
+    """,
+)
+def docs_top_quality_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} quality docs per source, computed in TWO salted phases:
+    per-(source, doc_id mod {s}) top-{k}, then top-{k} of the ≤{s}·{k}
+    survivors per source. Identical to a direct per-source window under
+    the total (quality desc, doc_id asc) order, but no single task ever
+    sees more than 1/{s} of a source — low-cardinality group top-k is
+    the classic window skew trap at 100 TB.""".format(k=_TOP_Q, s=_Q_SALTS)
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    quality = T.quality_score(docs, id_col="doc_id", text_col="text").select("doc_id", "quality")
+    q = quality.join(docs.select("doc_id", "source"), on="doc_id")
+    w1 = Window.partitionBy("source", F.expr(f"doc_id % {_Q_SALTS}")).orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    w2 = Window.partitionBy("source").orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    return (
+        q.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= _TOP_Q)
+        .withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rank") <= _TOP_Q)
+        .select("source", "doc_id", "quality", "rank")
+        .orderBy("source", "rank")
+    )
+
+
+@register(
+    "docs_rare_shingle_score",
+    oracle=f"""
+    WITH {_DOC_SHINGLES},
+    d AS (SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+    SELECT doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           CAST(SUM(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS rare_ratio
+    FROM d GROUP BY doc_id
+    ORDER BY doc_id ASC
+    """,
+)
+def docs_rare_shingle_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty score per doc: fraction of its distinct 3-gram shingles
+    that are corpus-rare (df ≤ 2) — high means fresh content, low
+    means the doc restates what the corpus already covers. Shuffle
+    keyed on the shingle for df, then re-aggregate on the doc — the
+    exact integer-ratio cousin of tf-idf (no logs, cross-engine
+    exact)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select("doc_id", D.tokens_expr("text").alias("__tk"))
+    sh = toks.select("doc_id", F.explode(D.shingle_expr(F.col("__tk"), 3)).alias("shingle"))
+    d = sh.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
+    rare = F.when(F.col("df") <= 2, 1).otherwise(0)
+    return (
+        d.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(rare).alias("n_rare"),
+            (F.sum(rare).cast("double") / F.count("*")).alias("rare_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------------ embedding QA
+
+#: power-of-two HALF_UP quantization: x·256 is EXACT in double (the
+#: scale is a power of two), so the only rounding is the defined
+#: half-up — and q ≤ 148 keeps Σq² per vector ≤ 1.4e6 and Σ(Σq²)²
+#: corpus-wide inside int64 up to ~4.6e6 vectors.
+_Q256 = "(CASE WHEN {x} < 0 THEN -1 ELSE 1 END) * CAST(floor(abs(CAST({x} AS DOUBLE)) * 256 + 0.5) AS BIGINT)"
+
+
+@register(
+    "emb_norm_outliers",
+    oracle=f"""
+    WITH n AS (
+        SELECT vec_id,
+               CAST(list_reduce(list_transform(embedding, v -> {_Q256.format(x='v')} * {_Q256.format(x='v')}),
+                    (a, b) -> a + b) AS BIGINT) AS n2q
+        FROM embeddings
+    ),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n2q) AS BIGINT) AS s1,
+                 CAST(SUM(n2q * n2q) AS BIGINT) AS s2 FROM n)
+    SELECT vec_id,
+           CAST(n2q AS DOUBLE) / 65536 AS norm2,
+           CASE WHEN CAST(n2q AS DOUBLE) * s.n > CAST(s.s1 AS DOUBLE) THEN 'high' ELSE 'low' END AS side
+    FROM n, s
+    WHERE (CAST(n2q AS DOUBLE) * s.n - CAST(s.s1 AS DOUBLE)) * (CAST(n2q AS DOUBLE) * s.n - CAST(s.s1 AS DOUBLE))
+          > 4 * (CAST(s.s2 AS DOUBLE) * s.n - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE))
+    ORDER BY vec_id ASC
+    """,
+)
+def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm outliers (|z| > 2 on the quantized squared norm)
+    — the dead/exploding-vector QA gate. Norms are exact int64 sums of
+    half-up 256-scaled squares; mean/variance come from exact corpus
+    sums (all inside int64 — see _Q256), and the z-test is the
+    CROSS-MULTIPLIED comparison on doubles converted from those exact
+    integers, so both engines evaluate identical IEEE expressions. No
+    sqrt, no per-row division."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    q2 = _Q256.format(x="v")
+    n = emb.select(
+        "vec_id",
+        F.expr(
+            f"CAST(aggregate(transform(embedding, v -> {q2} * {q2}), CAST(0 AS BIGINT), (a, b) -> a + b) AS BIGINT)"
+        ).alias("n2q"),
+    )
+    s = n.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("n2q").cast("bigint").alias("s1"),
+        F.sum(F.col("n2q") * F.col("n2q")).cast("bigint").alias("s2"),
+    )
+    dev = F.col("n2q").cast("double") * F.col("n") - F.col("s1").cast("double")
+    spread = (
+        F.col("s2").cast("double") * F.col("n")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+    )
+    return (
+        n.crossJoin(F.broadcast(s))
+        .filter(dev * dev > F.lit(4) * spread)
+        .select(
+            "vec_id",
+            (F.col("n2q").cast("double") / F.lit(65536)).alias("norm2"),
+            F.when(dev > 0, "high").otherwise("low").alias("side"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+#: exact decimal per-label centroids — same construction as the IVF
+#: coarse quantizer (plans/pipeline_ops.py emb_ann_ivf oracle).
+_CENT_SQL = """
+    flat AS (SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
+             FROM embeddings),
+    cent AS (SELECT label, pos,
+                    CAST(SUM((CASE WHEN v < 0 THEN -1 ELSE 1 END) *
+                             CAST(floor(abs(CAST(v AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+                    / 1e9 / COUNT(*) AS cv
+             FROM flat GROUP BY label, pos),
+    cent_arr AS (SELECT label, list(cv ORDER BY pos) AS cvec FROM cent GROUP BY label)
+"""
+
+_SQD_FOLD = (
+    "list_reduce(list_transform(list_zip(a.cvec, b.cvec), "
+    "z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))), "
+    "(x, y) -> x + y)"
+)
+
+
+def _centroids(emb: DataFrame) -> DataFrame:
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.expr(
+                    "CAST(SUM((CASE WHEN v < 0 THEN -1 ELSE 1 END) * "
+                    "CAST(floor(abs(CAST(v AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)"
+                )
+                / F.lit(1e9)
+                / F.count("*")
+            ).alias("cv")
+        )
+        .groupBy("label")
+        .agg(F.expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").alias("cvec"))
+    )
+
+
+@register(
+    "emb_centroid_distance_matrix",
+    oracle=f"""
+    WITH {_CENT_SQL}
+    SELECT a.label AS label_a, b.label AS label_b,
+           {_SQD_FOLD} AS sq_dist
+    FROM cent_arr a JOIN cent_arr b ON a.label < b.label
+    ORDER BY label_a ASC, label_b ASC
+    """,
+)
+def emb_centroid_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise squared distances between label centroids — the
+    class-separation QA matrix (labels whose centroids nearly coincide
+    are candidates for merging). Centroids are exact decimal means
+    (one narrow label×dim aggregate); the |labels|² matrix is a
+    broadcast self-join of a |labels|-row frame, each cell a
+    deterministic left fold."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    cent = _centroids(emb)
+    a = cent.select(F.col("label").alias("label_a"), F.col("cvec").alias("__ca"))
+    b = cent.select(F.col("label").alias("label_b"), F.col("cvec").alias("__cb"))
+    fold = (
+        "aggregate(zip_with(__ca, __cb, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("label_a") < F.col("label_b"))
+        .select("label_a", "label_b", F.expr(fold).alias("sq_dist"))
+        .orderBy("label_a", "label_b")
+    )
+
+
+@register(
+    "emb_nearest_centroid_confusion",
+    oracle=f"""
+    WITH {_CENT_SQL},
+    d AS (
+        SELECT e.vec_id, e.label AS true_label, c.label AS cand,
+               list_reduce(list_transform(list_zip(e.embedding, c.cvec),
+                   z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))),
+                   (x, y) -> x + y) AS dist
+        FROM embeddings e CROSS JOIN cent_arr c
+    ),
+    best AS (
+        SELECT vec_id, true_label, cand AS nearest_label FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cand ASC) AS rn
+            FROM d
+        ) WHERE rn = 1
+    )
+    SELECT true_label, nearest_label, COUNT(*) AS n_vectors
+    FROM best GROUP BY 1, 2
+    ORDER BY true_label ASC, nearest_label ASC
+    """,
+)
+def emb_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid confusion counts: how many of each label's
+    vectors sit closer to ANOTHER label's centroid — the clusterability
+    check behind the IVF coarse quantizer (a noisy confusion row means
+    that cell will leak its vectors' neighbors). Broadcast |labels|
+    centroids, map-side argmin per vector (distance asc, label asc
+    tiebreak), aggregate at |labels|² cardinality."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    cent = _centroids(emb).select(F.col("label").alias("cand"), F.col("cvec").alias("__cv"))
+    fold = (
+        "aggregate(zip_with(embedding, __cv, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("__d").asc(), F.col("cand").asc())
+    best = (
+        emb.select("vec_id", F.col("label").alias("true_label"), "embedding")
+        .crossJoin(F.broadcast(cent))
+        .withColumn("__d", F.expr(fold))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    return (
+        best.groupBy("true_label", F.col("cand").alias("nearest_label"))
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("true_label", "nearest_label")
+    )
+
+
+# -------------------------------------------------------- event QA
+
+
+@register(
+    "events_type_cooccurrence",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_users
+    FROM u a JOIN u b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    ORDER BY type_a ASC, type_b ASC
+    """,
+)
+def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence: users exhibiting both types, per
+    unordered pair — the behavioral-overlap matrix. Dedup to
+    (user, type) first (≤ |types| rows per user, so the user-keyed
+    self-join has bounded fan-out), aggregate at |types|²."""
+    events = load_table(spark, sf_dir, "events")
+    u = events.select("user_id", "event_type").distinct()
+    a = u.select("user_id", F.col("event_type").alias("type_a"))
+    b = u.select("user_id", F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, on="user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+@register(
+    "events_user_activity_quantiles",
+    oracle="""
+    WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_events,
+           quantile_cont(n, 0.5) AS p50,
+           quantile_cont(n, 0.9) AS p90,
+           quantile_cont(n, 0.99) AS p99
+    FROM c
+    """,
+)
+def events_user_activity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity distribution (exact p50/p90/p99 of event
+    counts + mean): the engagement-skew summary that sizes bot cuts
+    and sampling rates. User counts aggregate in parallel; the exact
+    quantile then runs at USER cardinality (not events). Both engines
+    interpolate at rank p·(n−1), so doubles match bit-for-bit."""
+    events = load_table(spark, sf_dir, "events")
+    c = events.groupBy("user_id").agg(F.count("*").alias("n"))
+    return c.agg(
+        F.count("*").alias("n_users"),
+        F.sum("n").alias("n_events"),
+        (F.sum("n").cast("double") / F.count("*")).alias("mean_events"),
+        F.expr("percentile(n, 0.5)").alias("p50"),
+        F.expr("percentile(n, 0.9)").alias("p90"),
+        F.expr("percentile(n, 0.99)").alias("p99"),
+    )
