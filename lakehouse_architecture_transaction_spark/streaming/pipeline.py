@@ -94,7 +94,7 @@ _SESSION_STATE = "session_start timestamp, session_end timestamp, n_events bigin
 _GAP_SECONDS = 1800
 
 
-def _make_session_fn(idle_timeout_ms: int | None):
+def _make_session_fn(idle_timeout_ms: int | None, event_time_gap_s: int | None = None):
     """Build the incremental gap-sessionizer. Rows extend the open
     session or close it and start a new one.
 
@@ -110,6 +110,12 @@ def _make_session_fn(idle_timeout_ms: int | None):
       arrives for N ms the group is invoked with ``state.hasTimedOut``
       and the open session is emitted and the state dropped, so a
       lone event's session eventually closes without a successor.
+    - ``event_time_gap_s=G``: WATERMARK-driven closure — the key arms
+      an event-time timer at session_end + G; when the stream's
+      watermark (advanced by OTHER keys' data) passes it, the open
+      session flushes. Deterministic w.r.t. the input (no wall
+      clock), so ``processAllAvailable`` still drains — the
+      production semantics for late-data-tolerant sessionization.
     """
 
     def _session_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
@@ -141,6 +147,10 @@ def _make_session_fn(idle_timeout_ms: int | None):
         state.update((start, end, n))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
+        elif event_time_gap_s is not None:
+            # naive pandas Timestamp.timestamp() reads as UTC — matches
+            # the UTC-pinned session the streaming pipelines run under
+            state.setTimeoutTimestamp(int(end.timestamp() * 1000) + event_time_gap_s * 1000)
         if closed:
             yield pd.DataFrame(closed)
 
@@ -151,21 +161,32 @@ def _make_session_fn(idle_timeout_ms: int | None):
 _session_fn = _make_session_fn(None)
 
 
-def sessionize_stateful(events: DataFrame, idle_timeout_ms: int | None = None) -> DataFrame:
+def sessionize_stateful(
+    events: DataFrame,
+    idle_timeout_ms: int | None = None,
+    event_time_gap_s: int | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
     """Custom stateful operator: per-user gap sessions maintained in
     group state (the streaming twin of plans/analytics.py
     sessionize_events). With ``idle_timeout_ms`` set, idle keys are
-    flushed by a processing-time timer (see _make_session_fn)."""
-    timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if idle_timeout_ms is not None
-        else GroupStateTimeout.NoTimeout
-    )
+    flushed by a processing-time timer; with ``event_time_gap_s`` set,
+    by an event-time timer keyed to the stream's watermark (see
+    _make_session_fn for the trade-offs)."""
+    if idle_timeout_ms is not None and event_time_gap_s is not None:
+        raise ValueError("choose ONE of idle_timeout_ms / event_time_gap_s")
+    if idle_timeout_ms is not None:
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
+    elif event_time_gap_s is not None:
+        timeout = GroupStateTimeout.EventTimeTimeout
+        events = events.withWatermark("ts", watermark)
+    else:
+        timeout = GroupStateTimeout.NoTimeout
     return (
         events.select("user_id", "ts")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _make_session_fn(idle_timeout_ms),
+            _make_session_fn(idle_timeout_ms, event_time_gap_s),
             outputStructType=_SESSION_OUT,
             stateStructType=_SESSION_STATE,
             outputMode="append",

@@ -103,6 +103,54 @@ def test_stateful_sessionization_idle_timeout_flush(spark, tmp_path):
         q.stop()
 
 
+def test_stateful_sessionization_event_time_flush(spark, tmp_path):
+    # Watermark-driven closure: user 7's lone session must flush when
+    # OTHER users' (much later) events advance the watermark past
+    # session_end + gap — no wall clock, so processAllAvailable drains.
+    src = tmp_path / "et_landing"
+    src.mkdir()
+    schema = "event_id bigint, ts string, user_id bigint, event_type string, value double, props string"
+    b0 = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7, "click", 1.0, "{}")], schema
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    b0.coalesce(1).write.parquet(str(src / "b0"))
+
+    from lakehouse_architecture_transaction_spark.streaming.pipeline import (
+        read_event_stream,
+        sessionize_stateful,
+    )
+
+    stream = read_event_stream(spark, str(src / "*"))
+    q = (
+        sessionize_stateful(stream, event_time_gap_s=600, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("et_sessions_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM et_sessions_out WHERE user_id = 7").count() == 0
+        # user 8 events far in the future: watermark -> 11:50, well past
+        # user 7's 10:00 end + 600s timer
+        b1 = spark.createDataFrame(
+            [(2, "2024-01-01 12:00:00", 8, "click", 1.0, "{}")], schema
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        b1.coalesce(1).write.parquet(str(src / "b1"))
+        q.processAllAvailable()
+        # one more batch so the new watermark is APPLIED to timers
+        b2 = spark.createDataFrame(
+            [(3, "2024-01-01 12:30:00", 8, "click", 1.0, "{}")], schema
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        b2.coalesce(1).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM et_sessions_out WHERE user_id = 7").collect()
+        assert len(rows) == 1
+        assert rows[0]["n_events"] == 1
+    finally:
+        q.stop()
+
+
 def test_stream_upsert_into_laketable(spark, sf_dir, tmp_path):
     src = _stage_events(spark, sf_dir, tmp_path)
     table = LakeTable(spark, str(tmp_path / "events_table"), keys=["event_id"])
