@@ -453,3 +453,89 @@ def customer_segment_median_order(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "events_session_stats",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                         > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ), sess AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM ordered
+    ), per AS (
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               date_diff('microseconds', MIN(ts), MAX(ts)) AS dur_us
+        FROM sess GROUP BY 1, 2
+    )
+    SELECT COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_single_event,
+           CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS mean_events,
+           CAST(SUM(dur_us) AS DOUBLE) / COUNT(*) / 1e6 AS mean_duration_s,
+           CAST(MAX(dur_us) AS DOUBLE) / 1e6 AS max_duration_s,
+           quantile_cont(n_events, 0.5) AS p50_events
+    FROM per
+    """,
+)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level distribution over the batch sessionization (the
+    summary a product team reads off A12's session table): session
+    count, single-event share, mean events/duration, exact median
+    events. Composes sessionize_events — the sessions aggregate once
+    more to ONE row; durations are exact integer micros."""
+    from lakehouse_architecture_transaction_spark.plans.analytics import sessionize_events
+
+    sess = sessionize_events(spark, sf_dir)
+    per = sess.select(
+        "n_events",
+        F.expr("timestampdiff(MICROSECOND, session_start, session_end)").alias("dur_us"),
+    )
+    single = F.when(F.col("n_events") == 1, 1).otherwise(0)
+    return per.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(single).cast("bigint").alias("n_single_event"),
+        (F.sum("n_events").cast("double") / F.count("*")).alias("mean_events"),
+        (F.sum("dur_us").cast("double") / F.count("*") / F.lit(1e6)).alias("mean_duration_s"),
+        (F.max("dur_us").cast("double") / F.lit(1e6)).alias("max_duration_s"),
+        F.expr("percentile(n_events, 0.5)").alias("p50_events"),
+    )
+
+
+@register(
+    "events_weekly_active_users",
+    oracle="""
+    WITH w AS (
+        SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
+               COUNT(DISTINCT user_id) AS wau,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1
+    )
+    SELECT week_start, wau, n_events,
+           wau - LAG(wau) OVER (ORDER BY week_start ASC) AS wau_delta
+    FROM w
+    ORDER BY week_start ASC
+    """,
+)
+def events_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly active users with week-over-week delta: the fact
+    collapses to (week, distinct users) — COUNT DISTINCT shuffles on
+    (week, user) with partial dedup map-side — and the LAG runs over
+    the |weeks|-row aggregate only (bounded at ~52 rows/year — the
+    unpartitioned window touches a constant-size frame, the same class
+    as a scalar aggregate, never the fact). date_trunc('week') is
+    Monday-based in both engines."""
+    events = load_table(spark, sf_dir, "events")
+    w = events.groupBy(F.date_trunc("week", F.col("ts")).alias("week_start")).agg(
+        F.countDistinct("user_id").alias("wau"),
+        F.count("*").alias("n_events"),
+    )
+    lw = Window.orderBy(F.col("week_start").asc())
+    return (
+        w.withColumn("wau_delta", F.col("wau") - F.lag("wau").over(lw))
+        .orderBy("week_start")
+    )

@@ -613,3 +613,48 @@ def events_user_activity_quantiles(spark: SparkSession, sf_dir: str) -> DataFram
         F.expr("percentile(n, 0.9)").alias("p90"),
         F.expr("percentile(n, 0.99)").alias("p99"),
     )
+
+
+def _source_dup_oracle() -> str:
+    from lakehouse_architecture_transaction_spark.plans.pipeline_ops import (
+        _dup_clusters_oracle,  # noqa: PLC0415 — oracle text reuse
+    )
+
+    clusters_sql = _dup_clusters_oracle().replace("ORDER BY doc_id ASC", "")
+    return f"""
+    WITH cl AS ({clusters_sql}),
+    j AS (SELECT cl.doc_id, cl.cluster_id, d.source FROM cl JOIN documents d USING (doc_id)),
+    p AS (
+        SELECT LEAST(a.source, b.source) AS source_a,
+               GREATEST(a.source, b.source) AS source_b
+        FROM j a JOIN j b ON a.cluster_id = b.cluster_id AND a.doc_id < b.doc_id
+    )
+    SELECT source_a, source_b, COUNT(*) AS n_dup_pairs
+    FROM p GROUP BY 1, 2
+    ORDER BY source_a ASC, source_b ASC
+    """
+
+
+@register("docs_near_dup_rate_by_source", oracle=_source_dup_oracle())
+def docs_near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplicate matrix: cluster-coincident doc
+    pairs counted per unordered source pair — the table that tells a
+    curation team WHICH feeds mirror each other (drop one) versus
+    self-duplicate (dedup in place). Reuses the session's memoized
+    cluster frame; the self-join is keyed on cluster_id, whose sizes
+    the LSH bucket cap already bounds."""
+    from lakehouse_architecture_transaction_spark.plans.pipeline_ops import _cluster_frame
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    j = _cluster_frame(spark, sf_dir).join(docs.select("doc_id", "source"), on="doc_id")
+    a = j.select(F.col("cluster_id"), F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
+    b = j.select(F.col("cluster_id"), F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
+    pairs = a.join(b, on="cluster_id").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_dup_pairs"))
+        .orderBy("source_a", "source_b")
+    )
