@@ -495,7 +495,7 @@ def docs_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of each doc's distinct 3-gram shingles shared by more
     than {df} docs — the strip-before-dedup signal for web-scale
     corpora.""".format(df=_BOILER_DF)
-    docs = load_table(spark, sf_dir, "documents", spread=True)
+    docs = load_table(spark, sf_dir, "documents")
     return D.boilerplate_score(
         docs, text_col="text", id_col="doc_id", n=3, df_threshold=_BOILER_DF
     ).orderBy("doc_id")
@@ -516,7 +516,7 @@ def docs_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary (operators/text.py vocabulary): top-50 tokens
     by occurrence with doc frequency — the wordcount shape with
     map-side combine and a deterministic top-k."""
-    docs = load_table(spark, sf_dir, "documents", spread=True)
+    docs = load_table(spark, sf_dir, "documents")
     return T.vocabulary(docs, id_col="doc_id", text_col="text", k=50)
 
 

@@ -641,20 +641,36 @@ def docs_near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs counted per unordered source pair — the table that tells a
     curation team WHICH feeds mirror each other (drop one) versus
     self-duplicate (dedup in place). Reuses the session's memoized
-    cluster frame; the self-join is keyed on cluster_id, whose sizes
-    the LSH bucket cap already bounds."""
+    cluster frame, and NEVER materializes doc pairs: the cluster
+    collapses to (cluster, source) member counts first (≤ |sources|
+    rows per cluster however large the cluster), and pair counts are
+    the products cnt_a·cnt_b (a<b) / cnt·(cnt−1)/2 (within-source) —
+    exact, with the shuffle at cluster×source cardinality. The oracle
+    counts the literal pairs; the closed forms agree."""
     from lakehouse_architecture_transaction_spark.plans.pipeline_ops import _cluster_frame
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
     j = _cluster_frame(spark, sf_dir).join(docs.select("doc_id", "source"), on="doc_id")
-    a = j.select(F.col("cluster_id"), F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
-    b = j.select(F.col("cluster_id"), F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
-    pairs = a.join(b, on="cluster_id").filter(F.col("id_a") < F.col("id_b"))
-    return (
-        pairs.groupBy(
-            F.least("sa", "sb").alias("source_a"),
-            F.greatest("sa", "sb").alias("source_b"),
+    cnt = j.groupBy("cluster_id", "source").agg(F.count("*").alias("cnt"))
+    a = cnt.select("cluster_id", F.col("source").alias("sa"), F.col("cnt").alias("ca"))
+    b = cnt.select("cluster_id", F.col("source").alias("sb"), F.col("cnt").alias("cb"))
+    cross = (
+        a.join(b, on="cluster_id")
+        .filter(F.col("sa") < F.col("sb"))
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            (F.col("ca") * F.col("cb")).alias("pairs"),
         )
-        .agg(F.count("*").alias("n_dup_pairs"))
+    )
+    within = cnt.filter(F.col("cnt") >= 2).select(
+        F.col("source").alias("source_a"),
+        F.col("source").alias("source_b"),
+        (F.col("cnt") * (F.col("cnt") - 1) / 2).cast("bigint").alias("pairs"),
+    )
+    return (
+        cross.unionByName(within)
+        .groupBy("source_a", "source_b")
+        .agg(F.sum("pairs").cast("bigint").alias("n_dup_pairs"))
         .orderBy("source_a", "source_b")
     )
