@@ -102,6 +102,7 @@ HEADLINE = [
     "docs_top_quality_per_source",
     "emb_norm_outliers",
     "emb_nearest_centroid_confusion",
+    "events_session_window",
 ]
 
 

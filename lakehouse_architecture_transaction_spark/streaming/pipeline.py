@@ -195,6 +195,23 @@ def sessionize_stateful(
     )
 
 
+def sessionize_native(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Spark-NATIVE streaming sessionization: watermarked
+    ``session_window`` aggregation (merge-on-overlap session state
+    managed by the engine, closed and emitted when the watermark
+    passes session end + gap). The declarative alternative to
+    ``sessionize_stateful`` — no Python state function, state bounded
+    by the watermark; append-mode capable. Batch-equivalence is pinned
+    against the lag+cumsum formulation by test (and the registered
+    batch query events_session_window shares the oracle)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window(F.col("ts"), gap).alias("w"))
+        .agg(F.min("ts").alias("session_start"), F.max("ts").alias("session_end"), F.count("*").alias("n_events"))
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
 def dedup_stream(events: DataFrame, keys: list[str] | None = None, within: str = "1 hour") -> DataFrame:
     """Streaming exact dedup: drop re-deliveries of the same key seen
     within the watermark horizon. State is bounded by the watermark

@@ -151,6 +151,37 @@ def test_stateful_sessionization_event_time_flush(spark, tmp_path):
         q.stop()
 
 
+def test_native_session_window_stream_matches_batch(spark, sf_dir, tmp_path):
+    # Native session_window streaming sessionization: closed sessions
+    # (watermark-passed) must agree with the batch session_window
+    # aggregation on the same data.
+    from lakehouse_architecture_transaction_spark.streaming.pipeline import sessionize_native
+
+    src = _stage_events(spark, sf_dir, tmp_path)
+    events = read_event_stream(spark, src)
+    q = run_stream_to_memory(sessionize_native(events), "native_sessions_out")
+    try:
+        got = {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.sql("SELECT * FROM native_sessions_out").collect()
+        }
+        batch = (
+            load_table(spark, sf_dir, "events")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .groupBy("user_id", F.session_window(F.col("ts"), "30 minutes").alias("w"))
+            .agg(F.min("ts").alias("s"), F.max("ts").alias("e"), F.count("*").alias("n"))
+        )
+        want = {(r["user_id"], r["s"], r["e"], r["n"]) for r in batch.collect()}
+        # append mode emits only watermark-closed sessions: a subset,
+        # and every emitted session must match a batch session exactly
+        assert got, "no sessions closed"
+        assert got <= want
+        # the overwhelming majority of a month of sessions close
+        assert len(got) >= len(want) * 0.9
+    finally:
+        q.stop()
+
+
 def test_stream_upsert_into_laketable(spark, sf_dir, tmp_path):
     src = _stage_events(spark, sf_dir, tmp_path)
     table = LakeTable(spark, str(tmp_path / "events_table"), keys=["event_id"])
