@@ -157,12 +157,33 @@ def _minhash_oracle() -> str:
     """
 
 
+#: Session-scoped memo of the MinHash signature frame, keyed by
+#: (applicationId, sf_dir). Four queries consume the SAME signatures
+#: (lsh_pairs, jaccard_est, and the cluster memo's build) — in a real
+#: pipeline the signature table is computed once and persisted. One
+#: row per doc × num_perms longs after localCheckpoint truncation.
+_SIG_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _signature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _SIG_MEMO.get(key)
+    if got is not None:
+        return got
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    sig = D.minhash_signature(
+        docs, text_col="text", id_col="doc_id", num_perms=_NUM_PERMS, n=3
+    ).localCheckpoint(eager=True)
+    _SIG_MEMO[key] = sig
+    return sig
+
+
 @register("docs_minhash_lsh_pairs", oracle=_minhash_oracle().format(cap=_BUCKET_CAP))
 def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (16 perms) + LSH banding (4×4) candidate pairs, buckets
-    capped (operators/dedup.py lsh_candidate_pairs)."""
-    docs = load_table(spark, sf_dir, "documents", spread=True)
-    sig = D.minhash_signature(docs, text_col="text", id_col="doc_id", num_perms=_NUM_PERMS, n=3)
+    capped (operators/dedup.py lsh_candidate_pairs); signatures come
+    from the session memo (_signature_frame)."""
+    sig = _signature_frame(spark, sf_dir)
     return D.lsh_candidate_pairs(
         sig, id_col="doc_id", num_perms=_NUM_PERMS, bands=_BANDS, bucket_cap=_BUCKET_CAP
     ).orderBy("id_a", "id_b")
@@ -202,7 +223,7 @@ def _cluster_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     if got is not None:
         return got
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    sig = D.minhash_signature(docs, text_col="text", id_col="doc_id", num_perms=_NUM_PERMS, n=3)
+    sig = _signature_frame(spark, sf_dir)
     pairs = D.lsh_candidate_pairs(
         sig, id_col="doc_id", num_perms=_NUM_PERMS, bands=_BANDS, bucket_cap=_BUCKET_CAP
     )

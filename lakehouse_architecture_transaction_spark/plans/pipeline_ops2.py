@@ -169,9 +169,12 @@ def docs_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures already in hand (matching permutations / num_perms —
     the textbook unbiased estimator): the cheap post-LSH filter that
     decides which candidates earn an exact-verification pass. Two
-    signature joins at pair cardinality; no shingle re-join."""
-    docs = load_table(spark, sf_dir, "documents", spread=True)
-    sig = D.minhash_signature(docs, text_col="text", id_col="doc_id", num_perms=_NUM_PERMS, n=3)
+    signature joins at pair cardinality; no shingle re-join — the
+    signatures come from the session memo shared with the LSH/cluster
+    queries."""
+    from lakehouse_architecture_transaction_spark.plans.pipeline_ops import _signature_frame
+
+    sig = _signature_frame(spark, sf_dir)
     pairs = D.lsh_candidate_pairs(
         sig, id_col="doc_id", num_perms=_NUM_PERMS, bands=_BANDS, bucket_cap=_BUCKET_CAP
     )

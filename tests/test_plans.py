@@ -72,3 +72,44 @@ def test_no_cartesian_anywhere_in_headline(spark, sf_dir):
     for name in bench.HEADLINE:
         plan = _formatted_plan(REGISTRY[name].fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
+
+
+def test_spread_repartitions_single_file_but_not_many_files(spark, sf_dir, tmp_path):
+    """catalog._spread: an unsplittable single-row-group file gets a
+    round-robin repartition to the cluster's parallelism; a table that
+    already arrives as many files is passed through untouched (the
+    100 TB no-op guarantee)."""
+    from lakehouse_architecture_transaction_spark.catalog import _spread, load_table
+
+    one = load_table(spark, sf_dir, "documents", spread=True)
+    plan = _formatted_plan(one)
+    assert "RoundRobinPartitioning" in plan or "REPARTITION" in plan
+
+    par = spark.sparkContext.defaultParallelism
+    src = str(tmp_path / "many_files")
+    load_table(spark, sf_dir, "documents").repartition(par + 4).write.parquet(src)
+    many = spark.read.parquet(src)
+    assert _spread(many, spark) is many, "many-file input must not be repartitioned"
+
+
+def test_salted_top_quality_equals_direct_window(spark, sf_dir):
+    """The two-phase salted per-source top-k must equal the direct
+    (single-window) top-k under the same total order."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_transaction_spark.catalog import load_table
+    from lakehouse_architecture_transaction_spark.operators.text import quality_score
+
+    got = {
+        (r["source"], r["rank"], r["doc_id"])
+        for r in REGISTRY["docs_top_quality_per_source"].fn(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score(docs, id_col="doc_id", text_col="text").select("doc_id", "quality").join(
+        docs.select("doc_id", "source"), on="doc_id"
+    )
+    w = Window.partitionBy("source").orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    direct = q.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 2)
+    want = {(r["source"], r["rank"], r["doc_id"]) for r in direct.collect()}
+    assert got == want
