@@ -31,13 +31,23 @@ def exact_global_rank(
     tiebreakers: list[str],
     rank_col: str = "rank",
     num_buckets: int = 64,
+    materialize: bool = True,
 ) -> DataFrame:
     """Add 1-based ``rank_col`` = exact global row_number under
     ORDER BY (value_col ASC, *tiebreakers ASC) — no global sort.
 
     ``value_col`` must be numeric (the range-bucket key); ties across
     ``tiebreakers`` must be broken totally for a deterministic rank.
+
+    The input is evaluated FOUR times (quantile probe, in-bucket
+    numbering, bucket counts, and whatever the caller joins back), so
+    by default it is materialized once with ``localCheckpoint`` —
+    ranking inputs are aggregates (supplier/customer cardinality), not
+    facts, so the cache is small. Pass ``materialize=False`` when the
+    caller has already checkpointed the frame.
     """
+    if materialize:
+        df = df.localCheckpoint(eager=True)
     probs = [i / num_buckets for i in range(1, num_buckets)]
     bounds = df.stat.approxQuantile(value_col, probs, 1.0 / (4 * num_buckets))
     uniq = sorted(set(bounds))
@@ -84,6 +94,7 @@ def exact_global_cumsum(
     cum_col: str = "cum",
     descending: bool = False,
     num_buckets: int = 64,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact running SUM(``sum_col``) + 1-based row_number under
     ORDER BY (value_col ASC|DESC, *tiebreakers ASC) — the Pareto /
@@ -93,7 +104,10 @@ def exact_global_cumsum(
     offset table carrying (count, sum) instead of count alone. Keep
     ``sum_col`` DECIMAL for exact, order-independent accumulation: the
     running sum then equals a naive global-window sum bit-for-bit.
+    Input materialized once by default (see exact_global_rank).
     """
+    if materialize:
+        df = df.localCheckpoint(eager=True)
     probs = [i / num_buckets for i in range(1, num_buckets)]
     bounds = df.stat.approxQuantile(value_col, probs, 1.0 / (4 * num_buckets))
     uniq = sorted(set(bounds))
@@ -157,8 +171,10 @@ def ntile_exact(
         otherwise         →  tile = rem + ⌈(r − rem·(base+1)) / base⌉
     Integer ceilings via (x + d − 1) div d — no float rounding.
     """
+    df = df.localCheckpoint(eager=True)
     ranked = exact_global_rank(
-        df, value_col, tiebreakers, rank_col="__grank", num_buckets=num_buckets
+        df, value_col, tiebreakers, rank_col="__grank", num_buckets=num_buckets,
+        materialize=False,
     )
     total = df.agg(F.count("*").cast("long").alias("__N"))
     staged = (

@@ -196,11 +196,14 @@ def supplier_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         # still come from the double projection internally — they only
         # affect load balance, never order.
         .withColumn("revi", F.expr("CAST(rev * 10000 AS BIGINT)"))
+        # supplier-cardinality aggregate consumed 5× (total + the
+        # ranking's four passes) — materialize once
+        .localCheckpoint(eager=True)
     )
     tot = s.agg(F.sum("rev").alias("t"))
     ranked = exact_global_cumsum(
         s, value_col="revi", sum_col="rev", tiebreakers=["suppkey"],
-        rank_col="rank", cum_col="cum", descending=True,
+        rank_col="rank", cum_col="cum", descending=True, materialize=False,
     )
     share = F.col("cum").cast("double") / F.col("t").cast("double")
     return (
