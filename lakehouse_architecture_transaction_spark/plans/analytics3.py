@@ -588,3 +588,77 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "session_start", "session_end", "n_events", "session_value")
         .orderBy(F.col("user_id").asc(), F.col("session_start").asc())
     )
+
+
+@register(
+    "events_hourly_seasonality",
+    oracle="""
+    WITH a AS (
+        SELECT isodow(CAST(ts AS DATE)) AS dow, hour(ts) AS hr, COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT SUM(n_events) AS total FROM a)
+    SELECT CAST(dow AS INTEGER) AS dow, CAST(hr AS INTEGER) AS hr, n_events,
+           CAST(n_events AS DOUBLE) / t.total AS share
+    FROM a, t
+    ORDER BY dow ASC, hr ASC
+    """,
+)
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × ISO-weekday activity heatmap (the traffic
+    seasonality profile behind capacity planning and anomaly
+    baselines): one map-side-combinable aggregate at 7×24 cardinality,
+    shares against a broadcast scalar."""
+    events = load_table(spark, sf_dir, "events")
+    a = events.groupBy(
+        (F.expr("weekday(ts)") + 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hr"),
+    ).agg(F.count("*").alias("n_events"))
+    t = a.agg(F.sum("n_events").alias("total"))
+    return (
+        a.crossJoin(F.broadcast(t))
+        .select("dow", "hr", "n_events", (F.col("n_events").cast("double") / F.col("total")).alias("share"))
+        .orderBy("dow", "hr")
+    )
+
+
+@register(
+    "orders_ship_delay_stats",
+    oracle="""
+    WITH d AS (
+        SELECT o.o_orderpriority,
+               date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS delay_d
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(delay_d) AS DOUBLE) / COUNT(*) AS mean_delay_d,
+           quantile_cont(delay_d, 0.5) AS p50_delay_d,
+           quantile_cont(delay_d, 0.9) AS p90_delay_d,
+           MAX(delay_d) AS max_delay_d
+    FROM d GROUP BY 1
+    ORDER BY o_orderpriority ASC
+    """,
+)
+def orders_ship_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per priority class (the SLA
+    table): orderkey-keyed fact-fact join, integer day arithmetic,
+    exact mean (BIGINT sum / count) and exact interpolated quantiles
+    per 5-row priority group."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_orderdate")
+    d = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.expr("CAST(l_shipdate AS DATE)"), F.expr("CAST(o_orderdate AS DATE)")).alias("delay_d"),
+    )
+    return (
+        d.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            (F.sum("delay_d").cast("double") / F.count("*")).alias("mean_delay_d"),
+            F.expr("percentile(delay_d, 0.5)").alias("p50_delay_d"),
+            F.expr("percentile(delay_d, 0.9)").alias("p90_delay_d"),
+            F.max("delay_d").cast("bigint").alias("max_delay_d"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -677,3 +677,50 @@ def docs_near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("pairs").cast("bigint").alias("n_dup_pairs"))
         .orderBy("source_a", "source_b")
     )
+
+
+def _recall_eval_oracle() -> str:
+    from lakehouse_architecture_transaction_spark.plans.pipeline_ops import _sq8_oracle
+    from lakehouse_architecture_transaction_spark.plans.registry import REGISTRY
+
+    brute = REGISTRY["emb_knn_bruteforce"].oracle
+    return f"""
+    WITH brute AS ({brute}),
+    approx AS ({_sq8_oracle()})
+    SELECT b.query_id,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
+    FROM brute b
+    LEFT JOIN approx a ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    ORDER BY b.query_id ASC
+    """
+
+
+@register("emb_ann_recall_eval", oracle=_recall_eval_oracle())
+def emb_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN self-evaluation: per-query recall@k of the SQ8 quantized
+    search against the exact brute-force top-k — the quality gate an
+    embedding index ships with (tools/ann_frontier.py reports the same
+    number fleet-wide; this query makes it a first-class, oracle-checked
+    table). Both sides are the registered queries; the join is at
+    (query × k) cardinality."""
+    from lakehouse_architecture_transaction_spark.plans.registry import REGISTRY
+
+    brute = REGISTRY["emb_knn_bruteforce"].fn(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("nb")
+    )
+    approx = REGISTRY["emb_ann_sq8"].fn(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("anb")
+    )
+    j = brute.join(
+        approx, (F.col("query_id") == F.col("aq")) & (F.col("nb") == F.col("anb")), "left"
+    )
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.count("anb").cast("bigint").alias("n_hits"),
+            (F.count("anb").cast("double") / F.count("*")).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
