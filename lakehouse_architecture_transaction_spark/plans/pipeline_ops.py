@@ -264,7 +264,7 @@ def _simhash_oracle(bits: int = 32) -> str:
 @register("docs_simhash", oracle=_simhash_oracle())
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints (near-dup = small hamming distance)."""
-    docs = load_table(spark, sf_dir, "documents", spread=True)
+    docs = load_table(spark, sf_dir, "documents")
     return D.simhash(docs, text_col="text", id_col="doc_id", bits=32).orderBy("doc_id")
 
 
@@ -322,7 +322,7 @@ def docs_shuffled_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     order on any cluster, re-dealt by bumping the salt."""
     from lakehouse_architecture_transaction_spark.operators.sampling import shuffle_and_shard
 
-    docs = load_table(spark, sf_dir, "documents", spread=True)
+    docs = load_table(spark, sf_dir, "documents")
     return (
         shuffle_and_shard(docs, id_col="doc_id", batch_size=64)
         .select("doc_id", F.col("shuffle_pos").cast("bigint").alias("shuffle_pos"), "batch_idx")
@@ -483,7 +483,7 @@ def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.py tfidf_top_terms): score = tf·(N+1)/(df+1) —
     monotone-equivalent to log-idf ranking without the cross-engine
     libm hazard."""
-    docs = load_table(spark, sf_dir, "documents", spread=True)
+    docs = load_table(spark, sf_dir, "documents")
     return T.tfidf_top_terms(docs, id_col="doc_id", text_col="text", k=3).orderBy("doc_id", "rank")
 
 
@@ -1117,7 +1117,7 @@ def emb_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py cosine_dup_pairs): sign-LSH bucketed
     candidate generation with a deterministic per-bucket cap
     (anisotropy guard), double-fold cosine, ≥ τ cut."""
-    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    emb = load_table(spark, sf_dir, "embeddings")
     return S.cosine_dup_pairs(
         emb,
         id_col="vec_id",
@@ -1646,7 +1646,7 @@ def docs_chunk_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cap window rides the same hash-partitioned exchange the join
     needs. Fixture injects exact dups (doc_id+100000 for %10=0) so
     the pair set is non-trivial at every sf.""".format(sz=_CHDUP_SIZE, cap=_CHDUP_DF_CAP)
-    docs = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     dupes = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
         "doc_id", F.col("doc_id") + 100000
     )
@@ -1829,7 +1829,7 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality (64 groups regardless of corpus size), map-side
     combine carrying (decimal sum, count, min, max). Mean follows the
     exact-decimal-sum / one-double-division discipline."""
-    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    emb = load_table(spark, sf_dir, "embeddings")
     x = emb.select(F.posexplode("embedding").alias("dim", "v")).select(
         "dim", F.col("v").cast("double").alias("v")
     )
