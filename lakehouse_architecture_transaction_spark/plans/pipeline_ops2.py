@@ -1,9 +1,10 @@
 """Pipeline operators, round 4: corpus QA profiles (length histogram,
 char-class profile, shingle document-frequency histogram, rare-shingle
 novelty), dedup adjuncts (prefix-hash dup groups, MinHash Jaccard
-estimates, salted top-quality-per-source), embedding QA (exact-integer
-norm outliers, centroid distance matrix, nearest-centroid confusion)
-and two event-stream QA shapes (type co-occurrence, per-user activity
+estimates, salted top-quality-per-source, cross-source near-dup
+matrix), embedding QA (exact-integer norm outliers, centroid distance
+matrix, nearest-centroid confusion, ANN recall self-eval) and
+event-stream QA shapes (type co-occurrence, per-user activity
 quantiles).
 
 Same registry determinism discipline as pipeline_ops: every
