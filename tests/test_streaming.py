@@ -344,3 +344,37 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == batch and len(got) >= 4
+
+
+def test_sessionization_on_rocksdb_state_store(spark, sf_dir, tmp_path):
+    # The state store a large deployment runs on: RocksDB provider
+    # (state spills to local disk instead of growing the JVM heap).
+    # Same drained session set as the default HDFS-backed provider.
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(
+        key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try:
+        src = _stage_events(spark, sf_dir, tmp_path)
+        events = read_event_stream(spark, src)
+        q = run_stream_to_memory(sessionize_stateful(events), "rocks_sessions_out")
+        try:
+            got = {
+                tuple(r) for r in spark.sql("SELECT * FROM rocks_sessions_out").collect()
+            }
+            assert len(got) > 0
+        finally:
+            q.stop()
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+    # parity with the default provider on the same input
+    q2 = run_stream_to_memory(sessionize_stateful(read_event_stream(spark, src)), "hdfs_sessions_out")
+    try:
+        want = {tuple(r) for r in spark.sql("SELECT * FROM hdfs_sessions_out").collect()}
+    finally:
+        q2.stop()
+    assert got == want
