@@ -153,6 +153,95 @@ def exact_global_cumsum(
     )
 
 
+def grouped_percent_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    pct_col: str = "pct_rank",
+    cume_col: str = "cume_dist",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Exact PERCENT_RANK + CUME_DIST of ``value_col`` within each
+    group — without a per-group global sort.
+
+    A bare ``Window.partitionBy(group)`` funnels each group through
+    ONE task; with few large groups (segments, years) that is the
+    same scale failure as a global sort. Here:
+
+    1. rows collapse to (group, value, cnt) — ties aggregate;
+    2. values range-bucket on GLOBAL approxQuantile boundaries (a
+       function of the value alone, so every group shares the map and
+       ties stay together);
+    3. within (group, bucket): tiny ordered cumulative counts;
+    4. per-group exclusive bucket offsets via a broadcast triangular
+       join over the (groups × buckets) count table;
+    5. join back on (group, value):
+       percent_rank = #lower / (n_g − 1), cume_dist = #le / n_g —
+       the SQL-standard tie-sharing semantics, exactly.
+    """
+    g = [F.col(c) for c in group_cols]
+    dv = df.groupBy(*group_cols, F.col(value_col)).agg(F.count("*").alias("__cnt"))
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    bounds = df.stat.approxQuantile(value_col, probs, 1.0 / (4 * num_buckets))
+    uniq = sorted(set(bounds))
+    v = F.col(value_col).cast("double")
+    if uniq:
+        chain = F.when(v >= uniq[-1], len(uniq))
+        for i in range(len(uniq) - 2, -1, -1):
+            chain = chain.when(v >= uniq[i], i + 1)
+        bucket = chain.otherwise(0).cast("long")
+    else:
+        bucket = F.lit(0).cast("long")
+    dv = dv.withColumn("__rb", bucket).localCheckpoint(eager=True)
+    w = Window.partitionBy(*group_cols, "__rb").orderBy(F.col(value_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    numbered = dv.withColumn("__le_in", F.sum("__cnt").over(w))
+    btot = dv.groupBy(*group_cols, "__rb").agg(F.sum("__cnt").alias("__bc"))
+    ca = btot.select(*[F.col(c).alias(f"__g{i}") for i, c in enumerate(group_cols)], F.col("__rb").alias("__ba"))
+    cb = btot.select(
+        *[F.col(c).alias(f"__h{i}") for i, c in enumerate(group_cols)],
+        F.col("__rb").alias("__bb"),
+        F.col("__bc"),
+    )
+    gcond = [F.col(f"__g{i}").eqNullSafe(F.col(f"__h{i}")) for i in range(len(group_cols))]
+    cond = gcond[0]
+    for c in gcond[1:]:
+        cond = cond & c
+    offsets = (
+        ca.join(F.broadcast(cb), cond & (F.col("__bb") < F.col("__ba")), "left")
+        .groupBy(*[f"__g{i}" for i in range(len(group_cols))], "__ba")
+        .agg(F.coalesce(F.sum("__bc"), F.lit(0)).cast("long").alias("__off"))
+    )
+    off_renamed = offsets.select(
+        *[F.col(f"__g{i}").alias(c) for i, c in enumerate(group_cols)],
+        F.col("__ba").alias("__rb"),
+        "__off",
+    )
+    totals = dv.groupBy(*group_cols).agg(F.sum("__cnt").cast("long").alias("__n"))
+    ranked = (
+        numbered.join(off_renamed, on=[*group_cols, "__rb"])
+        .join(F.broadcast(totals), on=group_cols)
+        .withColumn("__le", F.col("__off") + F.col("__le_in"))
+        .withColumn("__lt", F.col("__le") - F.col("__cnt"))
+    )
+    pct = F.when(F.col("__n") > 1, F.col("__lt").cast("double") / (F.col("__n") - 1)).otherwise(
+        F.lit(0.0)
+    )
+    _ = g
+    return (
+        df.join(
+            ranked.select(
+                *group_cols,
+                F.col(value_col),
+                pct.alias(pct_col),
+                (F.col("__le").cast("double") / F.col("__n")).alias(cume_col),
+            ),
+            on=[*group_cols, value_col],
+        )
+    )
+
+
 def ntile_exact(
     df: DataFrame,
     value_col: str,

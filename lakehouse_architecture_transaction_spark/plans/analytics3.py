@@ -95,29 +95,34 @@ def customer_order_span(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orders_pctrank_in_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERCENT_RANK + CUME_DIST of each order's value within its
-    (market segment × year): where a given order sits in its peer
-    distribution. Ties share ranks (the SQL-standard semantics), so no
-    tiebreaker is needed for determinism; ordering is on the exact
-    DECIMAL value. Partitioning by segment×year keeps window groups
-    bounded (a bare per-segment window would funnel 1/5 of the fact
-    table through one task at 100 TB)."""
+    (market segment × year), via operators/ranking.py
+    grouped_percent_rank: rows collapse to (group, value) counts,
+    values bucket on GLOBAL quantile boundaries, and ranks assemble
+    from per-(group, bucket) prefixes + broadcast offsets — the
+    tie-sharing SQL semantics exactly, with NO per-group global sort
+    (a bare segment×year window funnels 1/35 of the fact table
+    through one task at 100 TB)."""
+    from lakehouse_architecture_transaction_spark.operators.ranking import grouped_percent_rank
+
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    w = Window.partitionBy("c_mktsegment", F.year("o_orderdate")).orderBy(
-        F.expr("CAST(o_totalprice AS DECIMAL(18,2))").asc()
+    d = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey",
+        "c_mktsegment",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.expr("CAST(o_totalprice AS DECIMAL(18,2))").alias("__vdec"),
     )
-    return (
-        orders.join(cust, orders.o_custkey == cust.c_custkey)
-        .select(
-            "o_orderkey",
-            "c_mktsegment",
-            F.year("o_orderdate").cast("int").alias("yr"),
-            F.col("o_totalprice").cast("double").alias("price"),
-            F.percent_rank().over(w).alias("pct_rank"),
-            F.cume_dist().over(w).alias("cume_dist"),
-        )
-        .orderBy("o_orderkey")
+    ranked = grouped_percent_rank(
+        d, group_cols=["c_mktsegment", "yr"], value_col="__vdec"
     )
+    return ranked.select(
+        "o_orderkey",
+        "c_mktsegment",
+        "yr",
+        F.col("__vdec").cast("double").alias("price"),
+        "pct_rank",
+        "cume_dist",
+    ).orderBy("o_orderkey")
 
 
 @register(
