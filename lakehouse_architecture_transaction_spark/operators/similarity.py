@@ -337,15 +337,26 @@ def _sqdist_expr(a: str, b: str) -> Column:
 
 
 def _assign(emb: DataFrame, id_col: str, vec_col: str, cent: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the (tiny) centroid set,
-    argmin squared distance, ties to the lowest cluster id."""
-    w = Window.partitionBy(id_col).orderBy(F.col("__d").asc(), F.col("cluster").asc())
+    """Nearest-centroid assignment: the centroid set collapses to ONE
+    broadcast row (array of (cluster, vector) structs) and the argmin
+    runs ROW-LOCAL — array_min over per-centroid (distance, cluster)
+    structs, whose lexicographic struct order IS the
+    (distance asc, cluster asc) tie rule. No k-fold row explosion and
+    no per-vector window shuffle: the corpus is scanned once, map-side
+    only (the earlier row_number-over-id variant silently shuffled
+    N·k rows per assignment round)."""
+    centarr = cent.groupBy().agg(
+        F.expr("array_sort(collect_list(struct(cluster, __cvec)))").alias("__cs")
+    )
+    dist = (
+        "aggregate(zip_with(" + vec_col + ", c.__cvec, (x, y) -> "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    best = f"array_min(transform(__cs, c -> struct({dist} AS d, c.cluster AS cluster)))"
     return (
-        emb.crossJoin(F.broadcast(cent))
-        .withColumn("__d", _sqdist_expr(vec_col, "__cvec"))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, vec_col, "cluster")
+        emb.crossJoin(F.broadcast(centarr))
+        .select(F.col(id_col), F.col(vec_col), F.expr(f"{best}.cluster").alias("cluster"))
     )
 
 
