@@ -130,3 +130,32 @@ def test_shuffle_and_shard_is_a_permutation(spark, ids):
         r["shuffle_pos"] for r in shuffle_and_shard(df, "id", batch_size=7).collect()
     )
     assert got == list(range(len(ids)))
+
+
+@_SETTINGS
+@given(
+    vals=st.lists(st.integers(0, 6), min_size=2, max_size=40),
+    ngroups=st.integers(1, 3),
+)
+def test_grouped_percent_rank_matches_window(spark, vals, ngroups):
+    # The bucketed grouped percent_rank must equal the native window
+    # functions for ANY tie structure and group layout.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_transaction_spark.operators.ranking import grouped_percent_rank
+
+    rows = [(i, i % ngroups, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, g int, v double")
+    got = {
+        (r["id"]): (r["pct_rank"], r["cume_dist"])
+        for r in grouped_percent_rank(df, group_cols=["g"], value_col="v").collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.col("v").asc())
+    want = {
+        r["id"]: (r["pr"], r["cd"])
+        for r in df.select(
+            "id", F.percent_rank().over(w).alias("pr"), F.cume_dist().over(w).alias("cd")
+        ).collect()
+    }
+    assert got == want
