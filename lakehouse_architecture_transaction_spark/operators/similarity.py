@@ -666,3 +666,82 @@ def pca_power_project(
         .select(F.col(id_col), F.expr(proj).alias("pc1"))
         .orderBy(id_col)
     )
+
+
+def product_quantize(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    dsub: int = 8,
+    k: int = 8,
+    iters: int = 1,
+) -> DataFrame:
+    """Product quantization (the FAISS PQ workhorse): split each
+    vector into ``m`` subspaces of ``dsub`` dims, run Lloyd k-means
+    independently in every subspace, and code each vector as its
+    nearest centroid per subspace — m·log2(k) bits per vector.
+    Returns (id, subspace, code) in long form.
+
+    Scale shape — ONE pipeline for all subspaces, not m jobs: the
+    corpus explodes to (id, subspace, subvector) — m small rows per
+    vector — and every k-means round is a single scan + one
+    (subspace × cluster × dim)-cardinality shuffle covering ALL
+    subspaces at once (the per-subspace problems share each round's
+    jobs). Assignment is row-local: per-subspace centroid arrays
+    (m·k rows total) broadcast as m rows of struct arrays, argmin via
+    array_min's lexicographic (distance, cluster) order — the same
+    shuffle-free trick as _assign.
+
+    Determinism: fixed low-id seeds per subspace, decimal-exact
+    centroid means, left-fold distances, ties to the lowest cluster —
+    the kmeans_lloyd discipline, so a SQL oracle replays every round.
+    """
+    subs = F.expr(
+        f"transform(sequence(0, {m - 1}), s -> struct(s AS s, "
+        f"transform(slice({vec_col}, s * {dsub} + 1, {dsub}), x -> CAST(x AS DOUBLE)) AS sv))"
+    )
+    sub = emb.select(F.col(id_col), F.explode(subs).alias("u")).select(
+        F.col(id_col), F.col("u.s").alias("s"), F.col("u.sv").alias("sv")
+    )
+    cent = sub.filter(F.col(id_col) < k).select(
+        "s", F.col(id_col).cast("int").alias("cluster"), F.col("sv").alias("__cvec")
+    )
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        centarr = cent_df.groupBy("s").agg(
+            F.expr("array_sort(collect_list(struct(cluster, __cvec)))").alias("__cs")
+        )
+        dist = (
+            "aggregate(zip_with(sv, c.__cvec, (x, y) -> (x - y) * (x - y)), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        best = f"array_min(transform(__cs, c -> struct({dist} AS d, c.cluster AS cluster)))"
+        return sub.join(F.broadcast(centarr), on="s").select(
+            F.col(id_col), F.col("s"), F.col("sv"), F.expr(f"{best}.cluster").alias("cluster")
+        )
+
+    for _ in range(iters):
+        assigned = assign(cent)
+        cent = (
+            assigned.select("s", "cluster", F.posexplode(F.col("sv")).alias("pos", "v"))
+            .groupBy("s", "cluster", "pos")
+            .agg(
+                (
+                    F.sum(F.col("v").cast("decimal(18,9)")).cast("double") / F.count("*")
+                ).alias("cv")
+            )
+            .groupBy("s", "cluster")
+            .agg(
+                F.expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").alias(
+                    "__cvec"
+                )
+            )
+            # m·k rows; same per-round lineage cut as kmeans_lloyd
+            .localCheckpoint(eager=True)
+        )
+    return (
+        assign(cent)
+        .select(F.col(id_col), F.col("s").alias("subspace"), F.col("cluster").alias("code"))
+        .orderBy(id_col, "subspace")
+    )

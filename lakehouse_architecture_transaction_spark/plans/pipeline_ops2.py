@@ -725,3 +725,83 @@ def emb_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+_PQ_M, _PQ_DSUB, _PQ_K, _PQ_ITERS = 8, 8, 8, 1
+_PQ_V9 = (
+    "(CASE WHEN x.v < 0 THEN -1 ELSE 1 END) * "
+    "CAST(floor(abs(CAST(x.v AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)"
+)
+_PQ_SQDIST = (
+    "list_reduce(list_transform(list_zip(e.sv, c.cvec), "
+    "z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))), "
+    "(a, b) -> a + b)"
+)
+
+
+def _pq_assign_sql(cent_cte: str) -> str:
+    return f"""(
+    SELECT vec_id, s, cluster FROM (
+        SELECT e.vec_id, e.s, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id, e.s
+                   ORDER BY {_PQ_SQDIST} ASC, c.cluster ASC) AS rn
+        FROM sub e JOIN {cent_cte} c ON e.s = c.s
+    ) WHERE rn = 1)"""
+
+
+def _pq_update_sql(assign_cte: str) -> str:
+    return f"""(
+    SELECT s, cluster, list(cv ORDER BY pos) AS cvec FROM (
+        SELECT x.s, a.cluster, x.pos, CAST(SUM({_PQ_V9}) AS DOUBLE) / 1e9 / COUNT(*) AS cv
+        FROM (SELECT vec_id, s, generate_subscripts(sv, 1) AS pos, unnest(sv) AS v FROM sub) x
+        JOIN {assign_cte} a ON a.vec_id = x.vec_id AND a.s = x.s
+        GROUP BY x.s, a.cluster, x.pos
+    ) GROUP BY s, cluster)"""
+
+
+def _pq_oracle() -> str:
+    parts = [
+        f"""sub AS (
+        SELECT vec_id, ss.s,
+               list_transform(embedding[ss.s * {_PQ_DSUB} + 1 : (ss.s + 1) * {_PQ_DSUB}],
+                              x -> CAST(x AS DOUBLE)) AS sv
+        FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s) ss)""",
+        f"""c0 AS (
+        SELECT s, CAST(vec_id AS INTEGER) AS cluster, sv AS cvec
+        FROM sub WHERE vec_id < {_PQ_K})""",
+    ]
+    for i in range(_PQ_ITERS):
+        parts.append(f"a{i + 1} AS {_pq_assign_sql(f'c{i}')}")
+        parts.append(f"c{i + 1} AS {_pq_update_sql(f'a{i + 1}')}")
+    parts.append(f"fin AS {_pq_assign_sql(f'c{_PQ_ITERS}')}")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT vec_id, CAST(s AS INTEGER) AS subspace, CAST(cluster AS INTEGER) AS code "
+        "FROM fin ORDER BY vec_id ASC, subspace ASC"
+    )
+
+
+@register("emb_product_quantize", oracle=_pq_oracle())
+def emb_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (operators/similarity.py product_quantize):
+    8 subspaces × 8 dims, per-subspace Lloyd k-means (k=8, fixed low-id
+    seeds), vectors coded by nearest centroid per subspace — the FAISS
+    PQ compression that turns a 64-float vector into 8 small codes.
+    All subspaces train in ONE pipeline (shared rounds: one scan + one
+    subspace×cluster×dim shuffle per iteration); assignment is
+    row-local against broadcast per-subspace codebooks. The oracle
+    replays every round with the same decimal-exact means and
+    (distance, cluster) tie rule."""
+    from lakehouse_architecture_transaction_spark.operators.similarity import product_quantize
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    out = product_quantize(
+        emb, id_col="vec_id", vec_col="embedding",
+        m=_PQ_M, dsub=_PQ_DSUB, k=_PQ_K, iters=_PQ_ITERS,
+    )
+    return out.select(
+        "vec_id",
+        F.col("subspace").cast("int").alias("subspace"),
+        F.col("code").cast("int").alias("code"),
+    ).orderBy("vec_id", "subspace")
