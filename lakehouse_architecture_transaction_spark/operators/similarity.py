@@ -676,12 +676,15 @@ def product_quantize(
     dsub: int = 8,
     k: int = 8,
     iters: int = 1,
-) -> DataFrame:
+    return_codebook: bool = False,
+):
     """Product quantization (the FAISS PQ workhorse): split each
     vector into ``m`` subspaces of ``dsub`` dims, run Lloyd k-means
     independently in every subspace, and code each vector as its
     nearest centroid per subspace — m·log2(k) bits per vector.
-    Returns (id, subspace, code) in long form.
+    Returns (id, subspace, code) in long form; with
+    ``return_codebook=True`` also the trained (s, cluster, __cvec)
+    codebook frame (the ADC search half needs it).
 
     Scale shape — ONE pipeline for all subspaces, not m jobs: the
     corpus explodes to (id, subspace, subvector) — m small rows per
@@ -740,8 +743,79 @@ def product_quantize(
             # m·k rows; same per-round lineage cut as kmeans_lloyd
             .localCheckpoint(eager=True)
         )
-    return (
+    codes = (
         assign(cent)
         .select(F.col(id_col), F.col("s").alias("subspace"), F.col("cluster").alias("code"))
         .orderBy(id_col, "subspace")
+    )
+    if return_codebook:
+        return codes, cent
+    return codes
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    m: int = 8,
+    dsub: int = 8,
+    k_codes: int = 8,
+    iters: int = 1,
+    k: int = 5,
+) -> DataFrame:
+    """PQ search with Asymmetric Distance Computation: queries keep
+    their RAW subvectors; each corpus vector is approximated by its PQ
+    codes, and distance(query, vector) ≈ Σ_s d(query_sv[s],
+    codebook[s][code[s]]) — the FAISS ADC scan. Returns
+    (query_id, rank, neighbor_id, adc_dist).
+
+    Scale shape: the distance TABLE (|Q|·m·k entries — hundreds of
+    doubles) is precomputed ONCE per query set and broadcast; the
+    corpus-side work is a code-table lookup join (no vector math on
+    the corpus path) and an m-entry ordered fold per (query, vector)
+    pair. Determinism: the per-pair sum is a LEFT FOLD over subspace
+    order (a bare SUM of doubles would be accumulation-order
+    dependent), ties break to the lowest neighbor id.
+    """
+    codes, cent = product_quantize(
+        emb, id_col, vec_col, m=m, dsub=dsub, k=k_codes, iters=iters, return_codebook=True
+    )
+    qsub = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {m - 1}), s -> struct(s AS s, "
+                    f"transform(slice({vec_col}, s * {dsub} + 1, {dsub}), x -> CAST(x AS DOUBLE)) AS qv))"
+                )
+            ).alias("u"),
+        )
+        .select("query_id", F.col("u.s").alias("s"), F.col("u.qv").alias("__qv"))
+    )
+    dist = (
+        "aggregate(zip_with(__qv, __cvec, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    dtable = qsub.join(F.broadcast(cent), on="s").select(
+        "query_id", "s", F.col("cluster").alias("code"), F.expr(dist).alias("__d")
+    )
+    pairs = codes.withColumnRenamed("subspace", "s").join(F.broadcast(dtable), on=["s", "code"])
+    adc = (
+        pairs.filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(s, __d))), x -> x.__d), "
+                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            ).alias("adc_dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc())
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adc_dist")
+        .orderBy("query_id", "rank")
     )

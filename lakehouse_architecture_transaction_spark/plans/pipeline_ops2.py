@@ -805,3 +805,73 @@ def emb_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("subspace").cast("int").alias("subspace"),
         F.col("code").cast("int").alias("code"),
     ).orderBy("vec_id", "subspace")
+
+
+def _pq_adc_oracle() -> str:
+    parts = [
+        f"""sub AS (
+        SELECT vec_id, ss.s,
+               list_transform(embedding[ss.s * {_PQ_DSUB} + 1 : (ss.s + 1) * {_PQ_DSUB}],
+                              x -> CAST(x AS DOUBLE)) AS sv
+        FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s) ss)""",
+        f"""c0 AS (
+        SELECT s, CAST(vec_id AS INTEGER) AS cluster, sv AS cvec
+        FROM sub WHERE vec_id < {_PQ_K})""",
+    ]
+    for i in range(_PQ_ITERS):
+        parts.append(f"a{i + 1} AS {_pq_assign_sql(f'c{i}')}")
+        parts.append(f"c{i + 1} AS {_pq_update_sql(f'a{i + 1}')}")
+    parts.append(f"fin AS {_pq_assign_sql(f'c{_PQ_ITERS}')}")
+    parts.append(
+        f"""qsub AS (SELECT vec_id AS query_id, s, sv FROM sub WHERE vec_id < {_ADC_Q_MAX})"""
+    )
+    parts.append(
+        f"""dt AS (
+        SELECT q.query_id, c.s, c.cluster,
+               list_reduce(list_transform(list_zip(q.sv, c.cvec),
+                   z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))),
+                   (a, b) -> a + b) AS d
+        FROM qsub q JOIN c{_PQ_ITERS} c ON q.s = c.s)"""
+    )
+    parts.append(
+        """adc AS (
+        SELECT dt.query_id, f.vec_id AS neighbor_id,
+               list_reduce([CAST(0.0 AS DOUBLE)] || list(dt.d ORDER BY dt.s), (a, b) -> a + b) AS adc_dist
+        FROM fin f JOIN dt ON dt.s = f.s AND dt.cluster = f.cluster
+        WHERE f.vec_id != dt.query_id
+        GROUP BY dt.query_id, f.vec_id)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, adc_dist FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+        FROM adc
+    ) WHERE rank <= {_ADC_K}
+    ORDER BY query_id ASC, rank ASC
+    """
+    )
+
+
+_ADC_Q_MAX, _ADC_K = 8, 5
+
+
+@register("emb_ann_pq_adc", oracle=_pq_adc_oracle())
+def emb_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search via Asymmetric Distance Computation
+    (operators/similarity.py pq_adc_topk): the query's raw subvectors
+    build a |Q|·m·k distance TABLE (broadcast), the corpus path is a
+    pure code-lookup join — no vector math per corpus row — and the
+    per-pair distance is an m-entry ordered fold. The FAISS ADC scan,
+    oracle-replayed round-for-round (codes AND codebooks)."""
+    from lakehouse_architecture_transaction_spark.operators.similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    out = pq_adc_topk(
+        emb, id_col="vec_id", vec_col="embedding", query_ids=list(range(_ADC_Q_MAX)),
+        m=_PQ_M, dsub=_PQ_DSUB, k_codes=_PQ_K, iters=_PQ_ITERS, k=_ADC_K,
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "adc_dist"
+    )

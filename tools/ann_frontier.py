@@ -23,6 +23,7 @@ VARIANTS = [
     ("emb_ann_multiprobe", "sign-LSH, Hamming-1 probes"),
     ("emb_ann_ivf", "IVF coarse quantizer"),
     ("emb_ann_sq8", "int8 scalar-quantized rerank"),
+    ("emb_ann_pq_adc", "PQ codes + ADC table scan"),
 ]
 
 BEGIN = "<!-- ANN-FRONTIER:BEGIN -->"
