@@ -103,6 +103,7 @@ HEADLINE = [
     "emb_norm_outliers",
     "emb_nearest_centroid_confusion",
     "events_session_window",
+    "emb_product_quantize",
 ]
 
 
