@@ -163,6 +163,32 @@ class LakeTable:
                 by_version[e["version"]] = e
         return [by_version[v] for v in sorted(by_version, reverse=True)]
 
+    def restore(self, version: int) -> int:
+        """Delta ``RESTORE TABLE ... TO VERSION AS OF``: roll the table
+        back to an earlier snapshot AS A NEW COMMIT — history moves
+        forward (the bad versions stay queryable for forensics), only
+        the current pointer changes. Returns the new version number."""
+        if not self.versioned:
+            raise ValueError("restore requires versioned=True")
+        if not os.path.isdir(self._version_dir(version)):
+            raise FileNotFoundError(f"version {version} not found at {self.path}")
+        return self._commit(self.read(version), operation=f"restore(v{version})")
+
+    def clone(self, target_path: str) -> "LakeTable":
+        """Delta ``CLONE`` (deep): a new independent table initialized
+        from this table's CURRENT snapshot — the dev/test-copy
+        primitive. The clone starts its own history at v0."""
+        out = LakeTable(
+            self.spark,
+            target_path,
+            keys=self.keys,
+            partition_by=self.partition_by,
+            versioned=self.versioned,
+            constraints=self.constraints,
+        )
+        out.create(self.read())
+        return out
+
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Drop all but the last ``keep_last`` snapshots (Delta's
         VACUUM retention, directory-granular). Returns removed

@@ -378,3 +378,29 @@ def test_laketable_scan_pruning(spark, tmp_path):
     assert report["files_skipped"] > 0
     assert got.count() == 200
     assert {r["k"] for r in got.collect()} == set(range(100, 300))
+
+
+def test_laketable_restore_and_clone(spark, tmp_path):
+    """RESTORE rolls back as a NEW commit (history preserved); CLONE
+    makes an independent table from the current snapshot."""
+    from lakehouse_architecture_transaction_spark.lakehouse.table import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "restorable"), keys=["k"], versioned=True)
+    v0 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    t.create(v0)
+    t.upsert(spark.createDataFrame([(2, "BAD"), (3, "c")], "k long, v string"))
+    assert t.read().count() == 3
+    new_v = t.restore(0)
+    assert new_v == 2
+    got = sorted(tuple(r) for r in t.read().collect())
+    assert got == [(1, "a"), (2, "b")]
+    # forensics: the bad version is still queryable
+    assert t.read(version=1).count() == 3
+    ops = [h["operation"] for h in t.describe_history()]
+    assert ops[0] == "restore(v0)"
+
+    c = t.clone(str(tmp_path / "cloned"))
+    assert sorted(tuple(r) for r in c.read().collect()) == got
+    # independence: writing the clone does not move the source
+    c.upsert(spark.createDataFrame([(9, "z")], "k long, v string"))
+    assert t.read().count() == 2 and c.read().count() == 3
