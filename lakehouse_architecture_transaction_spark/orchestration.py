@@ -46,6 +46,7 @@ class TriggerResult:
     dataset: str
     status: str  # "archived" | "quarantined" | "skipped"
     detail: str = ""
+    attempts: int = 1
 
 
 def _dataset_of(filename: str) -> str | None:
@@ -102,21 +103,48 @@ def _spec_for(spark: SparkSession, dataset: str, lake_root: str) -> DatasetSpec:
     raise KeyError(dataset)
 
 
+def _retrying(fn, max_attempts: int, interval_s: float, backoff_rate: float, transient):
+    """Reference "Archive Files" retry policy (code/
+    step_function_code.json: IntervalSeconds 1, MaxAttempts 3,
+    BackoffRate 2): retry ``transient`` errors with exponential
+    backoff; anything else — and the last attempt — propagates.
+    Returns (result, attempts)."""
+    import time
+
+    attempt = 1
+    while True:
+        try:
+            return fn(), attempt
+        except transient:
+            if attempt >= max_attempts:
+                raise
+            if interval_s:
+                time.sleep(interval_s * (backoff_rate ** (attempt - 1)))
+            attempt += 1
+
+
 def process_landing(
     spark: SparkSession,
     landing_root: str,
     archive_root: str,
     error_root: str,
     lake_root: str,
+    max_attempts: int = 3,
+    retry_interval_s: float = 1.0,
+    backoff_rate: float = 2.0,
+    transient_exceptions: tuple[type, ...] = (OSError,),
 ) -> list[TriggerResult]:
     """One watcher cycle: pick up every recognized file in the landing
     zone (dependency order), run the per-dataset pipeline, then move
     the source — archive on success (reference archive_on_success.py),
     error quarantine on failure (the Step Function's Catch route).
 
-    Failures are isolated per file: one bad drop quarantines that file
-    and leaves the rest of the cycle running — the retry/catch
-    semantics of the reference state machine, minus the cloud."""
+    The archive move retries TRANSIENT errors with exponential backoff
+    (the reference's "Archive Files" Retry block); data failures are
+    not transient and go straight to quarantine. Failures are isolated
+    per file: one bad drop quarantines that file and leaves the rest
+    of the cycle running — the retry/catch semantics of the reference
+    state machine, minus the cloud."""
     os.makedirs(archive_root, exist_ok=True)
     os.makedirs(error_root, exist_ok=True)
     drops: list[tuple[str, str]] = []
@@ -128,13 +156,24 @@ def process_landing(
 
     results: list[TriggerResult] = []
     for ds, path in drops:
+        attempts = 1
         try:
             df = spark.read.parquet(path)
             spec = _spec_for(spark, ds, lake_root)
             process_dataset(spark, df, spec, lake_root)
             dest = os.path.join(archive_root, os.path.basename(path))
-            shutil.move(path, dest)
-            results.append(TriggerResult(file=path, dataset=ds, status="archived", detail=dest))
+            _, attempts = _retrying(
+                lambda: shutil.move(path, dest),
+                max_attempts=max_attempts,
+                interval_s=retry_interval_s,
+                backoff_rate=backoff_rate,
+                transient=transient_exceptions,
+            )
+            results.append(
+                TriggerResult(
+                    file=path, dataset=ds, status="archived", detail=dest, attempts=attempts
+                )
+            )
         except Exception:  # noqa: BLE001 - quarantine ANY failure, keep the cycle alive
             dest = os.path.join(error_root, os.path.basename(path))
             shutil.move(path, dest)
@@ -144,6 +183,7 @@ def process_landing(
                     dataset=ds,
                     status="quarantined",
                     detail=traceback.format_exc(limit=1),
+                    attempts=attempts,
                 )
             )
     return results

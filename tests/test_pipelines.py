@@ -112,3 +112,36 @@ def test_landing_zone_gates_items_on_missing_dims(spark, sf_dir, tmp_path):
     )
     assert len(results) == 1 and results[0].status == "quarantined"
     assert "requires curated" in results[0].detail
+
+
+def test_landing_archive_retries_transient_failures(spark, sf_dir, tmp_path, monkeypatch):
+    # The reference's "Archive Files" Retry block: transient errors
+    # back off and retry (3 attempts); success on a later attempt still
+    # archives, and the attempt count is reported.
+    import shutil as _shutil
+
+    from lakehouse_architecture_transaction_spark import orchestration as orch
+    from lakehouse_architecture_transaction_spark.catalog import load_table
+
+    landing, archive, errors, lake = (
+        tmp_path / "landing", tmp_path / "archive", tmp_path / "errors", tmp_path / "lake"
+    )
+    landing.mkdir()
+    load_table(spark, sf_dir, "part").limit(50).write.parquet(str(landing / "products_drop.parquet"))
+
+    real_move = _shutil.move
+    calls = {"n": 0}
+
+    def flaky_move(src, dst):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise OSError("transient storage hiccup")
+        return real_move(src, dst)
+
+    monkeypatch.setattr(orch.shutil, "move", flaky_move)
+    results = orch.process_landing(
+        spark, str(landing), str(archive), str(errors), str(lake), retry_interval_s=0.0
+    )
+    assert [r.status for r in results] == ["archived"]
+    assert results[0].attempts == 3
+    assert list(archive.iterdir())  # file landed in the archive
