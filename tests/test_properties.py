@@ -159,3 +159,19 @@ def test_grouped_percent_rank_matches_window(spark, vals, ngroups):
         ).collect()
     }
     assert got == want
+
+
+@_SETTINGS
+@given(n=st.integers(12, 28))
+def test_product_quantize_codes_complete_and_in_range(spark, n):
+    # Every (vector, subspace) gets exactly one code in [0, k); seeds
+    # code to themselves in round 0 semantics (their nearest centroid
+    # after the update can move, but codes stay valid).
+    from lakehouse_architecture_transaction_spark.operators.similarity import product_quantize
+
+    rows = [(i, [float((i * 7 + j * 3) % 5 - 2) for j in range(8)]) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    out = product_quantize(df, id_col="id", vec_col="vec", m=4, dsub=2, k=4, iters=1).collect()
+    seen = {(r["id"], r["subspace"]) for r in out}
+    assert seen == {(i, s) for i in range(n) for s in range(4)}
+    assert all(0 <= r["code"] < 4 for r in out)
