@@ -219,9 +219,27 @@ def grouped_percent_rank(
         "__off",
     )
     totals = dv.groupBy(*group_cols).agg(F.sum("__cnt").cast("long").alias("__n"))
+    # NULL-safe joins throughout: native PERCENT_RANK/CUME_DIST rank
+    # NULL values (and NULL group keys form a real group), so plain
+    # equi-joins would silently drop those rows.  All the math above
+    # already handles NULLs (groupBy unifies them; the bucket chain
+    # sends NULL to bucket 0 where the window's NULLS-FIRST asc order
+    # ranks them lowest) — only the joins need eqNullSafe.
+    def _ns_join(left, right, keys, how="inner", broadcast_right=False):
+        r = right.select(
+            *[F.col(k).alias(f"__j_{k}") for k in keys],
+            *[c for c in right.columns if c not in keys],
+        )
+        if broadcast_right:
+            r = F.broadcast(r)
+        cond = left[keys[0]].eqNullSafe(r[f"__j_{keys[0]}"])
+        for k in keys[1:]:
+            cond = cond & left[k].eqNullSafe(r[f"__j_{k}"])
+        return left.join(r, cond, how).drop(*[f"__j_{k}" for k in keys])
+
     ranked = (
-        numbered.join(off_renamed, on=[*group_cols, "__rb"])
-        .join(F.broadcast(totals), on=group_cols)
+        _ns_join(numbered, off_renamed, [*group_cols, "__rb"])
+        .transform(lambda d: _ns_join(d, totals, group_cols, broadcast_right=True))
         .withColumn("__le", F.col("__off") + F.col("__le_in"))
         .withColumn("__lt", F.col("__le") - F.col("__cnt"))
     )
@@ -229,16 +247,15 @@ def grouped_percent_rank(
         F.lit(0.0)
     )
     _ = g
-    return (
-        df.join(
-            ranked.select(
-                *group_cols,
-                F.col(value_col),
-                pct.alias(pct_col),
-                (F.col("__le").cast("double") / F.col("__n")).alias(cume_col),
-            ),
-            on=[*group_cols, value_col],
-        )
+    return _ns_join(
+        df,
+        ranked.select(
+            *group_cols,
+            F.col(value_col),
+            pct.alias(pct_col),
+            (F.col("__le").cast("double") / F.col("__n")).alias(cume_col),
+        ),
+        [*group_cols, value_col],
     )
 
 

@@ -39,12 +39,17 @@ from lakehouse_architecture_transaction_spark.pipelines import DatasetSpec, proc
 #: code/step_function_code.json runs the three Glue jobs in sequence).
 DATASET_ORDER = ("products", "orders", "order_items")
 
+#: Sidecar suffix marking a landing file whose data is already committed
+#: to the lake but whose archive move failed — next cycle retries the
+#: move only (never re-ingests).
+_INGESTED_MARK = ".ingested"
+
 
 @dataclass
 class TriggerResult:
     file: str
     dataset: str
-    status: str  # "archived" | "quarantined" | "skipped"
+    status: str  # "archived" | "quarantined" | "ingested_archive_failed" | "skipped"
     detail: str = ""
     attempts: int = 1
 
@@ -149,6 +154,8 @@ def process_landing(
     os.makedirs(error_root, exist_ok=True)
     drops: list[tuple[str, str]] = []
     for f in sorted(os.listdir(landing_root)):
+        if f.endswith(_INGESTED_MARK):
+            continue
         ds = _dataset_of(f)
         if ds is not None:
             drops.append((ds, os.path.join(landing_root, f)))
@@ -157,10 +164,32 @@ def process_landing(
     results: list[TriggerResult] = []
     for ds, path in drops:
         attempts = 1
+        already_ingested = os.path.exists(path + _INGESTED_MARK)
+        if not already_ingested:
+            try:
+                df = spark.read.parquet(path)
+                spec = _spec_for(spark, ds, lake_root)
+                process_dataset(spark, df, spec, lake_root)
+            except Exception:  # noqa: BLE001 - quarantine ANY pipeline failure, keep the cycle alive
+                dest = os.path.join(error_root, os.path.basename(path))
+                shutil.move(path, dest)
+                results.append(
+                    TriggerResult(
+                        file=path,
+                        dataset=ds,
+                        status="quarantined",
+                        detail=traceback.format_exc(limit=1),
+                        attempts=attempts,
+                    )
+                )
+                continue
+        # Data is COMMITTED to the lake past this point. An archive-move
+        # failure must NOT route to quarantine: re-dropping a quarantined
+        # file would re-ingest it (duplicates for append-mode datasets —
+        # the rejected-records zone is append, not merge). Instead the
+        # file stays in the landing zone with an ``.ingested`` sidecar;
+        # the next cycle sees the sidecar and retries the MOVE ONLY.
         try:
-            df = spark.read.parquet(path)
-            spec = _spec_for(spark, ds, lake_root)
-            process_dataset(spark, df, spec, lake_root)
             dest = os.path.join(archive_root, os.path.basename(path))
             _, attempts = _retrying(
                 lambda: shutil.move(path, dest),
@@ -169,21 +198,23 @@ def process_landing(
                 backoff_rate=backoff_rate,
                 transient=transient_exceptions,
             )
+            if os.path.exists(path + _INGESTED_MARK):
+                os.remove(path + _INGESTED_MARK)
             results.append(
                 TriggerResult(
                     file=path, dataset=ds, status="archived", detail=dest, attempts=attempts
                 )
             )
-        except Exception:  # noqa: BLE001 - quarantine ANY failure, keep the cycle alive
-            dest = os.path.join(error_root, os.path.basename(path))
-            shutil.move(path, dest)
+        except Exception:  # noqa: BLE001 - post-ingest: keep in landing, flag for move-only retry
+            with open(path + _INGESTED_MARK, "w") as mark:
+                mark.write("ingested; archive move pending\n")
             results.append(
                 TriggerResult(
                     file=path,
                     dataset=ds,
-                    status="quarantined",
+                    status="ingested_archive_failed",
                     detail=traceback.format_exc(limit=1),
-                    attempts=attempts,
+                    attempts=max_attempts,
                 )
             )
     return results

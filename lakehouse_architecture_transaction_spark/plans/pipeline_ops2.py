@@ -670,7 +670,9 @@ def docs_near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     within = cnt.filter(F.col("cnt") >= 2).select(
         F.col("source").alias("source_a"),
         F.col("source").alias("source_b"),
-        (F.col("cnt") * (F.col("cnt") - 1) / 2).cast("bigint").alias("pairs"),
+        # integer DIV (the product is always even) — Spark's `/` is double
+        # division, which would round silently once cnt*(cnt-1) > 2^53
+        F.expr("cnt * (cnt - 1) DIV 2").alias("pairs"),
     )
     return (
         cross.unionByName(within)

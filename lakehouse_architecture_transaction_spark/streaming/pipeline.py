@@ -149,8 +149,16 @@ def _make_session_fn(idle_timeout_ms: int | None, event_time_gap_s: int | None =
             state.setTimeoutDuration(idle_timeout_ms)
         elif event_time_gap_s is not None:
             # naive pandas Timestamp.timestamp() reads as UTC — matches
-            # the UTC-pinned session the streaming pipelines run under
-            state.setTimeoutTimestamp(int(end.timestamp() * 1000) + event_time_gap_s * 1000)
+            # the UTC-pinned session the streaming pipelines run under.
+            # Spark rejects a timeout timestamp <= the current watermark,
+            # so a straggler event arriving later than (watermark - gap)
+            # would otherwise kill the whole query — clamp to wm + 1 ms
+            # (the session then flushes on the very next watermark advance,
+            # which is the correct late-data behaviour: its window has
+            # already expired).
+            ts_ms = int(end.timestamp() * 1000) + event_time_gap_s * 1000
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(ts_ms, wm_ms + 1))
         if closed:
             yield pd.DataFrame(closed)
 

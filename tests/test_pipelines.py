@@ -145,3 +145,49 @@ def test_landing_archive_retries_transient_failures(spark, sf_dir, tmp_path, mon
     assert [r.status for r in results] == ["archived"]
     assert results[0].attempts == 3
     assert list(archive.iterdir())  # file landed in the archive
+
+def test_landing_archive_failure_never_requarantines_ingested_data(spark, sf_dir, tmp_path, monkeypatch):
+    # Post-ingest archive failure (ALL retries exhausted) must NOT route
+    # the file to quarantine — the data is already committed, and a
+    # re-dropped quarantined file would re-ingest (duplicates for the
+    # append-mode rejected zone). Instead: status ingested_archive_failed,
+    # file stays in landing with an .ingested sidecar, and the NEXT cycle
+    # retries the move only — table row count must not change.
+    import shutil as _shutil
+
+    from lakehouse_architecture_transaction_spark import orchestration as orch
+    from lakehouse_architecture_transaction_spark.catalog import load_table
+    from lakehouse_architecture_transaction_spark.lakehouse.table import LakeTable
+
+    landing, archive, errors, lake = (
+        tmp_path / "landing", tmp_path / "archive", tmp_path / "errors", tmp_path / "lake"
+    )
+    landing.mkdir()
+    load_table(spark, sf_dir, "part").limit(50).write.parquet(str(landing / "products_d1.parquet"))
+
+    real_move = _shutil.move
+
+    def always_fail(src, dst):
+        raise OSError("storage down")
+
+    monkeypatch.setattr(orch.shutil, "move", always_fail)
+    results = orch.process_landing(
+        spark, str(landing), str(archive), str(errors), str(lake), retry_interval_s=0.0
+    )
+    assert [r.status for r in results] == ["ingested_archive_failed"]
+    assert (landing / "products_d1.parquet").exists()  # NOT quarantined
+    assert (landing / "products_d1.parquet.ingested").exists()
+    assert not list(errors.iterdir()) if errors.exists() else True
+    curated = LakeTable(spark, str(lake / "curated" / "products"), keys=["p_partkey"])
+    n_after_ingest = curated.read().count()
+    assert n_after_ingest > 0
+
+    # next cycle, storage recovered: move-only retry — no re-ingest
+    monkeypatch.setattr(orch.shutil, "move", real_move)
+    results2 = orch.process_landing(
+        spark, str(landing), str(archive), str(errors), str(lake), retry_interval_s=0.0
+    )
+    assert [r.status for r in results2] == ["archived"]
+    assert (archive / "products_d1.parquet").exists()
+    assert not (landing / "products_d1.parquet.ingested").exists()
+    assert curated.read().count() == n_after_ingest

@@ -175,3 +175,55 @@ def test_product_quantize_codes_complete_and_in_range(spark, n):
     seen = {(r["id"], r["subspace"]) for r in out}
     assert seen == {(i, s) for i in range(n) for s in range(4)}
     assert all(0 <= r["code"] < 4 for r in out)
+
+def test_grouped_percent_rank_nulls_match_window(spark):
+    # Native PERCENT_RANK/CUME_DIST rank NULL values (NULLS FIRST under
+    # asc order) and treat a NULL group key as a real group; the
+    # bucketed implementation's null-safe join-back must not drop them.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_transaction_spark.operators.ranking import grouped_percent_rank
+
+    rows = [
+        (0, "a", None), (1, "a", 1.0), (2, "a", 1.0), (3, "a", 2.0),
+        (4, None, 5.0), (5, None, None), (6, None, 5.0),
+        (7, "b", None), (8, "b", None),
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = grouped_percent_rank(df, group_cols=["g"], value_col="v").collect()
+    assert len(out) == len(rows)  # nothing silently dropped
+    got = {r["id"]: (r["pct_rank"], r["cume_dist"]) for r in out}
+    w = Window.partitionBy("g").orderBy(F.col("v").asc())
+    want = {
+        r["id"]: (r["pr"], r["cd"])
+        for r in df.select(
+            "id", F.percent_rank().over(w).alias("pr"), F.cume_dist().over(w).alias("cd")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_grouped_percent_rank_degenerate_distributions(spark):
+    # Adversarial tie layouts at non-toy n: (a) EVERY row one value in
+    # one group — all pct_rank 0, cume_dist 1; (b) many one-row groups —
+    # pct_rank 0 per SQL (n-1 == 0 ⇒ defined as 0), cume_dist 1; both
+    # through the broadcast triangular-offset path at 10k+ rows.
+    from lakehouse_architecture_transaction_spark.operators.ranking import grouped_percent_rank
+
+    n = 10_000
+    one_val = spark.range(n).selectExpr("id", "'g0' AS g", "CAST(7.5 AS double) AS v")
+    out = grouped_percent_rank(one_val, group_cols=["g"], value_col="v")
+    agg = out.selectExpr(
+        "count(*) AS n", "max(abs(pct_rank)) AS maxpr", "min(cume_dist) AS mincd"
+    ).collect()[0]
+    assert agg["n"] == n and agg["maxpr"] == 0.0 and agg["mincd"] == 1.0
+
+    singletons = spark.range(n).selectExpr(
+        "id", "concat('g', id) AS g", "CAST(id AS double) AS v"
+    )
+    out2 = grouped_percent_rank(singletons, group_cols=["g"], value_col="v")
+    agg2 = out2.selectExpr(
+        "count(*) AS n", "max(abs(pct_rank)) AS maxpr", "min(cume_dist) AS mincd"
+    ).collect()[0]
+    assert agg2["n"] == n and agg2["maxpr"] == 0.0 and agg2["mincd"] == 1.0
