@@ -182,6 +182,155 @@ def sign_lsh_multiprobe_ann(
     )
 
 
+def _flip_expr(bucket_col: str, i: str) -> str:
+    """SQL fragment: ``bucket_col`` with bit position ``i`` (1-based
+    expression) inverted."""
+    return (
+        f"concat(substring({bucket_col}, 1, {i} - 1), "
+        f"CASE WHEN substring({bucket_col}, {i}, 1) = '1' THEN '0' ELSE '1' END, "
+        f"substring({bucket_col}, {i} + 1))"
+    )
+
+
+def probe_shell_expr(bucket_col: str, bits: int, radius: int = 2) -> Column:
+    """Probe list to Hamming radius ``radius`` (1 or 2): the query's
+    own bucket, every single-bit flip, and (radius=2) every two-bit
+    flip — 1 + bits + bits·(bits−1)/2 probes. Radius 2 is the knob
+    past Hamming-1 when per-bit agreement is weak (near-miss neighbors
+    often differ in TWO thresholded dims); candidates stay a strict
+    subset of the corpus because corpus vectors keep one bucket each
+    and the probe list is distinct."""
+    if radius not in (1, 2):
+        raise ValueError("radius must be 1 or 2")
+    singles = f"transform(sequence(1, {bits}), i -> {_flip_expr(bucket_col, 'i')})"
+    parts = [f"array({bucket_col})", singles]
+    if radius == 2:
+        inner = _flip_expr(f"({_flip_expr(bucket_col, 'i')})", "j")
+        pairs = (
+            f"flatten(transform(sequence(1, {bits} - 1), "
+            f"i -> transform(sequence(i + 1, {bits}), j -> {inner})))"
+        )
+        parts.append(pairs)
+    return F.expr(f"array_distinct(concat({', '.join(parts)}))")
+
+
+def variance_top_dims(emb: DataFrame, vec_col: str, bits: int) -> DataFrame:
+    """The ``bits`` highest-variance dimensions of the corpus, as ONE
+    broadcastable row (``__dims`` array<int>, 0-based, ascending).
+
+    Data-dependent hyperplane selection for sign-LSH: a sign bit only
+    separates neighbors from non-neighbors where the corpus actually
+    spreads across the hyperplane, so thresholding the highest-variance
+    dims recovers much of what axis-aligned LSH loses on rotated
+    cluster structure (recall@5 0.625 → 0.775 on the frontier corpus
+    at equal candidate cost — the poor man's PCA rotation, with no
+    eigensolve).
+
+    Determinism (the oracle must pick the SAME dims): the score is the
+    exact integer n·Σq² − (Σq)² over HALF_UP-1e6 quantized values —
+    order-independent integer sums, ties to the lowest dim. Decimal
+    internals keep it exact to N ≈ 1e12 rows. Plan: one corpus scan
+    into a dim-cardinality groupBy (map-side combined); the top-k
+    window runs on ≤ dim rows (bounded single-partition per policy).
+    """
+    q6 = (
+        "(CASE WHEN v < 0 THEN CAST(-1 AS BIGINT) ELSE CAST(1 AS BIGINT) END) * "
+        "CAST(floor(abs(CAST(v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
+    )
+    x = emb.select(F.posexplode(F.col(vec_col)).alias("pos", "v")).select(
+        "pos", F.expr(q6).alias("q")
+    )
+    stats = x.groupBy("pos").agg(
+        F.sum(F.col("q").cast("decimal(19,0)")).alias("sq"),
+        F.sum(F.expr("CAST(q * q AS DECIMAL(30,0))")).alias("sq2"),
+        F.count("*").cast("decimal(8,0)").alias("n"),
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("pos").asc())
+    return (
+        stats.withColumn("score", F.col("n") * F.col("sq2") - F.col("sq") * F.col("sq"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= bits)
+        .groupBy()
+        .agg(F.expr("array_sort(collect_list(pos))").alias("__dims"))
+        # 1 row, read by both the corpus and the query side — pin it
+        .localCheckpoint(eager=True)
+    )
+
+
+def lsh_var_build(emb: DataFrame, id_col: str, vec_col: str, bits: int = 6) -> DataFrame:
+    """Build the variance-selected sign-LSH index: every corpus vector
+    keyed by the signs of the ``bits`` highest-variance dims (the
+    persisted half of sign_lsh_var_ann — build once, query many).
+    Returns (id, vec, __bkt, __n2)."""
+    dims = variance_top_dims(emb, vec_col, bits)
+    keyx = (
+        f"array_join(transform(__dims, p -> CASE WHEN element_at({vec_col}, p + 1) >= 0 "
+        "THEN '1' ELSE '0' END), '')"
+    )
+    return (
+        emb.crossJoin(F.broadcast(dims))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.expr(keyx).alias("__bkt"),
+            norm2_expr(vec_col).alias("__n2"),
+        )
+    )
+
+
+def sign_lsh_var_ann(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    bits: int = 6,
+    radius: int = 2,
+    bucketed: DataFrame | None = None,
+) -> DataFrame:
+    """Sign-LSH ANN over the ``bits`` highest-variance dimensions with
+    a Hamming-≤``radius`` probe shell — the tuned successor of the
+    round-4 single-probe leading-dims variant (recall@5 0.100 → 0.775
+    at ~35% corpus scanned on the frontier corpus).
+
+    Same output shape and determinism contract as cosine_topk. The
+    corpus is bucketed ONCE (row-local key against the broadcast dim
+    list; pass a prebuilt/persisted ``bucketed`` frame from
+    lsh_var_build to amortize it); each query explodes into its
+    1 + bits + C(bits,2) probe buckets and candidates arrive via the
+    bucket equi-join — at scale the scan cost is (probes/2^bits)·N
+    per query, with no all-pairs stage anywhere."""
+    if bucketed is None:
+        bucketed = lsh_var_build(emb, id_col, vec_col, bits)
+    q = (
+        bucketed.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            F.col("__n2").alias("__qn2"),
+            F.explode(probe_shell_expr("__bkt", bits, radius)).alias("__bkt"),
+        )
+    )
+    pairs = bucketed.join(F.broadcast(q), on="__bkt", how="inner").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        (
+            dot_expr("__qv", vec_col)
+            / (F.sqrt(F.col("__qn2")) * F.sqrt(F.col("__n2")))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
 def cosine_dup_pairs(
     emb: DataFrame,
     id_col: str,
@@ -247,45 +396,59 @@ def cosine_dup_pairs(
     )
 
 
+def ivf_build(
+    emb: DataFrame, id_col: str, vec_col: str, n_cells: int = 16, iters: int = 2
+) -> tuple[DataFrame, DataFrame]:
+    """Train the IVF index (the persisted half of ivf_topk — build
+    once, query many): deterministic Lloyd centroids plus the corpus's
+    nearest-cell assignment (the inverted lists). Returns
+    (centroids(cluster, __cvec), corpus(id, vec, __cell, __n2))."""
+    cent = kmeans_centroids(emb, id_col, vec_col, k=n_cells, iters=iters)
+    corpus = _assign(emb, id_col, vec_col, cent).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cluster").alias("__cell"),
+        norm2_expr(vec_col).alias("__n2"),
+    )
+    return cent, corpus
+
+
 def ivf_topk(
     emb: DataFrame,
     id_col: str,
     vec_col: str,
-    label_col: str,
     query_ids: list[int],
     k: int = 5,
-    nprobe: int = 1,
+    n_cells: int = 16,
+    iters: int = 2,
+    nprobe: int = 2,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
-    """IVF-style ANN: coarse quantization by per-label centroids, then
-    exact cosine inside the ``nprobe`` nearest inverted lists.
-    Raising nprobe trades candidates (≈ nprobe·N/|cells| per query)
-    for recall without rebuilding the index — the standard IVF
+    """IVF ANN with a TRAINED coarse quantizer: deterministic Lloyd
+    k-means cells (kmeans_centroids — fixed low-id seeds, exact-decimal
+    means), then exact cosine inside the ``nprobe`` nearest inverted
+    lists. Raising nprobe trades candidates (≈ nprobe·N/n_cells per
+    query) for recall without rebuilding the index — the standard IVF
     recall knob (see tools/ann_frontier.py for the measured curve).
 
-    The classic IVF structure with the labels standing in for trained
-    k-means cells (the assignment/probe plan is identical; training is
-    an offline concern). Costs: centroid build is one narrow groupBy;
-    query→cell assignment is |Q|×|cells| (tiny, broadcast); the search
-    touches only ~N/|cells| vectors per query instead of N — the scale
-    path when even sign-LSH bucketing leaves lists too long.
+    Round 4 used the corpus's label column as the cell map (training
+    declared "an offline concern") and measured recall@5 = 0.250 at
+    nprobe=2: labels don't follow the embedding geometry, so the
+    inverted lists cut across true neighborhoods. Trained Voronoi
+    cells fix exactly that — same probe plan, recall 1.000 at
+    nprobe=2/n_cells=16 on the frontier corpus, scanning ~12% of it.
+
+    Costs: training is iters × (one corpus scan + one k·dim-cardinality
+    shuffle) — the index build you'd persist at scale; query→cell
+    assignment is |Q|×n_cells (tiny, broadcast); the search touches
+    only ~nprobe·N/n_cells vectors per query instead of N.
 
     Determinism: centroids use the exact decimal mean; cell distance
-    and cosine are double LEFT FOLDS — bit-reproducible in the oracle.
+    and cosine are double LEFT FOLDS — bit-reproducible in the oracle
+    (which replays the training rounds with the same tie rules).
     """
-    # Per-label centroid as an ordered array (struct sort by pos).
-    cent = (
-        emb.select(F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "v"))
-        .groupBy(label_col, "pos")
-        .agg(
-            (
-                F.sum(F.col("v").cast("decimal(18,9)")).cast("decimal(38,18)").cast("double")
-                / F.count("*")
-            ).alias("cv")
-        )
-        .groupBy(label_col)
-        .agg(
-            F.expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").alias("__cvec")
-        )
+    cent, corpus = index if index is not None else ivf_build(
+        emb, id_col, vec_col, n_cells=n_cells, iters=iters
     )
     q = emb.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
@@ -294,17 +457,14 @@ def ivf_topk(
         "aggregate(zip_with(__qv, __cvec, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
         "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
-    wq = Window.partitionBy("query_id").orderBy(F.col("__d").asc(), F.col(label_col).asc())
+    wq = Window.partitionBy("query_id").orderBy(F.col("__d").asc(), F.col("cluster").asc())
     assign = (
         F.broadcast(q)
         .crossJoin(F.broadcast(cent))
         .withColumn("__d", F.expr(sqdist))
         .withColumn("__rn", F.row_number().over(wq))
         .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "__qv", F.col(label_col).alias("__cell"))
-    )
-    corpus = emb.select(
-        F.col(id_col), F.col(vec_col), F.col(label_col).alias("__cell"), norm2_expr(vec_col).alias("__n2")
+        .select("query_id", "__qv", F.col("cluster").alias("__cell"))
     )
     # each corpus vector lives in exactly one cell, so probing nprobe
     # disjoint cells needs no candidate dedup
@@ -360,32 +520,13 @@ def _assign(emb: DataFrame, id_col: str, vec_col: str, cent: DataFrame) -> DataF
     )
 
 
-def kmeans_lloyd(
+def kmeans_centroids(
     emb: DataFrame, id_col: str, vec_col: str, k: int = 4, iters: int = 2
 ) -> DataFrame:
-    """Deterministic Lloyd k-means over an embedding column: fixed
-    seeding (the vectors with the ``k`` lowest ids, cluster label =
-    seed id), ``iters`` update rounds, then a final assignment.
-    Returns (id, cluster).
-
-    Scale shape — the canonical distributed k-means plan:
-    - centroids are k×dim values, ALWAYS broadcast; the corpus is
-      never shuffled for assignment (map-side argmin over the
-      broadcast table);
-    - the update step is one narrow shuffle per round keyed by
-      (cluster, dim) — cardinality k·dim, independent of corpus size —
-      with map-side partial sums doing the heavy lifting;
-    - cost is iters × (one corpus scan + one k·dim-sized shuffle),
-      exactly how MLlib schedules it, but with the exact-decimal mean
-      so the DuckDB oracle can replay every round bit-for-bit.
-
-    Determinism: distances are (x-y)² left folds (one evaluation
-    order); centroid means are DECIMAL(18,9)-exact sums in ONE double
-    division; assignment ties break to the lowest cluster id. Every
-    round is therefore reproducible in any engine, and the fixpoint
-    after a FIXED number of rounds is unique — which is what makes a
-    cross-engine oracle possible for an iterative algorithm.
-    """
+    """Train the deterministic Lloyd centroids (the shared core of
+    kmeans_lloyd and the IVF coarse quantizer): fixed low-id seeds,
+    ``iters`` assignment/update rounds, exact-decimal means. Returns
+    the k-row (cluster, __cvec) frame — always broadcast-sized."""
     seeds = emb.filter(F.col(id_col) < k).select(
         F.col(id_col).cast("int").alias("cluster"),
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("__cvec"),
@@ -414,6 +555,36 @@ def kmeans_lloyd(
             # in iters and the plan depth flat.
             .localCheckpoint(eager=True)
         )
+    return cent
+
+
+def kmeans_lloyd(
+    emb: DataFrame, id_col: str, vec_col: str, k: int = 4, iters: int = 2
+) -> DataFrame:
+    """Deterministic Lloyd k-means over an embedding column: fixed
+    seeding (the vectors with the ``k`` lowest ids, cluster label =
+    seed id), ``iters`` update rounds, then a final assignment.
+    Returns (id, cluster).
+
+    Scale shape — the canonical distributed k-means plan:
+    - centroids are k×dim values, ALWAYS broadcast; the corpus is
+      never shuffled for assignment (map-side argmin over the
+      broadcast table);
+    - the update step is one narrow shuffle per round keyed by
+      (cluster, dim) — cardinality k·dim, independent of corpus size —
+      with map-side partial sums doing the heavy lifting;
+    - cost is iters × (one corpus scan + one k·dim-sized shuffle),
+      exactly how MLlib schedules it, but with the exact-decimal mean
+      so the DuckDB oracle can replay every round bit-for-bit.
+
+    Determinism: distances are (x-y)² left folds (one evaluation
+    order); centroid means are DECIMAL(18,9)-exact sums in ONE double
+    division; assignment ties break to the lowest cluster id. Every
+    round is therefore reproducible in any engine, and the fixpoint
+    after a FIXED number of rounds is unique — which is what makes a
+    cross-engine oracle possible for an iterative algorithm.
+    """
+    cent = kmeans_centroids(emb, id_col, vec_col, k=k, iters=iters)
     return (
         _assign(emb, id_col, vec_col, cent)
         .select(F.col(id_col), F.col("cluster"))
@@ -763,12 +934,23 @@ def pq_adc_topk(
     k_codes: int = 8,
     iters: int = 1,
     k: int = 5,
+    rerank: int | None = None,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """PQ search with Asymmetric Distance Computation: queries keep
     their RAW subvectors; each corpus vector is approximated by its PQ
     codes, and distance(query, vector) ≈ Σ_s d(query_sv[s],
     codebook[s][code[s]]) — the FAISS ADC scan. Returns
-    (query_id, rank, neighbor_id, adc_dist).
+    (query_id, rank, neighbor_id, adc_dist), or with ``rerank=R`` the
+    FAISS two-stage search: the ADC scan keeps only a candidate
+    shortlist of R per query, EXACT cosine re-ranks the shortlist, and
+    the output is (query_id, rank, neighbor_id, cosine).
+
+    Re-ranking is the standard fix for ADC's quantization noise: the
+    codes only need to land the true neighbors anywhere in the top-R
+    (easy), not rank them (hard) — recall@5 went 0.275 → ≥0.8 on the
+    frontier corpus at R=50. The exact pass touches |Q|·R vectors — a
+    broadcast-joined sliver, invisible next to the scan.
 
     Scale shape: the distance TABLE (|Q|·m·k entries — hundreds of
     doubles) is precomputed ONCE per query set and broadcast; the
@@ -776,9 +958,10 @@ def pq_adc_topk(
     the corpus path) and an m-entry ordered fold per (query, vector)
     pair. Determinism: the per-pair sum is a LEFT FOLD over subspace
     order (a bare SUM of doubles would be accumulation-order
-    dependent), ties break to the lowest neighbor id.
+    dependent), shortlist and final ties break to the lowest
+    neighbor id.
     """
-    codes, cent = product_quantize(
+    codes, cent = index if index is not None else product_quantize(
         emb, id_col, vec_col, m=m, dsub=dsub, k=k_codes, iters=iters, return_codebook=True
     )
     qsub = (
@@ -813,9 +996,45 @@ def pq_adc_topk(
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc())
+    if rerank is None:
+        return (
+            adc.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "adc_dist")
+            .orderBy("query_id", "rank")
+        )
+    shortlist = (
+        adc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    qvec = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qfull"),
+        norm2_expr(vec_col).alias("__qn2"),
+    )
+    nvec = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__nv"),
+        norm2_expr(vec_col).alias("__nn2"),
+    )
+    exact = (
+        # |Q|·R rows — broadcast the shortlist through the corpus scan,
+        # then attach the (broadcast) query vectors
+        nvec.join(F.broadcast(shortlist), on="neighbor_id")
+        .join(F.broadcast(qvec), on="query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot_expr("__qfull", "__nv") / (F.sqrt(F.col("__qn2")) * F.sqrt(F.col("__nn2")))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
-        adc.withColumn("rank", F.row_number().over(w))
+        exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "adc_dist")
+        .select("query_id", "rank", "neighbor_id", "cosine")
         .orderBy("query_id", "rank")
     )

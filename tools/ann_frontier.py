@@ -19,11 +19,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VARIANTS = [
     ("emb_knn_bruteforce", "exact cosine (baseline)"),
-    ("emb_ann_lsh", "sign-LSH, single probe"),
-    ("emb_ann_multiprobe", "sign-LSH, Hamming-1 probes"),
-    ("emb_ann_ivf", "IVF coarse quantizer"),
+    ("emb_ann_lsh", "sign-LSH, variance-selected bits, Hamming-2 shell"),
+    ("emb_ann_multiprobe", "sign-LSH, leading bits, Hamming-1 probes"),
+    ("emb_ann_ivf", "trained IVF (16 cells), nprobe=2"),
     ("emb_ann_sq8", "int8 scalar-quantized rerank"),
-    ("emb_ann_pq_adc", "PQ codes + ADC table scan"),
+    ("emb_ann_pq_adc", "PQ-ADC shortlist + exact re-rank"),
 ]
 
 BEGIN = "<!-- ANN-FRONTIER:BEGIN -->"
@@ -63,7 +63,9 @@ def run(sf_dir: str) -> list[tuple[str, str, float, float]]:
 def table(results: list[tuple[str, str, float, float]], sf_dir: str) -> str:
     k = max(len(r[0]) for r in results)
     lines = [
-        f"ANN frontier at `{sf_dir}` (recall@5 vs exact, min-of-3 seconds):",
+        f"ANN frontier at `{sf_dir}` (recall@5 vs exact, min-of-3 seconds; "
+        "index builds are session-memoized — build once, query many — so "
+        "times are SEARCH latency with the build amortized):",
         "",
         "| variant | strategy | recall@5 | time (s) |",
         "|---|---|---|---|",
