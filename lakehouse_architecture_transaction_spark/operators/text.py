@@ -339,8 +339,10 @@ def winnowing_fingerprints(
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03 — the MOSS algorithm): hash every k-gram, slide a window
     of ``w`` consecutive hashes, keep the minimum of each window
-    (leftmost position on ties), emit the distinct selected
-    (position, hash) pairs. Guarantees every match of length
+    (RIGHTMOST position on ties, per the paper's §"the winnowing
+    algorithm" — rounds 2–4 picked leftmost, which over-selects on
+    tie runs and diverges from the published density argument), emit
+    the distinct selected (position, hash) pairs. Guarantees every match of length
     ≥ w + k - 1 shares a fingerprint, with ~2/(w+1) selection density —
     the standard local-similarity/plagiarism primitive, robust where a
     single whole-doc hash (rolling_hash) is all-or-nothing.
@@ -384,7 +386,8 @@ def winnowing_fingerprints(
         f"transform(sequence(1, greatest(size(__g) - {w - 1}, 1)),"
         f" j -> struct(j AS j, slice(__g, j, {w}) AS s)),"
         f" x -> struct(x.j AS j, x.s AS s, array_min(x.s) AS m)),"
-        f" y -> struct(CAST(y.j - 1 + array_position(y.s, y.m) AS INT) AS pos,"
+        # rightmost-on-tie: first hit in the REVERSED slice, mirrored
+        f" y -> struct(CAST(y.j - 1 + size(y.s) + 1 - array_position(reverse(y.s), y.m) AS INT) AS pos,"
         f" y.m AS gram_hash)))"
     )
     return (

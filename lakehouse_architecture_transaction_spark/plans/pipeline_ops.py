@@ -879,7 +879,8 @@ def docs_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
         SELECT doc_id,
                list_transform(generate_series(1, greatest(len(grams) - 7, 1)),
-                   j -> {{'pos': CAST(j - 1 + list_position(grams[j:j+7], list_min(grams[j:j+7])) AS INT),
+                   j -> {{'pos': CAST(j - 1 + len(grams[j:j+7]) + 1
+                              - list_position(list_reverse(grams[j:j+7]), list_min(grams[j:j+7])) AS INT),
                          'gram_hash': list_min(grams[j:j+7])}}) AS fps
         FROM g
     )
@@ -892,9 +893,11 @@ def docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (operators/text.py
     winnowing_fingerprints): window-min selection over Karp–Rabin
     k-gram hashes — every shared substring of length ≥ w+k-1 = 15 is
-    guaranteed a common fingerprint, at ~2/(w+1) density. The oracle
-    replays the identical selection with DuckDB list lambdas (row
-    DISTINCT stands in for array_distinct — same set semantics)."""
+    guaranteed a common fingerprint, at ~2/(w+1) density, rightmost
+    window position on ties (SIGMOD'03-faithful as of round 5). The
+    oracle replays the identical selection with DuckDB list lambdas
+    (row DISTINCT stands in for array_distinct — same set
+    semantics)."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     return T.winnowing_fingerprints(docs, id_col="doc_id", text_col="text").orderBy(
         "doc_id", "pos", "gram_hash"

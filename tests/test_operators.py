@@ -631,3 +631,17 @@ def test_tuned_ann_variants_recall_floor(spark, sf_dir):
 
     lsh = neighbors(sign_lsh_var_ann(emb, "vec_id", "embedding", qids, k=5, bits=6, radius=2))
     assert recall(lsh) >= 0.5, f"variance-bit LSH recall regressed: {recall(lsh)}"
+
+def test_winnowing_rightmost_on_tie(spark):
+    # SIGMOD'03: "select the rightmost occurrence" of a tied window
+    # minimum. All-identical text makes every gram hash equal, so each
+    # window of w=8 grams ties everywhere and must select its LAST
+    # slot: window starting at j (1-based) selects pos = j + 7 — the
+    # leftmost rule would select pos = j.
+    from lakehouse_architecture_transaction_spark.operators.text import winnowing_fingerprints
+
+    docs = spark.createDataFrame([(1, "a" * 30)], "doc_id long, text string")
+    rows = winnowing_fingerprints(docs, id_col="doc_id", text_col="text").collect()
+    # 30 chars -> 23 grams -> 16 windows (j = 1..16), each selecting j+7
+    assert sorted(r["pos"] for r in rows) == list(range(8, 24))
+    assert len({r["gram_hash"] for r in rows}) == 1
