@@ -599,6 +599,12 @@ def pruned_read(
     import operator as _op
 
     apply = {"=": _op.eq, "<": _op.lt, "<=": _op.le, ">": _op.gt, ">=": _op.ge}
+    types = {f.name: f.dataType for f in base.schema.fields}
     for c, op, v in where:
-        base = base.filter(apply[op](F.col(c), F.lit(v)))
+        # cast the literal to the column's type: a naive-datetime
+        # literal otherwise lands as session-tz TIMESTAMP and fails to
+        # compare against a TIMESTAMP_NTZ column (the catalog's pinned
+        # event/order time type)
+        lit = F.lit(v).cast(types[c]) if c in types else F.lit(v)
+        base = base.filter(apply[op](F.col(c), lit))
     return base, report

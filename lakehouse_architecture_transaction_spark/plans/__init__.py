@@ -12,6 +12,7 @@ from lakehouse_architecture_transaction_spark.plans import (  # noqa: F401
     behavior,
     customer_value,
     etl,
+    lakehouse_queries,
     pipeline_ops,
     pipeline_ops2,
 )

@@ -404,3 +404,34 @@ def test_laketable_restore_and_clone(spark, tmp_path):
     # independence: writing the clone does not move the source
     c.upsert(spark.createDataFrame([(9, "z")], "k long, v string"))
     assert t.read().count() == 2 and c.read().count() == 3
+
+def test_registered_pruned_scan_skips_files_end_to_end(spark, sf_dir):
+    """The registered query orders_pruned_scan_sql must actually skip
+    files on its way to a correct answer: the H1-1996 predicate over
+    the date-clustered copy keeps a minority of files, and the
+    SQL-by-name plan reads exactly the kept set."""
+    from lakehouse_architecture_transaction_spark.plans.lakehouse_queries import (
+        orders_pruned_scan_sql,
+        pruned_scan_report,
+    )
+
+    report = pruned_scan_report(spark, sf_dir)
+    assert report["files_total"] >= 8
+    assert report["files_skipped"] > report["files_total"] // 2
+    files = spark.sql("SELECT * FROM orders_pruned_scan").inputFiles()
+    assert len(files) == report["files_read"]
+
+    from lakehouse_architecture_transaction_spark.catalog import load_table
+
+    got = {r["o_orderpriority"]: r["n_orders"] for r in orders_pruned_scan_sql(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders")
+    want = {
+        r["o_orderpriority"]: r["n"]
+        for r in orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
