@@ -378,3 +378,84 @@ def test_sessionization_on_rocksdb_state_store(spark, sf_dir, tmp_path):
     finally:
         q2.stop()
     assert got == want
+
+def test_native_session_window_watermark_lateness(spark, tmp_path):
+    # S8 late-data contract, pinned on BOTH state-store providers: an
+    # event later than the watermark must be dropped (never resurrect
+    # or duplicate an already-closed session), while an out-of-order
+    # event still above the watermark must land normally. Merge-on-
+    # overlap state eviction is exercised by closing sessions across
+    # four watermark advances.
+    import datetime as dt
+
+    from lakehouse_architecture_transaction_spark.streaming.pipeline import (
+        read_event_stream,
+        sessionize_native,
+    )
+
+    schema = "event_id bigint, ts string, user_id bigint, event_type string, value double, props string"
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    results = {}
+    for provider in ("default", "rocksdb"):
+        prior = spark.conf.get(key, None)
+        if provider == "rocksdb":
+            spark.conf.set(key, rocks)
+        try:
+            src = tmp_path / f"late_{provider}"
+            src.mkdir()
+
+            def put(name, rows, _src=src):
+                spark.createDataFrame(rows, schema).withColumn(
+                    "ts", F.col("ts").cast("timestamp_ntz")
+                ).coalesce(1).write.parquet(str(_src / name))
+
+            put("b0", [(1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}")])
+            stream = read_event_stream(spark, str(src / "*"))
+            q = (
+                sessionize_native(stream, gap="30 minutes", watermark="1 hour")
+                .writeStream.format("memory")
+                .queryName(f"late_sessions_{provider}")
+                .outputMode("append")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+                # watermark -> 12:00; user 1's 10:00 session is closeable
+                put("b1", [(2, "2024-01-01 13:00:00", 2, "click", 1.0, "{}")])
+                q.processAllAvailable()
+                # same batch: 12:30 is ABOVE the 12:00 watermark (accepted),
+                # 11:00 is BELOW it (late -> dropped, must not re-open user 1)
+                put(
+                    "b2",
+                    [
+                        (3, "2024-01-01 12:30:00", 3, "click", 1.0, "{}"),
+                        (4, "2024-01-01 11:00:00", 1, "click", 1.0, "{}"),
+                    ],
+                )
+                q.processAllAvailable()
+                put("b3", [(5, "2024-01-01 20:00:00", 2, "click", 1.0, "{}")])
+                q.processAllAvailable()
+                put("b4", [(6, "2024-01-02 09:00:00", 9, "click", 1.0, "{}")])
+                q.processAllAvailable()
+                results[provider] = {
+                    (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+                    for r in spark.sql(f"SELECT * FROM late_sessions_{provider}").collect()
+                }
+            finally:
+                q.stop()
+        finally:
+            if prior is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prior)
+
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    want = {
+        (1, t("2024-01-01 10:00:00"), t("2024-01-01 10:00:00"), 1),
+        (2, t("2024-01-01 13:00:00"), t("2024-01-01 13:00:00"), 1),
+        (2, t("2024-01-01 20:00:00"), t("2024-01-01 20:00:00"), 1),
+        (3, t("2024-01-01 12:30:00"), t("2024-01-01 12:30:00"), 1),
+    }
+    assert results["default"] == want, results["default"]
+    assert results["rocksdb"] == want, results["rocksdb"]
