@@ -23,88 +23,100 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from lakehouse_architecture_transaction_spark.plans import REGISTRY
 from lakehouse_architecture_transaction_spark.session import get_spark
 
-#: The headline set: one per operator family, weighted toward the
-#: shapes that dominate at scale (scan-agg, fact joins, windows,
-#: shingle explosion, vector search).
-HEADLINE = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_revenue_delta",
-    "q10_returned_items",
-    "top_parts_by_revenue",
-    "rollup_revenue",
-    "top3_orders_per_customer",
-    "sessionize_events",
-    "events_hourly",
-    "dedup_pk_lineitem",
-    "merge_upsert_orders",
-    "docs_minhash_lsh_pairs",
-    "docs_simhash",
-    "docs_token_stats",
-    "emb_knn_bruteforce",
-    "emb_ann_lsh",
-    "process_order_items_valid",
-    "events_asof_orders",
-    "events_value_percentiles",
-    "mm_features",
-    "emb_ann_ivf",
-    "emb_cosine_dup_pairs",
-    "docs_rolling_hash",
-    "events_retention_cohorts",
-    "scd2_customer_history",
-    # round-3 additions: TPC-H completion + pipeline ops
-    "q8_market_share",
-    "q13_order_count_distribution",
-    "q18_large_volume_customers",
-    "q21_sole_late_supplier",
-    "docs_tfidf_top_terms",
-    "docs_boilerplate",
-    "docs_vocabulary",
-    "docs_dup_clusters",
-    "docs_shuffled_batches",
-    # round-3 continuation: clustering, quantized ANN, chunk dedup,
-    # CDC delete-merge, rolling distinct, anomaly flags
-    "emb_kmeans",
-    "emb_ann_sq8",
-    "docs_chunk_dup_docs",
-    "docs_char_chunks",
-    "merge_delete_orders",
-    "events_rolling_distinct_users",
-    "events_daily_anomalies",
-    "docs_source_mixture_sample",
-    # round-3 continuation II: sequence analytics, LM familiarity,
-    # exact sampling, cluster profile, embedding QA
-    "events_user_transitions",
-    "events_top_paths",
-    "orders_market_basket",
-    "docs_lm_familiarity",
-    "docs_dup_cluster_sizes",
-    "emb_dim_stats",
-    "emb_pca_project",
-    "nation_yoy_growth",
-    "events_bot_users",
-    # round-3 continuation III: customer-value tier + winnowing
-    "customer_interpurchase_gaps",
-    "customer_cohort_ltv",
-    "supplier_revenue_pareto",
-    "customer_rfm_segments",
-    "docs_winnowing",
-    # round-4 additions: window coverage, corpus/embedding QA,
-    # salted group top-k, jaccard estimates
-    "customer_order_span",
-    "orders_pctrank_in_segment",
-    "orders_gap_islands",
-    "events_interarrival_by_type",
-    "events_peak_hour_per_day",
-    "docs_minhash_jaccard_est",
-    "docs_rare_shingle_score",
-    "docs_top_quality_per_source",
-    "emb_norm_outliers",
-    "emb_nearest_centroid_confusion",
-    "events_session_window",
-    "emb_product_quantize",
-]
+#: The headline set, each query tagged with its operator family so the
+#: bench JSON carries per-family subtotals (regressions attributable at
+#: a glance — VERDICT r4 item 8). Weighted toward the shapes that
+#: dominate at scale (scan-agg, fact joins, windows, shingle explosion,
+#: vector search).
+HEADLINE_FAMILIES: dict[str, str] = {
+    "q1_pricing_summary": "tpch",
+    "q3_shipping_priority": "tpch",
+    "q5_local_supplier_volume": "tpch",
+    "q6_revenue_delta": "tpch",
+    "q10_returned_items": "tpch",
+    "top_parts_by_revenue": "tpch",
+    "rollup_revenue": "tpch",
+    "q8_market_share": "tpch",
+    "q13_order_count_distribution": "tpch",
+    "q18_large_volume_customers": "tpch",
+    "q21_sole_late_supplier": "tpch",
+    # window / ranking / customer-value analytics
+    "top3_orders_per_customer": "window",
+    "customer_interpurchase_gaps": "window",
+    "customer_cohort_ltv": "window",
+    "supplier_revenue_pareto": "window",
+    "customer_rfm_segments": "window",
+    "customer_order_span": "window",
+    "orders_pctrank_in_segment": "window",
+    "orders_gap_islands": "window",
+    # event/time-series analytics
+    "sessionize_events": "events",
+    "events_hourly": "events",
+    "events_asof_orders": "events",
+    "events_value_percentiles": "events",
+    "events_retention_cohorts": "events",
+    "events_rolling_distinct_users": "events",
+    "events_daily_anomalies": "events",
+    "events_interarrival_by_type": "events",
+    "events_peak_hour_per_day": "events",
+    "events_session_window": "events",
+    "events_dau_mau_stickiness": "events",
+    # behavioral / sequence mining
+    "events_user_transitions": "behavior",
+    "events_top_paths": "behavior",
+    "orders_market_basket": "behavior",
+    "events_bot_users": "behavior",
+    "nation_yoy_growth": "behavior",
+    # ETL parity (validation, merge, SCD2, lakehouse scan)
+    "dedup_pk_lineitem": "etl",
+    "merge_upsert_orders": "etl",
+    "process_order_items_valid": "etl",
+    "scd2_customer_history": "etl",
+    "merge_delete_orders": "etl",
+    "orders_pruned_scan_sql": "etl",
+    "orders_salted_segment_revenue": "etl",
+    "orders_lineitem_bucketed_join": "etl",
+    # document dedup family
+    "docs_minhash_lsh_pairs": "dedup",
+    "docs_simhash": "dedup",
+    "docs_boilerplate": "dedup",
+    "docs_dup_clusters": "dedup",
+    "docs_chunk_dup_docs": "dedup",
+    "docs_dup_cluster_sizes": "dedup",
+    "docs_minhash_jaccard_est": "dedup",
+    "docs_lsh_precision": "dedup",
+    "emb_cosine_dup_pairs": "dedup",
+    # text analysis
+    "docs_token_stats": "text",
+    "docs_rolling_hash": "text",
+    "docs_tfidf_top_terms": "text",
+    "docs_vocabulary": "text",
+    "docs_lm_familiarity": "text",
+    "docs_winnowing": "text",
+    "docs_char_chunks": "text",
+    "docs_rare_shingle_score": "text",
+    "docs_top_quality_per_source": "text",
+    # sampling / sharding
+    "docs_shuffled_batches": "sampling",
+    "docs_source_mixture_sample": "sampling",
+    # similarity search
+    "emb_knn_bruteforce": "ann",
+    "emb_ann_lsh": "ann",
+    "emb_ann_ivf": "ann",
+    "emb_ann_sq8": "ann",
+    "emb_product_quantize": "ann",
+    "emb_ann_pq_adc": "ann",
+    # embedding QA / linear algebra
+    "emb_kmeans": "emb",
+    "emb_dim_stats": "emb",
+    "emb_pca_project": "emb",
+    "emb_norm_outliers": "emb",
+    "emb_nearest_centroid_confusion": "emb",
+    # multimodal plumbing
+    "mm_features": "mm",
+}
+
+HEADLINE = list(HEADLINE_FAMILIES)
 
 
 def main() -> None:
@@ -134,6 +146,11 @@ def main() -> None:
         times[name] = round(best, 4)
         total += times[name]
 
+    families: dict[str, float] = {}
+    for name, t in times.items():
+        fam = HEADLINE_FAMILIES[name]
+        families[fam] = round(families.get(fam, 0.0) + t, 4)
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
@@ -142,6 +159,7 @@ def main() -> None:
                 "value": round(total, 4),
                 "unit": "sec",
                 "queries": times,
+                "families": families,
                 "sf": float(sf) if sf else None,
                 "cpus": cpus,
                 "runs_per_query": runs,

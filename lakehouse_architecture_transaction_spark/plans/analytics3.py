@@ -667,3 +667,51 @@ def orders_ship_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "events_dau_mau_stickiness",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    spine AS (SELECT DISTINCT day FROM ud),
+    dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY day),
+    mau AS (
+        SELECT s.day, COUNT(DISTINCT u.user_id) AS mau
+        FROM spine s JOIN ud u ON u.day BETWEEN s.day - 29 AND s.day
+        GROUP BY s.day
+    )
+    SELECT CAST(d.day AS TIMESTAMP) AS day, d.dau, m.mau,
+           CAST(d.dau AS DOUBLE) / m.mau AS stickiness
+    FROM dau d JOIN mau m USING (day)
+    ORDER BY day ASC
+    """,
+)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per active day — the product-health ratio of
+    daily to trailing-30-day distinct users. Same scale plan as
+    events_rolling_distinct_users: dedupe to (user, day) — the one big
+    shuffle — then a BOUNDED 30× explode of each user-day into the
+    days it serves; no per-day self-joins, no sliding COUNT(DISTINCT)
+    window. The ratio is ONE double division of exact counts."""
+    events = load_table(spark, sf_dir, "events")
+    ud = events.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    spine = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    contrib = ud.select(
+        F.explode(F.expr("sequence(day, date_add(day, 29))")).alias("day"), "user_id"
+    )
+    mau = (
+        contrib.join(spine, on="day", how="inner")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    return (
+        dau.join(mau, on="day")
+        .select(
+            F.col("day").cast("timestamp_ntz").alias("day"),
+            "dau",
+            "mau",
+            (F.col("dau").cast("double") / F.col("mau")).alias("stickiness"),
+        )
+        .orderBy("day")
+    )

@@ -103,4 +103,116 @@ def orders_pruned_scan_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ = F  # house import kept for sibling additions
+@register(
+    "orders_salted_segment_revenue",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment ASC
+    """,
+)
+def orders_salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment revenue through the SALTED join path (operators/skew.py
+    salted_join — until round 5 an 'Also' component pinned only by
+    unit tests): the fact side takes a random salt, the customer dim
+    replicates across all 16 salt values, and the hot-key shuffle
+    spreads over 16 reducers. Logically identical to the plain
+    equi-join — which is exactly what the oracle checks."""
+    from lakehouse_architecture_transaction_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = salted_join(orders, cust, left_key="o_custkey", right_key="c_custkey", salt=16)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)))")
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+#: Session-scoped memo of the bucketed fact tables (orders + lineitem
+#: bucketed by order key): the write IS the pre-shuffle; every keyed
+#: join afterwards runs with zero exchange on the bucketed columns.
+_BUCKETED_MEMO: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build (once per app+sf_dir) catalog-registered bucketed copies
+    of orders and lineitem, co-bucketed on the order key — E14's
+    zero-exchange fact-fact join layout, served to a registered query.
+    Returns the two table names."""
+    import hashlib
+
+    from lakehouse_architecture_transaction_spark.lakehouse.table import write_bucketed
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _BUCKETED_MEMO.get(key)
+    if got is not None:
+        return got
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    o_name, l_name = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    root = tempfile.mkdtemp(prefix="lakehouse_architecture_transaction_bucketed_")
+    write_bucketed(
+        load_table(spark, sf_dir, "orders"),
+        o_name,
+        f"{root}/orders",
+        num_buckets=8,
+        bucket_cols=["o_orderkey"],
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem"),
+        l_name,
+        f"{root}/lineitem",
+        num_buckets=8,
+        bucket_cols=["l_orderkey"],
+    )
+    _BUCKETED_MEMO[key] = (o_name, l_name)
+    return o_name, l_name
+
+
+@register(
+    "orders_lineitem_bucketed_join",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority ASC
+    """,
+)
+def orders_lineitem_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join revenue by priority over CO-BUCKETED tables
+    (lakehouse/table.py write_bucketed, E14 — until round 5 pinned
+    only by a plan test): both facts are bucketed 8-way on the order
+    key at write time, so the join reads bucket-aligned files with no
+    exchange on either side — at 100 TB this converts the dominant
+    nightly shuffle into a local zip. The oracle runs the plain join;
+    tests pin the exchange-free plan."""
+    o_name, l_name = bucketed_fact_tables(spark, sf_dir)
+    o = spark.table(o_name)
+    li = spark.table(l_name)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.expr(
+                "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))))"
+            )
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -99,9 +99,11 @@ _MAX_DF = 100  # stop-shingle cut, mirrored in the operator default
 _BUCKET_CAP = 50  # per-LSH-bucket candidate cap, mirrored likewise
 
 
-@register(
-    "docs_ngram_jaccard_pairs",
-    oracle=f"""
+def _jaccard_pairs_sql() -> str:
+    """Exact 3-gram Jaccard pair SQL (threshold 0.1, stop-shingle cut)
+    — shared by the docs_ngram_jaccard_pairs oracle and the LSH
+    precision oracle in pipeline_ops2."""
+    return f"""
     WITH {_DOC_SHINGLES},
     shf AS (
         SELECT doc_id, shingle FROM (
@@ -121,8 +123,10 @@ _BUCKET_CAP = 50  # per-LSH-bucket candidate cap, mirrored likewise
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.1
     ORDER BY id_a ASC, id_b ASC
-    """,
-)
+    """
+
+
+@register("docs_ngram_jaccard_pairs", oracle=_jaccard_pairs_sql())
 def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram shingle Jaccard pair mining (threshold 0.1) with
     the max-df stop-shingle cut (operators/dedup.py)."""

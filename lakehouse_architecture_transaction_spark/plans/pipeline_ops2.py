@@ -928,3 +928,54 @@ def emb_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cosine"
     )
+
+
+def _lsh_precision_oracle() -> str:
+    from lakehouse_architecture_transaction_spark.plans.pipeline_ops import (
+        _jaccard_pairs_sql,
+        _minhash_oracle,
+    )
+
+    cand = _minhash_oracle().format(cap=_BUCKET_CAP)
+    jac = _jaccard_pairs_sql()
+    return f"""
+    WITH cand AS ({cand}),
+    jac AS ({jac}),
+    m AS (
+        SELECT c.id_a, c.id_b, j.jaccard
+        FROM cand c LEFT JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+    )
+    SELECT COUNT(*) AS n_candidates,
+           COUNT(jaccard) AS n_true,
+           CAST(COUNT(jaccard) AS DOUBLE) / COUNT(*) AS precision
+    FROM m
+    """
+
+
+@register("docs_lsh_precision", oracle=_lsh_precision_oracle())
+def docs_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding candidate PRECISION: the fraction of MinHash-LSH
+    candidate pairs whose exact 3-gram Jaccard clears the 0.1 dedup
+    threshold — the tuning metric that tells a curation team whether
+    the band/row split wastes verification budget (precision low →
+    more rows per band) or — read with recall off the jaccard side —
+    misses dups (bands too strict). Reuses the session's memoized
+    signature frame; the exact side is the same capped shingle-join
+    plan as docs_ngram_jaccard_pairs, evaluated only to verify the
+    candidate set."""
+    from lakehouse_architecture_transaction_spark.plans.pipeline_ops import _signature_frame
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    sig = _signature_frame(spark, sf_dir)
+    cand = D.lsh_candidate_pairs(
+        sig, id_col="doc_id", num_perms=_NUM_PERMS, bands=_BANDS, bucket_cap=_BUCKET_CAP
+    )
+    jac = D.ngram_jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", n=3, threshold=0.1, max_df=100
+    ).select("id_a", "id_b", "jaccard")
+    m = cand.join(jac, on=["id_a", "id_b"], how="left")
+    return m.agg(
+        F.count("*").alias("n_candidates"),
+        F.count("jaccard").alias("n_true"),
+        (F.count("jaccard").cast("double") / F.count("*")).alias("precision"),
+    )

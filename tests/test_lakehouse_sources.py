@@ -435,3 +435,24 @@ def test_registered_pruned_scan_skips_files_end_to_end(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+def test_registered_bucketed_join_zero_exchange_on_keys(spark, sf_dir):
+    """The registered query orders_lineitem_bucketed_join must get its
+    fact-fact join exchange-free from the bucketed layout: the only
+    Exchange in the executed plan is the priority aggregate's — none
+    on the order key."""
+    from lakehouse_architecture_transaction_spark.plans.lakehouse_queries import (
+        orders_lineitem_bucketed_join,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = orders_lineitem_bucketed_join(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if "Exchange" in line:
+                assert "orderkey" not in line, line
+        assert df.count() >= 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
