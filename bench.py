@@ -106,6 +106,7 @@ HEADLINE_FAMILIES: dict[str, str] = {
     "emb_ann_sq8": "ann",
     "emb_product_quantize": "ann",
     "emb_ann_pq_adc": "ann",
+    "emb_ann_ivfpq": "ann",
     # embedding QA / linear algebra
     "emb_kmeans": "emb",
     "emb_dim_stats": "emb",

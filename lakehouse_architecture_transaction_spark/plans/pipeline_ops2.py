@@ -979,3 +979,145 @@ def docs_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("jaccard").alias("n_true"),
         (F.count("jaccard").cast("double") / F.count("*")).alias("precision"),
     )
+
+
+_IVFPQ_NPROBE, _IVFPQ_RERANK = 2, 50
+
+
+def _ivfpq_oracle() -> str:
+    from lakehouse_architecture_transaction_spark.plans.pipeline_ops import (
+        _IVF_CELLS,
+        _IVF_ITERS,
+        _km_assign_sql,
+        _km_update_sql,
+    )
+
+    parts = [
+        f"""sub AS (
+        SELECT vec_id, ss.s,
+               list_transform(embedding[ss.s * {_PQ_DSUB} + 1 : (ss.s + 1) * {_PQ_DSUB}],
+                              x -> CAST(x AS DOUBLE)) AS sv
+        FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s) ss)""",
+        f"""pc0 AS (
+        SELECT s, CAST(vec_id AS INTEGER) AS cluster, sv AS cvec
+        FROM sub WHERE vec_id < {_PQ_K})""",
+    ]
+    for i in range(_PQ_ITERS):
+        parts.append(f"pa{i + 1} AS {_pq_assign_sql(f'pc{i}')}")
+        parts.append(f"pc{i + 1} AS {_pq_update_sql(f'pa{i + 1}')}")
+    parts.append(f"pfin AS {_pq_assign_sql(f'pc{_PQ_ITERS}')}")
+    parts.append(
+        f"""ic0 AS (
+        SELECT CAST(vec_id AS INTEGER) AS cluster,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+        FROM embeddings WHERE vec_id < {_IVF_CELLS})"""
+    )
+    for i in range(_IVF_ITERS):
+        parts.append(f"ia{i + 1} AS {_km_assign_sql(f'ic{i}')}")
+        parts.append(f"ic{i + 1} AS {_km_update_sql(f'ia{i + 1}')}")
+    parts.append(f"ifin AS {_km_assign_sql(f'ic{_IVF_ITERS}')}")
+    parts.append(
+        f"q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {_ADC_Q_MAX})"
+    )
+    parts.append(
+        f"""idist AS (
+        SELECT q.query_id, c.cluster,
+               list_reduce(list_transform(list_zip(q.qv, c.cvec),
+                   z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2])),
+                   (a, b) -> a + b) AS d
+        FROM q CROSS JOIN ic{_IVF_ITERS} c)"""
+    )
+    parts.append(
+        f"""cell AS (
+        SELECT query_id, cluster FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d ASC, cluster ASC) AS rn
+            FROM idist) WHERE rn <= {_IVFPQ_NPROBE})"""
+    )
+    parts.append(
+        """cand AS (
+        SELECT cell.query_id, f.vec_id
+        FROM ifin f JOIN cell ON f.cluster = cell.cluster AND f.vec_id != cell.query_id)"""
+    )
+    parts.append(
+        f"""qsub AS (SELECT vec_id AS query_id, s, sv FROM sub WHERE vec_id < {_ADC_Q_MAX})"""
+    )
+    parts.append(
+        f"""dt AS (
+        SELECT q.query_id, c.s, c.cluster,
+               list_reduce(list_transform(list_zip(q.sv, c.cvec),
+                   z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))),
+                   (a, b) -> a + b) AS d
+        FROM qsub q JOIN pc{_PQ_ITERS} c ON q.s = c.s)"""
+    )
+    parts.append(
+        """adc AS (
+        SELECT ca.query_id, pf.vec_id AS neighbor_id,
+               list_reduce([CAST(0.0 AS DOUBLE)] || list(dt.d ORDER BY dt.s), (a, b) -> a + b) AS adc_dist
+        FROM pfin pf
+        JOIN cand ca ON pf.vec_id = ca.vec_id
+        JOIN dt ON dt.query_id = ca.query_id AND dt.s = pf.s AND dt.cluster = pf.cluster
+        GROUP BY ca.query_id, pf.vec_id)"""
+    )
+    n2 = "list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)"
+    parts.append(
+        f"""short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+            FROM adc) WHERE rn <= {_IVFPQ_RERANK})"""
+    )
+    parts.append(
+        f"""qv AS (SELECT vec_id AS query_id, embedding, {n2} AS n2 FROM embeddings
+                   WHERE vec_id < {_ADC_Q_MAX})"""
+    )
+    parts.append(f"""nv AS (SELECT vec_id AS neighbor_id, embedding, {n2} AS n2 FROM embeddings)""")
+    parts.append(
+        """ex AS (
+        SELECT sh.query_id, sh.neighbor_id,
+               list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+                   z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b)
+               / (sqrt(q.n2) * sqrt(c.n2)) AS cosine
+        FROM short sh JOIN qv q USING (query_id) JOIN nv c USING (neighbor_id))"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM ex) WHERE rank <= {_ADC_K}
+    ORDER BY query_id ASC, rank ASC
+    """
+    )
+
+
+@register("emb_ann_ivfpq", oracle=_ivfpq_oracle())
+def emb_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ search (operators/similarity.py ivfpq_topk — the FAISS
+    IVFADC composition, non-residual): the trained IVF quantizer
+    prunes to the 2 nearest inverted lists (~12% of the corpus), PQ
+    codes score ONLY those candidates via broadcast table lookups, and
+    exact cosine re-ranks the ADC top-50. recall@5 ≈ 0.9 at both gate
+    scales — the index shape a 100 TB corpus needs: cell pruning
+    bounds the scan, codes bound the arithmetic, the exact stage is a
+    |Q|·50 sliver. Shares BOTH session-memoized indexes with
+    emb_ann_ivf / emb_ann_pq_adc; the oracle replays both trainings
+    (prefixed CTE chains), the probe, the list-restricted ADC, and the
+    re-rank."""
+    from lakehouse_architecture_transaction_spark.operators.similarity import ivfpq_topk
+    from lakehouse_architecture_transaction_spark.plans.pipeline_ops import (
+        _IVF_CELLS,
+        _IVF_ITERS,
+        _ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    out = ivfpq_topk(
+        emb, id_col="vec_id", vec_col="embedding", query_ids=list(range(_ADC_Q_MAX)),
+        k=_ADC_K, nprobe=_IVFPQ_NPROBE, rerank=_IVFPQ_RERANK,
+        n_cells=_IVF_CELLS, ivf_iters=_IVF_ITERS,
+        m=_PQ_M, dsub=_PQ_DSUB, k_codes=_PQ_K, pq_iters=_PQ_ITERS,
+        ivf_index=_ivf_index(spark, sf_dir), pq_index=_pq_index(spark, sf_dir),
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cosine"
+    )

@@ -632,6 +632,16 @@ def test_tuned_ann_variants_recall_floor(spark, sf_dir):
     lsh = neighbors(sign_lsh_var_ann(emb, "vec_id", "embedding", qids, k=5, bits=6, radius=2))
     assert recall(lsh) >= 0.5, f"variance-bit LSH recall regressed: {recall(lsh)}"
 
+    from lakehouse_architecture_transaction_spark.operators.similarity import ivfpq_topk
+
+    ivfpq = neighbors(
+        ivfpq_topk(
+            emb, "vec_id", "embedding", qids, k=5, nprobe=2, rerank=50,
+            n_cells=16, ivf_iters=2, m=16, dsub=4, k_codes=16, pq_iters=2,
+        )
+    )
+    assert recall(ivfpq) >= 0.7, f"IVFPQ recall regressed: {recall(ivfpq)}"
+
 def test_winnowing_rightmost_on_tie(spark):
     # SIGMOD'03: "select the rightmost occurrence" of a tied window
     # minimum. All-identical text makes every gram hash equal, so each

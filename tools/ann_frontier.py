@@ -24,6 +24,7 @@ VARIANTS = [
     ("emb_ann_ivf", "trained IVF (16 cells), nprobe=2"),
     ("emb_ann_sq8", "int8 scalar-quantized rerank"),
     ("emb_ann_pq_adc", "PQ-ADC shortlist + exact re-rank"),
+    ("emb_ann_ivfpq", "IVFPQ: cell pruning + in-list ADC + re-rank"),
 ]
 
 BEGIN = "<!-- ANN-FRONTIER:BEGIN -->"
