@@ -67,6 +67,10 @@ HEADLINE_FAMILIES: dict[str, str] = {
     "orders_market_basket": "behavior",
     "events_bot_users": "behavior",
     "nation_yoy_growth": "behavior",
+    # part_pagerank intentionally NOT in the headline: 10 fixed rounds =
+    # 20 sequential stage barriers, which at bench scale is ~10s of pure
+    # scheduler constant (the iterative-op tax emb_kmeans already
+    # represents); the gate still checks it for correctness
     # ETL parity (validation, merge, SCD2, lakehouse scan)
     "dedup_pk_lineitem": "etl",
     "merge_upsert_orders": "etl",

@@ -208,3 +208,69 @@ def connected_components_star(
             F.coalesce(F.col("component"), F.col("a")).alias("component"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    weight_col: str,
+    damping: float = 0.85,
+    iters: int = 10,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Deterministic weighted PageRank — the graph-centrality member
+    of the operator family next to connected_components. ``edges``
+    must be DIRECTED (pass both directions for an undirected graph);
+    returns (node, pagerank) over every node appearing as a source.
+
+    pr_{t+1}(v) = (1-d)/N + d · Σ_u pr_t(u) · w(u,v) / outw(u),
+    ``iters`` fixed rounds from the uniform start.
+
+    Determinism (the kmeans_lloyd discipline, so a SQL oracle can
+    replay every round): each edge's contribution is one fixed chain
+    of IEEE double ops HALF-UP-quantized to 1e9 — the per-node
+    aggregation then sums exact BIGINTs (order-independent; stays
+    within int64 to in-degrees of ~10^9) and returns to double with
+    ONE correctly-rounded conversion and division per node. The
+    iteration count is fixed, so the trajectory is a pure function of
+    the graph.
+
+    Scale shape — the canonical distributed PageRank plan: out-weights
+    computed once and joined onto the (checkpointed) edge frame;
+    each round is one src-keyed join (edges co-partitioned with the
+    rank frame) and one dst-keyed aggregate with map-side combine —
+    two narrow shuffles per round regardless of graph size. Lineage is
+    cut every ``checkpoint_every`` rounds rather than every round: the
+    rank chain is LINEAR (each round referenced once), so a few rounds
+    of plan depth cost nothing to execute, while an eager checkpoint
+    per round costs a full job each — every-3 measured ~2× faster
+    end-to-end at gate scale with identical results (SURVEY §6).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("double").alias("w"),
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    ee = e.join(outw, on="src").localCheckpoint(eager=True)
+    nodes = ee.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("pagerank"))
+    tele = repr(1.0 - damping)  # precomputed literal: both engines parse the same double
+    d = repr(damping)
+    pr = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+    for i in range(iters):
+        contrib = ee.join(pr, ee.src == pr.node).select(
+            F.col("dst"),
+            F.expr("CAST(floor(pr * w / outw * 1e9 + 0.5) AS BIGINT)").alias("c"),
+        )
+        s = contrib.groupBy("dst").agg(F.sum("c").cast("bigint").alias("s"))
+        pr = nodes.join(s, nodes.node == s.dst, "left").select(
+            "node",
+            F.expr(f"{tele} / {n} + {d} * (CAST(coalesce(s, 0) AS DOUBLE) / 1e9)").alias("pr"),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            pr = pr.localCheckpoint(eager=True)
+    return pr.select("node", F.col("pr").alias("pagerank"))

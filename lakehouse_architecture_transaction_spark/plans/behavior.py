@@ -255,3 +255,84 @@ def events_bot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_events", "n_days", epd.alias("events_per_day"))
         .orderBy("user_id")
     )
+
+
+_PR_DAMPING, _PR_ITERS = 0.85, 10
+
+
+def _pagerank_oracle() -> str:
+    tele = repr(1.0 - _PR_DAMPING)
+    d = repr(_PR_DAMPING)
+    parts = [
+        "op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """pe AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS w
+        FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2)""",
+        """e AS (SELECT part_a AS src, part_b AS dst, CAST(w AS DOUBLE) AS w FROM pe
+             UNION ALL SELECT part_b, part_a, CAST(w AS DOUBLE) FROM pe)""",
+        "ow AS (SELECT src, SUM(w) AS outw FROM e GROUP BY src)",
+        "ee AS (SELECT e.src, e.dst, e.w, ow.outw FROM e JOIN ow USING (src))",
+        "nodes AS (SELECT DISTINCT src AS node FROM e)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "pr0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        parts.append(
+            f"""c{i} AS (
+        SELECT ee.dst, CAST(floor(p.pr * ee.w / ee.outw * 1e9 + 0.5) AS BIGINT) AS c
+        FROM ee JOIN pr{i - 1} p ON ee.src = p.node)"""
+        )
+        parts.append(
+            f"""pr{i} AS (
+        SELECT nodes.node,
+               {tele} / nn.n + {d} * (CAST(coalesce(s.s, 0) AS DOUBLE) / 1e9) AS pr
+        FROM nodes CROSS JOIN nn
+        LEFT JOIN (SELECT dst, CAST(SUM(c) AS BIGINT) AS s FROM c{i} GROUP BY dst) s
+            ON nodes.node = s.dst)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT node AS part, pr AS pagerank FROM pr{_PR_ITERS}
+    ORDER BY part ASC
+    """
+    )
+
+
+@register("part_pagerank", oracle=_pagerank_oracle())
+def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part importance by weighted PageRank over the co-purchase graph
+    (operators/graph.py pagerank): nodes are parts, symmetric edges
+    weighted by co-order support (the orders_market_basket pair
+    build), 10 fixed rounds at damping 0.85 — the "which items anchor
+    the catalog" centrality that raw co-occurrence counts miss
+    (a part co-bought with other CENTRAL parts outranks one with the
+    same support from peripheral partners). Every round is two narrow
+    shuffles; the oracle replays all 10 rounds with the same
+    quantized-exact contribution sums."""
+    from lakehouse_architecture_transaction_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pe = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("w"))
+    )
+    edges = pe.select("part_a", "part_b", "w").unionByName(
+        pe.select(
+            F.col("part_b").alias("part_a"), F.col("part_a").alias("part_b"), F.col("w")
+        )
+    )
+    pr = pagerank(
+        edges, src_col="part_a", dst_col="part_b", weight_col="w",
+        damping=_PR_DAMPING, iters=_PR_ITERS,
+    )
+    return pr.select(F.col("node").alias("part"), "pagerank").orderBy("part")

@@ -655,3 +655,19 @@ def test_winnowing_rightmost_on_tie(spark):
     # 30 chars -> 23 grams -> 16 windows (j = 1..16), each selecting j+7
     assert sorted(r["pos"] for r in rows) == list(range(8, 24))
     assert len({r["gram_hash"] for r in rows}) == 1
+
+def test_pagerank_star_graph_and_mass(spark):
+    # On a weighted star (hub connected to 4 leaves, symmetric edges),
+    # the hub must rank strictly highest; total mass stays ~1 (the
+    # quantization loses at most 1e-9 per edge per round).
+    from lakehouse_architecture_transaction_spark.operators.graph import pagerank
+
+    pairs = [(0, i, 1) for i in range(1, 5)]
+    rows = pairs + [(b, a, w) for a, b, w in pairs]
+    edges = spark.createDataFrame(rows, "src long, dst long, w long")
+    out = {r["node"]: r["pagerank"] for r in pagerank(edges, "src", "dst", "w").collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert out[0] > max(out[i] for i in range(1, 5))
+    assert abs(sum(out.values()) - 1.0) < 1e-6
+    leaves = {round(out[i], 12) for i in range(1, 5)}
+    assert len(leaves) == 1  # symmetric leaves tie exactly
