@@ -227,3 +227,45 @@ def test_grouped_percent_rank_degenerate_distributions(spark):
         "count(*) AS n", "max(abs(pct_rank)) AS maxpr", "min(cume_dist) AS mincd"
     ).collect()[0]
     assert agg2["n"] == n and agg2["maxpr"] == 0.0 and agg2["mincd"] == 1.0
+
+def test_probe_shell_is_exact_hamming_ball(spark):
+    # probe_shell_expr(bits, radius) must produce EXACTLY the Hamming
+    # ball around the bucket: 1 + C(b,1) + C(b,2) distinct strings for
+    # radius 2, each within distance 2 — for every bucket value.
+    from itertools import combinations
+
+    from lakehouse_architecture_transaction_spark.operators.similarity import probe_shell_expr
+    from pyspark.sql import functions as F
+
+    for bits, radius in [(4, 1), (6, 2), (3, 2)]:
+        buckets = [format(i, f"0{bits}b") for i in range(2**bits)]
+        df = spark.createDataFrame([(b,) for b in buckets], "bkt string")
+        got = {
+            r["bkt"]: set(r["probes"])
+            for r in df.select("bkt", probe_shell_expr("bkt", bits, radius).alias("probes")).collect()
+        }
+        for b in buckets:
+            want = {b}
+            for r in range(1, radius + 1):
+                for pos in combinations(range(bits), r):
+                    s = list(b)
+                    for p in pos:
+                        s[p] = "0" if s[p] == "1" else "1"
+                    want.add("".join(s))
+            assert got[b] == want, (b, bits, radius)
+
+
+def test_variance_top_dims_matches_numpy(spark):
+    # The exact-integer variance score must select the same dims as
+    # numpy variance (well-separated variances; ties impossible here).
+    import numpy as np
+
+    from lakehouse_architecture_transaction_spark.operators.similarity import variance_top_dims
+
+    rng = np.random.default_rng(7)
+    scales = rng.permutation(np.linspace(0.05, 1.0, 16))
+    X = rng.normal(0, 1, (200, 16)) * scales
+    df = spark.createDataFrame([(i, row.tolist()) for i, row in enumerate(X)], "id long, vec array<double>")
+    got = variance_top_dims(df, "vec", bits=5).collect()[0]["__dims"]
+    want = sorted(np.argsort(-X.var(axis=0))[:5].tolist())
+    assert sorted(got) == want
