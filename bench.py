@@ -89,6 +89,7 @@ HEADLINE_FAMILIES: dict[str, str] = {
     "docs_dup_cluster_sizes": "dedup",
     "docs_minhash_jaccard_est": "dedup",
     "docs_lsh_precision": "dedup",
+    "docs_lsh_recall": "dedup",
     "emb_cosine_dup_pairs": "dedup",
     # text analysis
     "docs_token_stats": "text",

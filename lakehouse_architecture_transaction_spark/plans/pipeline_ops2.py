@@ -1121,3 +1121,51 @@ def emb_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cosine"
     )
+
+
+def _lsh_recall_oracle() -> str:
+    from lakehouse_architecture_transaction_spark.plans.pipeline_ops import (
+        _jaccard_pairs_sql,
+        _minhash_oracle,
+    )
+
+    cand = _minhash_oracle().format(cap=_BUCKET_CAP)
+    jac = _jaccard_pairs_sql()
+    return f"""
+    WITH cand AS ({cand}),
+    jac AS ({jac}),
+    m AS (
+        SELECT j.id_a, j.id_b, c.id_a AS hit
+        FROM jac j LEFT JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+    )
+    SELECT COUNT(*) AS n_true_pairs,
+           COUNT(hit) AS n_candidates_hit,
+           CAST(COUNT(hit) AS DOUBLE) / COUNT(*) AS recall
+    FROM m
+    """
+
+
+@register("docs_lsh_recall", oracle=_lsh_recall_oracle())
+def docs_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding candidate RECALL: the fraction of true near-dup
+    pairs (exact 3-gram Jaccard ≥ 0.1) that the MinHash-LSH banding
+    surfaces as candidates — docs_lsh_precision's twin; together they
+    are the PR point that tunes the band/row split (precision low →
+    more rows per band; recall low → more bands). Shares the session
+    signature memo; the exact side is the same capped shingle join."""
+    from lakehouse_architecture_transaction_spark.plans.pipeline_ops import _signature_frame
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    sig = _signature_frame(spark, sf_dir)
+    cand = D.lsh_candidate_pairs(
+        sig, id_col="doc_id", num_perms=_NUM_PERMS, bands=_BANDS, bucket_cap=_BUCKET_CAP
+    ).withColumn("__hit", F.lit(1))
+    jac = D.ngram_jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", n=3, threshold=0.1, max_df=100
+    ).select("id_a", "id_b")
+    m = jac.join(cand, on=["id_a", "id_b"], how="left")
+    return m.agg(
+        F.count("*").alias("n_true_pairs"),
+        F.count("__hit").alias("n_candidates_hit"),
+        (F.count("__hit").cast("double") / F.count("*")).alias("recall"),
+    )
