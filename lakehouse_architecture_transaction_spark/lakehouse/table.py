@@ -596,15 +596,23 @@ def pruned_read(
         if keep
         else spark.read.parquet(path).limit(0)
     )
+    import datetime as _dt
     import operator as _op
+
+    from pyspark.sql.types import TimestampNTZType
 
     apply = {"=": _op.eq, "<": _op.lt, "<=": _op.le, ">": _op.gt, ">=": _op.ge}
     types = {f.name: f.dataType for f in base.schema.fields}
     for c, op, v in where:
-        # cast the literal to the column's type: a naive-datetime
-        # literal otherwise lands as session-tz TIMESTAMP and fails to
-        # compare against a TIMESTAMP_NTZ column (the catalog's pinned
-        # event/order time type)
-        lit = F.lit(v).cast(types[c]) if c in types else F.lit(v)
+        # ONLY the datetime-vs-TIMESTAMP_NTZ pairing needs a cast (a
+        # naive-datetime literal otherwise lands as session-tz TIMESTAMP
+        # and fails to resolve against the catalog's pinned NTZ event/
+        # order time type). Everything else keeps Spark's normal type
+        # promotion — a blanket cast-to-column-type would silently
+        # truncate cross-type literals (1.5 -> 1 against a bigint) or
+        # null out unparseable ones.
+        lit = F.lit(v)
+        if isinstance(types.get(c), TimestampNTZType) and isinstance(v, _dt.datetime):
+            lit = lit.cast(types[c])
         base = base.filter(apply[op](F.col(c), lit))
     return base, report

@@ -222,10 +222,17 @@ def pagerank(
     """Deterministic weighted PageRank — the graph-centrality member
     of the operator family next to connected_components. ``edges``
     must be DIRECTED (pass both directions for an undirected graph);
-    returns (node, pagerank) over every node appearing as a source.
+    returns (node, pagerank) over every node appearing as a source OR
+    destination.
 
-    pr_{t+1}(v) = (1-d)/N + d · Σ_u pr_t(u) · w(u,v) / outw(u),
-    ``iters`` fixed rounds from the uniform start.
+    pr_{t+1}(v) = (1-d)/N + d · Σ_u pr_t(u) · w(u,v) / outw(u)
+                + d · dang_t / N,
+    ``iters`` fixed rounds from the uniform start; dang_t is the total
+    rank held by DANGLING nodes (no out-edges), redistributed
+    uniformly — the standard treatment, without which a directed graph
+    leaks mass every round and sinks never accumulate score. On a
+    symmetric graph the dangling set is empty and the term is an exact
+    IEEE +0.0 no-op, so symmetric-graph oracles need not carry it.
 
     Determinism (the kmeans_lloyd discipline, so a SQL oracle can
     replay every round): each edge's contribution is one fixed chain
@@ -254,10 +261,27 @@ def pagerank(
     )
     outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
     ee = e.join(outw, on="src").localCheckpoint(eager=True)
-    nodes = ee.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    nodes = (
+        ee.select(F.col("src").alias("node"))
+        .unionByName(ee.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n = nodes.count()
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("pagerank"))
+    # dangling = nodes with no out-edges; their rank redistributes
+    # uniformly each round (quantized-exact sum, like the edge path)
+    dangling = nodes.join(
+        outw.select(F.col("src").alias("node")), on="node", how="left_anti"
+    ).localCheckpoint(eager=True)
+    # with dangling nodes each round reads pr TWICE (edge path + the
+    # broadcast dangling-mass scalar), so lineage must be cut every
+    # round; the dangling-free (e.g. symmetric) case keeps the sparse
+    # checkpoint cadence
+    has_dangling = dangling.count() > 0
+    if has_dangling:
+        checkpoint_every = 1
     tele = repr(1.0 - damping)  # precomputed literal: both engines parse the same double
     d = repr(damping)
     pr = nodes.select("node", F.lit(1.0 / n).alias("pr"))
@@ -267,10 +291,30 @@ def pagerank(
             F.expr("CAST(floor(pr * w / outw * 1e9 + 0.5) AS BIGINT)").alias("c"),
         )
         s = contrib.groupBy("dst").agg(F.sum("c").cast("bigint").alias("s"))
-        pr = nodes.join(s, nodes.node == s.dst, "left").select(
-            "node",
-            F.expr(f"{tele} / {n} + {d} * (CAST(coalesce(s, 0) AS DOUBLE) / 1e9)").alias("pr"),
-        )
+        nxt = nodes.join(s, nodes.node == s.dst, "left")
+        if has_dangling:
+            # dangling rank this round as a broadcast 1-row exact sum
+            # (no driver collect — the zero-collect discipline holds)
+            dqf = (
+                dangling.join(pr, on="node")
+                .agg(
+                    F.expr(
+                        "CAST(coalesce(SUM(CAST(floor(pr * 1e9 + 0.5) AS BIGINT)), 0) AS BIGINT)"
+                    ).alias("__dq")
+                )
+            )
+            pr = nxt.crossJoin(F.broadcast(dqf)).select(
+                "node",
+                F.expr(
+                    f"{tele} / {n} + {d} * (CAST(coalesce(s, 0) AS DOUBLE) / 1e9)"
+                    f" + {d} * (CAST(__dq AS DOUBLE) / 1e9) / {n}"
+                ).alias("pr"),
+            )
+        else:
+            pr = nxt.select(
+                "node",
+                F.expr(f"{tele} / {n} + {d} * (CAST(coalesce(s, 0) AS DOUBLE) / 1e9)").alias("pr"),
+            )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             pr = pr.localCheckpoint(eager=True)
     return pr.select("node", F.col("pr").alias("pagerank"))

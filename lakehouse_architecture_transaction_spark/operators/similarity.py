@@ -242,8 +242,13 @@ def variance_top_dims(emb: DataFrame, vec_col: str, bits: int) -> DataFrame:
     )
     stats = x.groupBy("pos").agg(
         F.sum(F.col("q").cast("decimal(19,0)")).alias("sq"),
-        F.sum(F.expr("CAST(q * q AS DECIMAL(30,0))")).alias("sq2"),
-        F.count("*").cast("decimal(8,0)").alias("n"),
+        # decimal BEFORE the multiply: bigint q*q would wrap silently
+        # past |v| ~ 3e3 (q^2 > int64) while the oracle errors loudly
+        F.sum(F.expr("CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0))")).alias("sq2"),
+        # 13 digits of row count keeps n*sq2 <= ~1e36 inside DECIMAL(38)
+        # at the documented N ~ 1e12 bound (decimal(8,0) nulled at 1e8
+        # rows and silently degraded the selection to leading dims)
+        F.count("*").cast("decimal(13,0)").alias("n"),
     )
     w = Window.orderBy(F.col("score").desc(), F.col("pos").asc())
     return (
@@ -299,7 +304,14 @@ def sign_lsh_var_ann(
     lsh_var_build to amortize it); each query explodes into its
     1 + bits + C(bits,2) probe buckets and candidates arrive via the
     bucket equi-join — at scale the scan cost is (probes/2^bits)·N
-    per query, with no all-pairs stage anywhere."""
+    per query, with no all-pairs stage anywhere.
+
+    When a prebuilt index frame is passed, the call's hyperparameters
+    (bits / n_cells / m / dsub) MUST match the ones it was built with
+    — the frames carry no metadata to check, and a mismatch silently
+    degrades results (wrong-length probe strings join nothing;
+    mis-sliced subvectors score noise).
+    """
     if bucketed is None:
         bucketed = lsh_var_build(emb, id_col, vec_col, bits)
     q = (
@@ -413,6 +425,63 @@ def ivf_build(
     return cent, corpus
 
 
+def _ivf_probe(
+    emb: DataFrame, id_col: str, vec_col: str, query_ids: list[int], cent: DataFrame, nprobe: int
+) -> DataFrame:
+    """Query→cell probe assignment shared by ivf_topk and ivfpq_topk:
+    each query keeps its ``nprobe`` nearest centroids by the same
+    left-fold sqdist and (distance, cluster) tie rule the trainer
+    uses. Returns (query_id, __qv, __cell) — |Q|·nprobe rows."""
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    sqdist = (
+        "aggregate(zip_with(__qv, __cvec, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("__d").asc(), F.col("cluster").asc())
+    return (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("__d", F.expr(sqdist))
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "__qv", F.col("cluster").alias("__cell"))
+    )
+
+
+def _adc_distance_table(
+    emb: DataFrame, id_col: str, vec_col: str, query_ids: list[int], books: DataFrame,
+    m: int, dsub: int,
+) -> DataFrame:
+    """The |Q|·m·k ADC distance table shared by pq_adc_topk and
+    ivfpq_topk: each query's raw subvectors against the broadcast
+    per-subspace codebooks. Returns (query_id, s, code, __d). The
+    caller MUST pass the same (m, dsub) the codebook was trained with
+    — a mismatch slices different subvectors than the centroids span
+    and the lookup degrades to noise silently."""
+    qsub = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {m - 1}), s -> struct(s AS s, "
+                    f"transform(slice({vec_col}, s * {dsub} + 1, {dsub}), x -> CAST(x AS DOUBLE)) AS qv))"
+                )
+            ).alias("u"),
+        )
+        .select("query_id", F.col("u.s").alias("s"), F.col("u.qv").alias("__qv"))
+    )
+    dist = (
+        "aggregate(zip_with(__qv, __cvec, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return qsub.join(F.broadcast(books), on="s").select(
+        "query_id", "s", F.col("cluster").alias("code"), F.expr(dist).alias("__d")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     id_col: str,
@@ -446,26 +515,17 @@ def ivf_topk(
     Determinism: centroids use the exact decimal mean; cell distance
     and cosine are double LEFT FOLDS — bit-reproducible in the oracle
     (which replays the training rounds with the same tie rules).
+
+    When a prebuilt index frame is passed, the call's hyperparameters
+    (bits / n_cells / m / dsub) MUST match the ones it was built with
+    — the frames carry no metadata to check, and a mismatch silently
+    degrades results (wrong-length probe strings join nothing;
+    mis-sliced subvectors score noise).
     """
     cent, corpus = index if index is not None else ivf_build(
         emb, id_col, vec_col, n_cells=n_cells, iters=iters
     )
-    q = emb.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    )
-    sqdist = (
-        "aggregate(zip_with(__qv, __cvec, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("__d").asc(), F.col("cluster").asc())
-    assign = (
-        F.broadcast(q)
-        .crossJoin(F.broadcast(cent))
-        .withColumn("__d", F.expr(sqdist))
-        .withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "__qv", F.col("cluster").alias("__cell"))
-    )
+    assign = _ivf_probe(emb, id_col, vec_col, query_ids, cent, nprobe)
     # each corpus vector lives in exactly one cell, so probing nprobe
     # disjoint cells needs no candidate dedup
     pairs = corpus.join(F.broadcast(assign), on="__cell", how="inner").filter(
@@ -960,30 +1020,17 @@ def pq_adc_topk(
     order (a bare SUM of doubles would be accumulation-order
     dependent), shortlist and final ties break to the lowest
     neighbor id.
+
+    When a prebuilt index frame is passed, the call's hyperparameters
+    (bits / n_cells / m / dsub) MUST match the ones it was built with
+    — the frames carry no metadata to check, and a mismatch silently
+    degrades results (wrong-length probe strings join nothing;
+    mis-sliced subvectors score noise).
     """
     codes, cent = index if index is not None else product_quantize(
         emb, id_col, vec_col, m=m, dsub=dsub, k=k_codes, iters=iters, return_codebook=True
     )
-    qsub = (
-        emb.filter(F.col(id_col).isin(query_ids))
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, {m - 1}), s -> struct(s AS s, "
-                    f"transform(slice({vec_col}, s * {dsub} + 1, {dsub}), x -> CAST(x AS DOUBLE)) AS qv))"
-                )
-            ).alias("u"),
-        )
-        .select("query_id", F.col("u.s").alias("s"), F.col("u.qv").alias("__qv"))
-    )
-    dist = (
-        "aggregate(zip_with(__qv, __cvec, (x, y) -> (x - y) * (x - y)), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    dtable = qsub.join(F.broadcast(cent), on="s").select(
-        "query_id", "s", F.col("cluster").alias("code"), F.expr(dist).alias("__d")
-    )
+    dtable = _adc_distance_table(emb, id_col, vec_col, query_ids, cent, m=m, dsub=dsub)
     pairs = codes.withColumnRenamed("subspace", "s").join(F.broadcast(dtable), on=["s", "code"])
     adc = (
         pairs.filter(F.col(id_col) != F.col("query_id"))
@@ -1086,28 +1133,22 @@ def ivfpq_topk(
     Shares the session-memoized IVF and PQ indexes with emb_ann_ivf /
     emb_ann_pq_adc (build once, query many). Determinism: both
     trainings are oracle-replayed; ADC pair sums are ordered folds;
-    every cut ties to the lowest id."""
+    every cut ties to the lowest id.
+
+    When a prebuilt index frame is passed, the call's hyperparameters
+    (bits / n_cells / m / dsub) MUST match the ones it was built with
+    — the frames carry no metadata to check, and a mismatch silently
+    degrades results (wrong-length probe strings join nothing;
+    mis-sliced subvectors score noise).
+    """
     cent, corpus = ivf_index if ivf_index is not None else ivf_build(
         emb, id_col, vec_col, n_cells=n_cells, iters=ivf_iters
     )
     codes, books = pq_index if pq_index is not None else product_quantize(
         emb, id_col, vec_col, m=m, dsub=dsub, k=k_codes, iters=pq_iters, return_codebook=True
     )
-    q = emb.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    )
-    sqdist = (
-        "aggregate(zip_with(__qv, __cvec, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("__d").asc(), F.col("cluster").asc())
-    probe = (
-        F.broadcast(q)
-        .crossJoin(F.broadcast(cent))
-        .withColumn("__d", F.expr(sqdist))
-        .withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= nprobe)
-        .select("query_id", F.col("cluster").alias("__cell"))
+    probe = _ivf_probe(emb, id_col, vec_col, query_ids, cent, nprobe).select(
+        "query_id", "__cell"
     )
     # inverted-list read: candidates = corpus rows in probed cells
     cand = (
@@ -1116,26 +1157,7 @@ def ivfpq_topk(
         .select("query_id", F.col(id_col))
     )
     # ADC distance table |Q|·m·k — broadcast
-    qsub = (
-        emb.filter(F.col(id_col).isin(query_ids))
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, {m - 1}), s -> struct(s AS s, "
-                    f"transform(slice({vec_col}, s * {dsub} + 1, {dsub}), x -> CAST(x AS DOUBLE)) AS qv))"
-                )
-            ).alias("u"),
-        )
-        .select("query_id", F.col("u.s").alias("s"), F.col("u.qv").alias("__qv"))
-    )
-    dist = (
-        "aggregate(zip_with(__qv, __cvec, (x, y) -> (x - y) * (x - y)), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    dtable = qsub.join(F.broadcast(books), on="s").select(
-        "query_id", "s", F.col("cluster").alias("code"), F.expr(dist).alias("__d")
-    )
+    dtable = _adc_distance_table(emb, id_col, vec_col, query_ids, books, m=m, dsub=dsub)
     # candidate codes only: cand (query, id) ⋈ codes (id-keyed) —
     # the code lookup never touches rows outside the probed lists
     pairs = (

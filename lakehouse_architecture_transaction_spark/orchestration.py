@@ -41,8 +41,32 @@ DATASET_ORDER = ("products", "orders", "order_items")
 
 #: Sidecar suffix marking a landing file whose data is already committed
 #: to the lake but whose archive move failed — next cycle retries the
-#: move only (never re-ingests).
+#: move only (never re-ingests). The sidecar records the data file's
+#: (size, mtime_ns) identity: a sidecar that doesn't match the present
+#: file (stale marker surviving a crash between move and cleanup, then
+#: a NEW same-named drop) must NOT suppress ingestion.
 _INGESTED_MARK = ".ingested"
+
+
+def _file_identity(path: str) -> str:
+    st = os.stat(path)
+    return f"{st.st_size}:{st.st_mtime_ns}"
+
+
+def _write_ingested_mark(path: str) -> None:
+    with open(path + _INGESTED_MARK, "w") as mark:
+        mark.write(_file_identity(path))
+
+
+def _ingested_mark_valid(path: str) -> bool:
+    """True only if the sidecar exists AND matches the data file now in
+    the landing zone — same-name re-drops and stale markers read as
+    not-yet-ingested."""
+    try:
+        with open(path + _INGESTED_MARK) as mark:
+            return mark.read().strip() == _file_identity(path)
+    except OSError:
+        return False
 
 
 @dataclass
@@ -120,8 +144,11 @@ def _retrying(fn, max_attempts: int, interval_s: float, backoff_rate: float, tra
     while True:
         try:
             return fn(), attempt
-        except transient:
-            if attempt >= max_attempts:
+        except BaseException as exc:
+            # annotate how far we actually got — a non-transient error on
+            # attempt 1 must not be reported as a full retry schedule
+            exc._attempts = attempt  # type: ignore[attr-defined]
+            if not isinstance(exc, transient) or attempt >= max_attempts:
                 raise
             if interval_s:
                 time.sleep(interval_s * (backoff_rate ** (attempt - 1)))
@@ -155,6 +182,12 @@ def process_landing(
     drops: list[tuple[str, str]] = []
     for f in sorted(os.listdir(landing_root)):
         if f.endswith(_INGESTED_MARK):
+            # orphan cleanup: a sidecar whose data file is gone means the
+            # archive move DID land but the marker removal didn't (crash
+            # or fs hiccup in the window) — drop it so a future
+            # same-named drop is ingested normally
+            if not os.path.exists(os.path.join(landing_root, f[: -len(_INGESTED_MARK)])):
+                os.remove(os.path.join(landing_root, f))
             continue
         ds = _dataset_of(f)
         if ds is not None:
@@ -164,7 +197,7 @@ def process_landing(
     results: list[TriggerResult] = []
     for ds, path in drops:
         attempts = 1
-        already_ingested = os.path.exists(path + _INGESTED_MARK)
+        already_ingested = _ingested_mark_valid(path)
         if not already_ingested:
             try:
                 df = spark.read.parquet(path)
@@ -190,6 +223,11 @@ def process_landing(
         # file stays in the landing zone with an ``.ingested`` sidecar;
         # the next cycle sees the sidecar and retries the MOVE ONLY.
         try:
+            # mark BEFORE the move: if the process dies mid-move the
+            # marker still matches the (unmoved) file and the next cycle
+            # retries the move only; if the move landed, the data file
+            # is gone and the orphan cleanup removes the marker
+            _write_ingested_mark(path)
             dest = os.path.join(archive_root, os.path.basename(path))
             _, attempts = _retrying(
                 lambda: shutil.move(path, dest),
@@ -198,25 +236,28 @@ def process_landing(
                 backoff_rate=backoff_rate,
                 transient=transient_exceptions,
             )
-            if os.path.exists(path + _INGESTED_MARK):
-                os.remove(path + _INGESTED_MARK)
-            results.append(
-                TriggerResult(
-                    file=path, dataset=ds, status="archived", detail=dest, attempts=attempts
-                )
-            )
-        except Exception:  # noqa: BLE001 - post-ingest: keep in landing, flag for move-only retry
-            with open(path + _INGESTED_MARK, "w") as mark:
-                mark.write("ingested; archive move pending\n")
+        except Exception as exc:  # noqa: BLE001 - post-ingest: keep in landing, marker => move-only retry
             results.append(
                 TriggerResult(
                     file=path,
                     dataset=ds,
                     status="ingested_archive_failed",
                     detail=traceback.format_exc(limit=1),
-                    attempts=max_attempts,
+                    attempts=getattr(exc, "_attempts", attempts),
                 )
             )
+            continue
+        # move landed — a marker-removal hiccup must NOT flip the result
+        # back to failed (next cycle's orphan cleanup handles leftovers)
+        try:
+            os.remove(path + _INGESTED_MARK)
+        except OSError:
+            pass
+        results.append(
+            TriggerResult(
+                file=path, dataset=ds, status="archived", detail=dest, attempts=attempts
+            )
+        )
     return results
 
 

@@ -1035,7 +1035,7 @@ def _lshv_oracle() -> str:
     WITH xv AS (SELECT generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
                 FROM embeddings),
     st AS (SELECT pos, SUM({_V6_HALF_UP}) AS sq,
-                  SUM(({_V6_HALF_UP}) * ({_V6_HALF_UP})) AS sq2, COUNT(*) AS n
+                  SUM(CAST(({_V6_HALF_UP}) AS HUGEINT) * ({_V6_HALF_UP})) AS sq2, COUNT(*) AS n
            FROM xv GROUP BY pos),
     dimarr AS (SELECT list(pos ORDER BY pos ASC) AS ds FROM (
         SELECT pos FROM st ORDER BY (n * sq2 - sq * sq) DESC, pos ASC LIMIT {b})),

@@ -671,3 +671,16 @@ def test_pagerank_star_graph_and_mass(spark):
     assert abs(sum(out.values()) - 1.0) < 1e-6
     leaves = {round(out[i], 12) for i in range(1, 5)}
     assert len(leaves) == 1  # symmetric leaves tie exactly
+
+def test_pagerank_directed_includes_sinks_and_conserves_mass(spark):
+    # Directed chain with sinks: A->B, A->C (B, C dangling). Sinks must
+    # appear in the output with accumulated rank, and total mass must
+    # stay ~1 (dangling rank redistributes instead of leaking).
+    from lakehouse_architecture_transaction_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(0, 1, 1), (0, 2, 1)], "src long, dst long, w long")
+    out = {r["node"]: r["pagerank"] for r in pagerank(edges, "src", "dst", "w", iters=8).collect()}
+    assert set(out) == {0, 1, 2}
+    assert abs(sum(out.values()) - 1.0) < 1e-6
+    assert out[1] > out[0] and out[2] > out[0]  # sinks accumulate
+    assert round(out[1], 12) == round(out[2], 12)  # symmetric sinks tie
