@@ -191,3 +191,31 @@ def test_landing_archive_failure_never_requarantines_ingested_data(spark, sf_dir
     assert (archive / "products_d1.parquet").exists()
     assert not (landing / "products_d1.parquet.ingested").exists()
     assert curated.read().count() == n_after_ingest
+
+def test_stale_ingested_sidecar_never_suppresses_new_drop(spark, sf_dir, tmp_path):
+    # A sidecar that does not match the data file now in the landing
+    # zone (crash leftovers, then a NEW same-named drop) must not
+    # suppress ingestion; an orphan sidecar with NO data file is swept.
+    import os
+
+    from lakehouse_architecture_transaction_spark import orchestration as orch
+    from lakehouse_architecture_transaction_spark.catalog import load_table
+    from lakehouse_architecture_transaction_spark.lakehouse.table import LakeTable
+
+    landing, archive, errors, lake = (
+        tmp_path / "landing", tmp_path / "archive", tmp_path / "errors", tmp_path / "lake"
+    )
+    landing.mkdir()
+    # orphan: sidecar without its data file -> swept, nothing processed
+    (landing / "products_ghost.parquet.ingested").write_text("123:456")
+    assert orch.process_landing(spark, str(landing), str(archive), str(errors), str(lake)) == []
+    assert not (landing / "products_ghost.parquet.ingested").exists()
+
+    # stale sidecar + NEW same-named file -> ingested normally
+    load_table(spark, sf_dir, "part").limit(40).write.parquet(str(landing / "products_x.parquet"))
+    (landing / "products_x.parquet.ingested").write_text("1:1")  # wrong identity
+    results = orch.process_landing(spark, str(landing), str(archive), str(errors), str(lake))
+    assert [r.status for r in results] == ["archived"]
+    curated = LakeTable(spark, str(lake / "curated" / "products"), keys=["p_partkey"])
+    assert curated.read().count() > 0  # the new file WAS ingested
+    assert not os.path.exists(str(landing / "products_x.parquet.ingested"))
