@@ -269,3 +269,25 @@ def test_variance_top_dims_matches_numpy(spark):
     got = variance_top_dims(df, "vec", bits=5).collect()[0]["__dims"]
     want = sorted(np.argsort(-X.var(axis=0))[:5].tolist())
     assert sorted(got) == want
+
+@_SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    )
+)
+def test_pagerank_mass_and_node_coverage(spark, edges):
+    # For ANY directed graph: every src/dst node appears in the output,
+    # total rank mass stays ~1 (dangling redistribution, quantization
+    # loses <= 1e-9 per edge per round), and ranks are positive.
+    from lakehouse_architecture_transaction_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(a, b, 1) for a, b in edges], "src long, dst long, w long")
+    out = {r["node"]: r["pagerank"] for r in pagerank(df, "src", "dst", "w", iters=4).collect()}
+    want_nodes = {a for a, _ in edges} | {b for _, b in edges}
+    assert set(out) == want_nodes
+    assert abs(sum(out.values()) - 1.0) < 1e-6
+    assert all(v > 0 for v in out.values())
