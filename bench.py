@@ -99,6 +99,7 @@ HEADLINE_FAMILIES: dict[str, str] = {
     "docs_lm_familiarity": "text",
     "docs_winnowing": "text",
     "docs_char_chunks": "text",
+    "docs_sentence_chunks": "text",
     "docs_rare_shingle_score": "text",
     "docs_top_quality_per_source": "text",
     # sampling / sharding

@@ -454,3 +454,49 @@ def char_chunks(
             F.expr(f"md5({chunk})").alias("chunk_md5"),
         )
     )
+
+
+def sentence_chunks(
+    docs: DataFrame, id_col: str, text_col: str, budget: int = 256
+) -> DataFrame:
+    """Sentence-aware chunking: heuristic sentence segmentation
+    (split after [.!?] + space -- the RAG/context-window splitter
+    that, unlike char_chunks, never cuts mid-sentence), then
+    FIXED-BUDGET packing: a sentence goes to chunk
+    ``start_offset DIV budget`` (offset = cumulative chars incl.
+    separators before it). Emits one row per (doc, chunk): sentence
+    count, char total, first sentence ordinal.
+
+    Offset-based assignment instead of greedy packing is deliberate:
+    greedy needs a sequential fold with carried state (not expressible
+    as a window), while the offset rule is a per-doc prefix sum -- one
+    doc-keyed window pass -- and yields the same +-1-sentence
+    boundaries at scale. Segmentation avoids look-behind regex (RE2
+    engines lack it): a chr(1) sentinel is injected after
+    terminator+space with a capture replace, then split -- identical
+    in Spark and DuckDB.
+
+    Scale shape: sentinel inject + split + posexplode are row-local;
+    the only shuffle is the doc-keyed prefix-sum window and the final
+    (doc, chunk) aggregate on the same key.
+    """
+    marked = f"regexp_replace({text_col}, '([.!?]) ', concat('$1', chr(1)))"
+    sents = f"split({marked}, chr(1))"
+    w = Window.partitionBy(id_col).orderBy(F.col("pos").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    exploded = (
+        docs.select(F.col(id_col), F.posexplode(F.expr(sents)).alias("pos", "__s"))
+        .select(F.col(id_col), "pos", F.expr("length(__s)").cast("long").alias("__len"))
+    )
+    return (
+        exploded.withColumn("__cum", F.sum(F.col("__len") + 1).over(w))
+        .withColumn("__start", F.col("__cum") - (F.col("__len") + 1))
+        .withColumn("chunk_idx", F.expr(f"__start DIV {budget}").cast("int"))
+        .groupBy(id_col, "chunk_idx")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sentences"),
+            F.sum("__len").cast("bigint").alias("n_chars"),
+            F.min("pos").cast("int").alias("first_sentence"),
+        )
+    )

@@ -1163,3 +1163,49 @@ def docs_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("__hit").alias("n_candidates_hit"),
         (F.count("__hit").cast("double") / F.count("*")).alias("recall"),
     )
+
+
+_SENT_BUDGET = 256
+
+
+@register(
+    "docs_sentence_chunks",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id,
+               string_split(regexp_replace(text, '([.!?]) ', '\\1' || chr(1), 'g'), chr(1)) AS sents
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, generate_subscripts(sents, 1) - 1 AS pos,
+               CAST(length(unnest(sents)) AS BIGINT) AS len
+        FROM m
+    ),
+    c AS (
+        SELECT doc_id, pos, len,
+               SUM(len + 1) OVER (PARTITION BY doc_id ORDER BY pos ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - (len + 1) AS start
+        FROM s
+    )
+    SELECT doc_id, CAST(start // {_SENT_BUDGET} AS INTEGER) AS chunk_idx,
+           COUNT(*) AS n_sentences, CAST(SUM(len) AS BIGINT) AS n_chars,
+           CAST(MIN(pos) AS INTEGER) AS first_sentence
+    FROM c
+    GROUP BY doc_id, CAST(start // {_SENT_BUDGET} AS INTEGER)
+    ORDER BY doc_id ASC, chunk_idx ASC
+    """,
+)
+def docs_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-aware chunking (operators/text.py sentence_chunks):
+    heuristic sentence segmentation + fixed-budget offset packing —
+    the RAG/context-window splitter that never cuts mid-sentence,
+    unlike docs_char_chunks. One doc-keyed prefix-sum window and one
+    same-key aggregate; segmentation is row-local sentinel-inject +
+    split (no look-behind, so the RE2-based oracle replays it
+    exactly)."""
+    from lakehouse_architecture_transaction_spark.operators.text import sentence_chunks
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return sentence_chunks(docs, id_col="doc_id", text_col="text", budget=_SENT_BUDGET).orderBy(
+        "doc_id", "chunk_idx"
+    )
