@@ -291,3 +291,31 @@ def test_pagerank_mass_and_node_coverage(spark, edges):
     assert set(out) == want_nodes
     assert abs(sum(out.values()) - 1.0) < 1e-6
     assert all(v > 0 for v in out.values())
+
+@_SETTINGS
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab .!?", min_size=0, max_size=120), min_size=1, max_size=6
+    )
+)
+def test_sentence_chunks_partition_sentences(spark, texts):
+    # Every sentence lands in exactly one chunk: per-doc sentence
+    # counts across chunks must equal the segmentation's sentence
+    # count, chunk char totals must sum to the doc's non-separator
+    # chars, and chunk indices must be non-negative and sorted with
+    # first_sentence increasing.
+    from lakehouse_architecture_transaction_spark.operators.text import sentence_chunks
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = sentence_chunks(docs, id_col="doc_id", text_col="text", budget=32).collect()
+    import re
+
+    for i, t in enumerate(texts):
+        marked = re.sub(r"([.!?]) ", "\\1\x01", t)
+        sents = marked.split("\x01")
+        rows = sorted((r for r in out if r["doc_id"] == i), key=lambda r: r["chunk_idx"])
+        assert sum(r["n_sentences"] for r in rows) == len(sents)
+        assert sum(r["n_chars"] for r in rows) == sum(len(s) for s in sents)
+        firsts = [r["first_sentence"] for r in rows]
+        assert firsts == sorted(firsts)
+        assert all(r["chunk_idx"] >= 0 for r in rows)
