@@ -259,6 +259,12 @@ def pagerank(
         F.col(dst_col).alias("dst"),
         F.col(weight_col).cast("double").alias("w"),
     )
+    # weights must be POSITIVE to mean anything here: a zero-weight
+    # edge carries no rank (and would make pr*w/outw NaN when it is a
+    # node's only edge), a negative one has no PageRank semantics and
+    # can drive outw to 0 (division blow-up). Dropping them makes a
+    # node whose edges were all non-positive correctly DANGLING.
+    e = e.filter(F.col("w") > 0)
     outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
     ee = e.join(outw, on="src").localCheckpoint(eager=True)
     nodes = (

@@ -179,7 +179,6 @@ def grouped_percent_rank(
        percent_rank = #lower / (n_g − 1), cume_dist = #le / n_g —
        the SQL-standard tie-sharing semantics, exactly.
     """
-    g = [F.col(c) for c in group_cols]
     dv = df.groupBy(*group_cols, F.col(value_col)).agg(F.count("*").alias("__cnt"))
     probs = [i / num_buckets for i in range(1, num_buckets)]
     bounds = df.stat.approxQuantile(value_col, probs, 1.0 / (4 * num_buckets))
@@ -246,7 +245,6 @@ def grouped_percent_rank(
     pct = F.when(F.col("__n") > 1, F.col("__lt").cast("double") / (F.col("__n") - 1)).otherwise(
         F.lit(0.0)
     )
-    _ = g
     return _ns_join(
         df,
         ranked.select(

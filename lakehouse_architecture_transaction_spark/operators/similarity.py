@@ -47,6 +47,19 @@ def norm2_expr(a: str) -> Column:
     return F.expr(_NORM2.format(a=a))
 
 
+def _cosine_topk_tail(scored: DataFrame, k: int) -> DataFrame:
+    """The shared output tail of every cosine search here: per-query
+    top-k by (cosine desc, neighbor_id asc) — ONE definition of the
+    output contract and tie rule."""
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
 def cosine_topk(
     emb: DataFrame, id_col: str, vec_col: str, query_ids: list[int], k: int = 5
 ) -> DataFrame:
@@ -69,13 +82,7 @@ def cosine_topk(
             / (F.sqrt(F.col("__qn2")) * F.sqrt(F.col("__n2")))
         ).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-        .orderBy("query_id", "rank")
-    )
+    return _cosine_topk_tail(scored, k)
 
 
 def sign_bucket_expr(vec_col: str, bits: int) -> Column:
@@ -115,13 +122,7 @@ def sign_lsh_ann(
             / (F.sqrt(F.col("__qn2")) * F.sqrt(F.col("__n2")))
         ).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-        .orderBy("query_id", "rank")
-    )
+    return _cosine_topk_tail(scored, k)
 
 
 def probe_buckets_expr(bucket_col: str, bits: int) -> Column:
@@ -130,13 +131,9 @@ def probe_buckets_expr(bucket_col: str, bits: int) -> Column:
     often differ in exactly one thresholded dimension, so probing the
     Hamming-1 shell recovers most of the recall lost to bucketing at
     (bits+1)× the candidate cost — the classic multi-probe LSH
-    trade (Lv et al., VLDB'07)."""
-    flips = (
-        f"transform(sequence(1, {bits}), i -> concat(substring({bucket_col}, 1, i - 1), "
-        f"CASE WHEN substring({bucket_col}, i, 1) = '1' THEN '0' ELSE '1' END, "
-        f"substring({bucket_col}, i + 1)))"
-    )
-    return F.expr(f"array_union(array({bucket_col}), {flips})")
+    trade (Lv et al., VLDB'07). Delegates to probe_shell_expr
+    (radius 1) — one definition of the flip expression."""
+    return probe_shell_expr(bucket_col, bits, radius=1)
 
 
 def sign_lsh_multiprobe_ann(
@@ -173,13 +170,7 @@ def sign_lsh_multiprobe_ann(
             / (F.sqrt(F.col("__qn2")) * F.sqrt(F.col("__n2")))
         ).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-        .orderBy("query_id", "rank")
-    )
+    return _cosine_topk_tail(scored, k)
 
 
 def _flip_expr(bucket_col: str, i: str) -> str:
@@ -334,13 +325,7 @@ def sign_lsh_var_ann(
             / (F.sqrt(F.col("__qn2")) * F.sqrt(F.col("__n2")))
         ).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-        .orderBy("query_id", "rank")
-    )
+    return _cosine_topk_tail(scored, k)
 
 
 def cosine_dup_pairs(
@@ -431,22 +416,22 @@ def _ivf_probe(
     """Query→cell probe assignment shared by ivf_topk and ivfpq_topk:
     each query keeps its ``nprobe`` nearest centroids by the same
     left-fold sqdist and (distance, cluster) tie rule the trainer
-    uses. Returns (query_id, __qv, __cell) — |Q|·nprobe rows."""
+    uses. Returns (query_id, __qv, __qn2, __cell) — |Q|·nprobe rows
+    (the query norm rides along so downstream scoring never refolds it
+    per candidate pair)."""
     q = emb.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    )
-    sqdist = (
-        "aggregate(zip_with(__qv, __cvec, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        norm2_expr(vec_col).alias("__qn2"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("__d").asc(), F.col("cluster").asc())
     return (
         F.broadcast(q)
         .crossJoin(F.broadcast(cent))
-        .withColumn("__d", F.expr(sqdist))
+        .withColumn("__d", _sqdist_expr("__qv", "__cvec"))
         .withColumn("__rn", F.row_number().over(wq))
         .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "__qv", F.col("cluster").alias("__cell"))
+        .select("query_id", "__qv", "__qn2", F.col("cluster").alias("__cell"))
     )
 
 
@@ -473,12 +458,11 @@ def _adc_distance_table(
         )
         .select("query_id", F.col("u.s").alias("s"), F.col("u.qv").alias("__qv"))
     )
-    dist = (
-        "aggregate(zip_with(__qv, __cvec, (x, y) -> (x - y) * (x - y)), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
+    # _sqdist_expr's casts are identities here (both sides double) —
+    # one shared fold definition, bit-identical to the inline form
     return qsub.join(F.broadcast(books), on="s").select(
-        "query_id", "s", F.col("cluster").alias("code"), F.expr(dist).alias("__d")
+        "query_id", "s", F.col("cluster").alias("code"),
+        _sqdist_expr("__qv", "__cvec").alias("__d"),
     )
 
 
@@ -535,17 +519,13 @@ def ivf_topk(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
         (
+            # __qn2 rides in from _ivf_probe: same fold, folded once
+            # per query instead of once per candidate pair
             dot_expr("__qv", vec_col)
-            / (F.sqrt(norm2_expr("__qv")) * F.sqrt(F.col("__n2")))
+            / (F.sqrt(F.col("__qn2")) * F.sqrt(F.col("__n2")))
         ).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-        .orderBy("query_id", "rank")
-    )
+    return _cosine_topk_tail(scored, k)
 
 
 def _sqdist_expr(a: str, b: str) -> Column:
@@ -1076,15 +1056,14 @@ def exact_rerank(
         F.col(vec_col).alias("__qfull"),
         norm2_expr(vec_col).alias("__qn2"),
     )
-    nvec = emb.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__nv"),
-        norm2_expr(vec_col).alias("__nn2"),
-    )
+    nvec = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
     exact = (
         # |Q|·R rows — broadcast the shortlist through the corpus scan,
-        # then attach the (broadcast) query vectors
+        # then attach the (broadcast) query vectors. The neighbor norm
+        # fold runs AFTER the shortlist join, so only the surviving
+        # |Q|·R rows pay it — not the whole corpus.
         nvec.join(F.broadcast(shortlist), on="neighbor_id")
+        .withColumn("__nn2", norm2_expr("__nv"))
         .join(F.broadcast(qvec), on="query_id")
         .select(
             "query_id",
@@ -1094,13 +1073,7 @@ def exact_rerank(
             ),
         )
     )
-    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-        .orderBy("query_id", "rank")
-    )
+    return _cosine_topk_tail(exact, k)
 
 
 def ivfpq_topk(
