@@ -319,3 +319,52 @@ def test_sentence_chunks_partition_sentences(spark, texts):
         firsts = [r["first_sentence"] for r in rows]
         assert firsts == sorted(firsts)
         assert all(r["chunk_idx"] >= 0 for r in rows)
+
+@_SETTINGS
+@given(
+    left=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=0, max_size=15),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(-5, 5)),
+        min_size=0,
+        max_size=15,
+    ),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    # The as-of join must agree with pandas merge_asof (backward,
+    # inclusive, by-key) for ANY key/time layout — including duplicate
+    # right timestamps, where BOTH define the match as the LAST right
+    # row at or before the left time.
+    import pandas as pd
+
+    from lakehouse_architecture_transaction_spark.operators.asof import asof_join
+
+    # dedupe (key, t) on the right the way a real history table is
+    # unique per (key, ts); keep the max payload deterministically
+    rd = {}
+    for k, t, v in right:
+        rd[(k, t)] = max(v, rd.get((k, t), v))
+    right_rows = [(k, t, float(v)) for (k, t), v in sorted(rd.items())]
+    left_rows = [(i, k, t) for i, (k, t) in enumerate(left)]
+    ldf = spark.createDataFrame(left_rows, "i long, k long, t long") if left_rows else None
+    if ldf is None:
+        return
+    rdf = spark.createDataFrame(right_rows, "k long, t long, v double") if right_rows else (
+        spark.createDataFrame([], "k long, t long, v double")
+    )
+    got = {
+        r["i"]: r["v"]
+        for r in asof_join(ldf, rdf, "k", "k", "t", "t", payload=["v"]).collect()
+    }
+    lp = (
+        pd.DataFrame(left_rows, columns=["i", "k", "t"])
+        .astype({"i": "int64", "k": "int64", "t": "int64"})
+        .sort_values("t", kind="mergesort")
+    )
+    rp = (
+        pd.DataFrame(right_rows, columns=["k", "t", "v"])
+        .astype({"k": "int64", "t": "int64", "v": "float64"})
+        .sort_values("t", kind="mergesort")
+    )
+    mp = pd.merge_asof(lp, rp, on="t", by="k", direction="backward")
+    want = {int(r.i): (None if pd.isna(r.v) else float(r.v)) for r in mp.itertuples()}
+    assert got == want
