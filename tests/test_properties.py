@@ -368,3 +368,66 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
     mp = pd.merge_asof(lp, rp, on="t", by="k", direction="backward")
     want = {int(r.i): (None if pd.isna(r.v) else float(r.v)) for r in mp.itertuples()}
     assert got == want
+
+@_SETTINGS
+@given(
+    vals=st.lists(st.integers(0, 5), min_size=1, max_size=30),
+    n=st.integers(1, 7),
+)
+def test_ntile_exact_matches_native_for_any_ties(spark, vals, n):
+    # The bucketed exact NTILE must equal the native window NTILE for
+    # ANY tie structure, row count, and tile count (incl. n > rows).
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_transaction_spark.operators.ranking import ntile_exact
+
+    rows = [(i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {
+        r["id"]: r["tile"]
+        for r in ntile_exact(df, value_col="v", tiebreakers=["id"], n=n).collect()
+    }
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    want = {r["id"]: r["t"] for r in df.select("id", F.ntile(n).over(w).alias("t")).collect()}
+    assert got == want
+
+
+@_SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=0, max_size=14
+    ),
+    extra=st.sets(st.integers(0, 9), max_size=4),
+)
+def test_connected_components_matches_union_find(spark, edges, extra):
+    # Min-label propagation must produce EXACTLY the union-find
+    # components (component id = min member) for any graph, including
+    # self-loops and isolated vertices.
+    from lakehouse_architecture_transaction_spark.operators.graph import connected_components
+
+    verts = sorted({a for a, _ in edges} | {b for _, b in edges} | extra)
+    if not verts:
+        return
+    parent = {v: v for v in verts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in verts}
+    vdf = spark.createDataFrame([(v,) for v in verts], "id long")
+    edf = spark.createDataFrame(edges or [(verts[0], verts[0])], "src long, dst long")
+    if not edges:
+        edf = edf.limit(0)
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(vdf, edf, id_col="id", src_col="src", dst_col="dst").collect()
+    }
+    assert got == want
