@@ -82,7 +82,7 @@ _TOP_PATHS = 20
     """,
 )
 def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{k} user-day paths: the first {n} event types of each
+    """Top-20 user-day paths: the first 5 event types of each
     user-day, ordered by time, joined with '>' — the path-analysis
     query behind every funnel-discovery UI.
 
@@ -92,7 +92,7 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     path frequency count is a map-side-combining groupBy at path
     cardinality, and the top-k executes as TakeOrdered (per-partition
     heaps, no global sort). Ties break on path text.
-    """.format(k=_TOP_PATHS, n=_PATH_LEN)
+    """
     events = load_table(spark, sf_dir, "events")
     grp = (
         events.groupBy("user_id", F.to_date("ts").alias("day"))
@@ -136,25 +136,38 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine at pair cardinality; the top-k is TakeOrdered with
     (part_a, part_b) tiebreaks.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
-    )
     return (
-        pairs.groupBy("part_a", "part_b")
-        .agg(F.count("*").alias("n_orders"))
+        _copurchase_pairs(spark, sf_dir)
+        .withColumnRenamed("w", "n_orders")
         .orderBy(F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc())
         .limit(_TOP_PAIRS)
     )
 
 
-_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE definition of the co-purchase pair build shared by
+    orders_market_basket and part_pagerank: distinct (order, part),
+    orderkey-co-partitioned self-join with part_a < part_b, support
+    count ``w`` per unordered pair."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("w"))
+    )
+
+
+# one definition of the money discipline — imported like the other
+# sibling plan modules, so a precision change lands everywhere at once
+from lakehouse_architecture_transaction_spark.plans.analytics import _REV  # noqa: E402
+
 _SUM_REV = f"CAST(CAST(SUM({_REV}) AS DECIMAL(18,4)) AS DOUBLE)"
 
 
@@ -233,11 +246,11 @@ _BOT_FACTOR = 1.2
     """,
 )
 def events_bot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bot-rate flagging: users whose events-per-active-day exceeds {f}× the corpus average — the traffic-cleaning filter ahead of any
+    """Bot-rate flagging: users whose events-per-active-day exceeds 1.2× the corpus average — the traffic-cleaning filter ahead of any
     behavioral modeling. One user-keyed aggregate; the global average
     is a broadcast 1-row scalar (exact integer sums, one division per
     side of the comparison — both engines evaluate the identical IEEE
-    expression).""".format(f=_BOT_FACTOR)
+    expression)."""
     events = load_table(spark, sf_dir, "events")
     per_user = events.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
@@ -314,18 +327,7 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized-exact contribution sums."""
     from lakehouse_architecture_transaction_spark.operators.graph import pagerank
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
-    pe = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count("*").alias("w"))
-    )
+    pe = _copurchase_pairs(spark, sf_dir)
     edges = pe.select("part_a", "part_b", "w").unionByName(
         pe.select(
             F.col("part_b").alias("part_a"), F.col("part_a").alias("part_b"), F.col("w")

@@ -16,8 +16,20 @@ count separately.
 
 from __future__ import annotations
 
+import atexit
 import datetime as _dt
+import shutil
 import tempfile
+
+
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp with process-exit cleanup: the clustered/bucketed table
+    copies are session artifacts, not deliverables — without the
+    atexit hook every gate/bench run would leak an orders+lineitem
+    copy into the temp dir."""
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -50,7 +62,7 @@ def clustered_orders_path(spark: SparkSession, sf_dir: str) -> str:
     got = _SCAN_TABLE_MEMO.get(key)
     if got is not None:
         return got
-    path = tempfile.mkdtemp(prefix="lakehouse_architecture_transaction_scan_orders_")
+    path = _scratch_dir("lakehouse_architecture_transaction_scan_orders_")
     orders = load_table(spark, sf_dir, "orders")
     orders.repartitionByRange(_SCAN_FILES, "o_orderdate").write.mode("overwrite").parquet(path)
     _SCAN_TABLE_MEMO[key] = path
@@ -160,7 +172,7 @@ def bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         return got
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     o_name, l_name = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
-    root = tempfile.mkdtemp(prefix="lakehouse_architecture_transaction_bucketed_")
+    root = _scratch_dir("lakehouse_architecture_transaction_bucketed_")
     write_bucketed(
         load_table(spark, sf_dir, "orders"),
         o_name,

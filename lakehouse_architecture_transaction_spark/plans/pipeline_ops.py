@@ -261,10 +261,7 @@ def _cluster_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     if got is not None:
         return got
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    sig = _signature_frame(spark, sf_dir)
-    pairs = D.lsh_candidate_pairs(
-        sig, id_col="doc_id", num_perms=_NUM_PERMS, bands=_BANDS, bucket_cap=_BUCKET_CAP
-    )
+    pairs = _cand_pairs_frame(spark, sf_dir)
     comp = connected_components(
         docs.select("doc_id"), pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
     )
@@ -552,8 +549,8 @@ _BOILER_DF = 10
 def docs_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate scoring (operators/dedup.py boilerplate_score):
     fraction of each doc's distinct 3-gram shingles shared by more
-    than {df} docs — the strip-before-dedup signal for web-scale
-    corpora.""".format(df=_BOILER_DF)
+    than 10 docs — the strip-before-dedup signal for web-scale
+    corpora."""
     docs = load_table(spark, sf_dir, "documents")
     return D.boilerplate_score(
         docs, text_col="text", id_col="doc_id", n=3, df_threshold=_BOILER_DF
@@ -624,7 +621,7 @@ def _contam_oracle() -> str:
     )
     return f"""
     WITH lab AS (SELECT *, {split_bucket} AS bucket FROM documents),
-    {_DOC_SHINGLES.replace('FROM documents', 'FROM documents')},
+    {_DOC_SHINGLES},
     labeled AS (SELECT sh.doc_id, sh.shingle, lab.bucket
                 FROM sh JOIN lab ON sh.doc_id = lab.doc_id),
     tr0 AS (SELECT doc_id AS train_id, shingle FROM labeled WHERE bucket < 9000),
@@ -646,10 +643,10 @@ def _contam_oracle() -> str:
 def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/dedup.py
     contamination_pairs): train/test split by the standard hash
-    buckets, then every train↔eval pair sharing ≥{m} distinct 3-gram
+    buckets, then every train↔eval pair sharing ≥5 distinct 3-gram
     shingles — the scan run before training so eval answers aren't in
     the training set. Bipartite shingle join + train-side stop-shingle
-    cut.""".format(m=_CONTAM_MIN)
+    cut."""
     from lakehouse_architecture_transaction_spark.operators.sampling import split_bucket_col
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
@@ -709,10 +706,10 @@ _PACK_BUDGET = 512
 def docs_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing (operators/sampling.py
     packed_sequences): docs concatenated in id order, chunked into
-    {b}-token training sequences, each doc labeled with the sequence
+    512-token training sequences, each doc labeled with the sequence
     containing its start offset. The exclusive prefix sum runs
     bucketed (block window + broadcast offsets) — no global-sort
-    window; the oracle states the same sum as one SQL window.""".format(b=_PACK_BUDGET)
+    window; the oracle states the same sum as one SQL window."""
     from lakehouse_architecture_transaction_spark.operators.sampling import packed_sequences
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
@@ -1348,14 +1345,14 @@ _COV_DIMS = 8
     """,
 )
 def emb_label_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label feature covariance over the leading {d} embedding
+    """Per-label feature covariance over the leading 8 embedding
     dims (upper triangle): the feature-statistics shape — explode,
     within-vector pair join, one groupBy at (label, i, j)
     cardinality. Sums run over EXACT int64 numerators (HALF_UP 1e6
     quantization both engines reproduce bit-for-bit; everything stays
     in BIGINT because DuckDB's int128→double is not correctly
     rounded); cov = (Σxy − Σx·Σy/n)/n emitted through one identical
-    double expression — no floating sum ever crosses partitions.""".format(d=_COV_DIMS)
+    double expression — no floating sum ever crosses partitions."""
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
     q_expr = (
         "CAST(CAST(CAST(v AS DECIMAL(18,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(25,0)) "
@@ -1790,14 +1787,14 @@ _CHDUP_SIZE, _CHDUP_DF_CAP = 64, 100
 )
 def docs_chunk_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-granular duplicate mining: doc pairs sharing ≥1 identical
-    {sz}-char chunk (operators/text.py char_chunks) — catches embedded
+    64-char chunk (operators/text.py char_chunks) — catches embedded
     copies (quotes, licenses, mirrored passages) that whole-doc
     fingerprints miss. Same scale discipline as every LSH-family op:
     the join is keyed by chunk hash, never all-pairs, and a
-    deterministic df cap (≤ {cap}) bounds any boilerplate bucket;
+    deterministic df cap (≤ 100) bounds any boilerplate bucket;
     the cap window rides the same hash-partitioned exchange the join
     needs. Fixture injects exact dups (doc_id+100000 for %10=0) so
-    the pair set is non-trivial at every sf.""".format(sz=_CHDUP_SIZE, cap=_CHDUP_DF_CAP)
+    the pair set is non-trivial at every sf."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     dupes = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
         "doc_id", F.col("doc_id") + 100000
@@ -1894,9 +1891,9 @@ _FAM_MIN_COUNT = 2
 def docs_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cheap-perplexity quality score (operators/text.py
     lm_familiarity): fraction of each doc's bigram occurrences whose
-    corpus count is >= {c} — the LM-based gibberish filter, scored
+    corpus count is >= 2 — the LM-based gibberish filter, scored
     against the corpus's own bigram table via a bigram-keyed join
-    (never a broadcast model).""".format(c=_FAM_MIN_COUNT)
+    (never a broadcast model)."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     return T.lm_familiarity(docs, id_col="doc_id", text_col="text", min_count=_FAM_MIN_COUNT)
 
@@ -1915,10 +1912,10 @@ _RSV_N = 100
     """,
 )
 def docs_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-{n} deterministic uniform sample (operators/sampling.py
+    """Exact-100 deterministic uniform sample (operators/sampling.py
     hash_sample_exact): the reproducible batch analogue of reservoir
-    sampling — smallest {n} md5(salt||id) ranks win. Executes as
-    TakeOrdered (per-partition n-heaps), no global sort.""".format(n=_RSV_N)
+    sampling — smallest 100 md5(salt||id) ranks win. Executes as
+    TakeOrdered (per-partition n-heaps), no global sort."""
     from lakehouse_architecture_transaction_spark.operators.sampling import hash_sample_exact
 
     docs = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "source", "lang")
@@ -2067,11 +2064,11 @@ def _pca_oracle() -> str:
 def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-principal-component projection (operators/similarity.py
     pca_power_project): centered covariance with exact int64
-    numerators, {t} fixed power-iteration rounds, per-vector centered
+    numerators, 6 fixed power-iteration rounds, per-vector centered
     dot with the eigenvector — the embedding-drift / visualization
     axis a training pipeline monitors. Map-side pair generation (no
-    self-join), one d²-cell shuffle, iteration on a {d}-row frame
-    only.""".format(t=_PCA_ITERS, d=_PCA_DIM)
+    self-join), one d²-cell shuffle, iteration on a 64-row frame
+    only."""
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
     return S.pca_power_project(
         emb,

@@ -110,10 +110,10 @@ _PFX = 16  # rolling-hash prefix length (code points) for front-dup groups
 )
 def docs_prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Front-duplicate groups: docs sharing the rolling hash of their
-    first {n} code points (operators/text.py rolling_hash) — the cheap
+    first 16 code points (operators/text.py rolling_hash) — the cheap
     shared-boilerplate-head / mirror-page detector that runs before
     any shingling. One fixed-cost hash per doc, one groupBy at hash
-    cardinality.""".format(n=_PFX)
+    cardinality."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     h = T.rolling_hash(docs, id_col="doc_id", text_col="text", prefix_len=_PFX)
     return (
@@ -173,12 +173,13 @@ def docs_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature joins at pair cardinality; no shingle re-join — the
     signatures come from the session memo shared with the LSH/cluster
     queries."""
-    from lakehouse_architecture_transaction_spark.plans.pipeline_ops import _signature_frame
+    from lakehouse_architecture_transaction_spark.plans.pipeline_ops import (
+        _cand_pairs_frame,
+        _signature_frame,
+    )
 
     sig = _signature_frame(spark, sf_dir)
-    pairs = D.lsh_candidate_pairs(
-        sig, id_col="doc_id", num_perms=_NUM_PERMS, bands=_BANDS, bucket_cap=_BUCKET_CAP
-    )
+    pairs = _cand_pairs_frame(spark, sf_dir)
     sa = sig.select(F.col("doc_id").alias("id_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(_NUM_PERMS)])
     sb = sig.select(F.col("doc_id").alias("id_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(_NUM_PERMS)])
     matches = sum(
@@ -210,10 +211,10 @@ _DF_CLIP = 20
     """,
 )
 def docs_shingle_df_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shingle document-frequency histogram (df clipped at {c}) — the
+    """Shingle document-frequency histogram (df clipped at 20) — the
     distribution that justifies the stop-shingle max-df cut: boilerplate
     shingles sit in the clipped tail. Shuffle keyed on the shingle,
-    then a constant-cardinality histogram.""".format(c=_DF_CLIP)
+    then a constant-cardinality histogram."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     toks = docs.select("doc_id", D.tokens_expr("text").alias("__tk"))
     sh = toks.select("doc_id", F.explode(D.shingle_expr(F.col("__tk"), 3)).alias("shingle"))
@@ -308,12 +309,12 @@ _Q_SALTS = 8
     """,
 )
 def docs_top_quality_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{k} quality docs per source, computed in TWO salted phases:
-    per-(source, doc_id mod {s}) top-{k}, then top-{k} of the ≤{s}·{k}
+    """Top-2 quality docs per source, computed in TWO salted phases:
+    per-(source, doc_id mod 8) top-2, then top-2 of the ≤8·2
     survivors per source. Identical to a direct per-source window under
     the total (quality desc, doc_id asc) order, but no single task ever
-    sees more than 1/{s} of a source — low-cardinality group top-k is
-    the classic window skew trap at 100 TB.""".format(k=_TOP_Q, s=_Q_SALTS)
+    sees more than 1/8 of a source — low-cardinality group top-k is
+    the classic window skew trap at 100 TB."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     quality = T.quality_score(docs, id_col="doc_id", text_col="text").select("doc_id", "quality")
     q = quality.join(docs.select("doc_id", "source"), on="doc_id")
@@ -624,7 +625,12 @@ def _source_dup_oracle() -> str:
         _dup_clusters_oracle,  # noqa: PLC0415 — oracle text reuse
     )
 
-    clusters_sql = _dup_clusters_oracle().replace("ORDER BY doc_id ASC", "")
+    # strip ONLY the statement-final ORDER BY: a blanket .replace would
+    # also hit the bucket-cap ROW_NUMBER window's ORDER BY inside the
+    # clusters SQL, making the oracle's candidate capping
+    # nondeterministic once a bucket exceeds the cap
+    head, _sep, tail = _dup_clusters_oracle().rpartition("ORDER BY doc_id ASC")
+    clusters_sql = head + tail
     return f"""
     WITH cl AS ({clusters_sql}),
     j AS (SELECT cl.doc_id, cl.cluster_id, d.source FROM cl JOIN documents d USING (doc_id)),
