@@ -1,0 +1,65 @@
+"""bench.py output-contract tests (no Spark).
+
+The driver's harness captures only the last 2000 chars of bench
+stdout and parses the final line as JSON — round 4's full 78-query
+line overflowed that window and the driver recorded parsed:null.
+These tests pin the contract: the final line always fits and always
+parses, for any headline size.
+"""
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from bench import HEADLINE_FAMILIES, TAIL_BUDGET, tail_line
+
+
+def _base(times: dict) -> dict:
+    fams: dict[str, float] = {}
+    for i, name in enumerate(times):
+        fam = f"fam{i % 11}"
+        fams[fam] = round(fams.get(fam, 0.0) + times[name], 4)
+    return {
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 4),
+        "unit": "sec",
+        "queries": times,
+        "families": fams,
+        "sf": 0.1,
+        "cpus": 32,
+        "runs_per_query": 3,
+        "aggregation": "min",
+    }
+
+
+def test_tail_line_fits_and_parses_at_current_headline_size():
+    times = {name: 1.2345 for name in HEADLINE_FAMILIES}
+    line = tail_line(_base(times))
+    assert len(line) <= TAIL_BUDGET <= 1999
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total"
+    assert parsed["unit"] == "sec"
+    assert parsed["queries"]  # at least some per-query entries made it
+    assert parsed["queries_full"] == "bench_full.json"
+    # slowest-first: every included time >= every omitted time
+    included = set(parsed["queries"])
+    omitted = [t for n, t in times.items() if n not in included]
+    if omitted and included:
+        assert min(times[n] for n in included) >= max(omitted) - 1e-9
+
+
+def test_tail_line_fits_even_with_hundreds_of_queries():
+    times = {f"some_quite_long_query_name_{i:03d}": 0.1 + i / 997 for i in range(400)}
+    line = tail_line(_base(times))
+    assert len(line) <= TAIL_BUDGET
+    parsed = json.loads(line)
+    assert parsed["queries_omitted"] == len(times) - len(parsed["queries"])
+
+
+def test_tail_line_includes_all_when_budget_allows():
+    times = {f"q{i}": float(i) for i in range(5)}
+    parsed = json.loads(tail_line(_base(times)))
+    assert len(parsed["queries"]) == 5
+    assert parsed["queries_omitted"] == 0
