@@ -466,6 +466,106 @@ def _adc_distance_table(
     )
 
 
+def _packed_codes(codes: DataFrame, id_col: str) -> DataFrame:
+    """Long-form PQ codes (id, subspace, code) → one row per vector
+    with the m codes packed subspace-ordered: (id, __codes). One
+    N·m → N aggregation; downstream ADC scoring then needs no
+    per-(query, vector, subspace) rows at all."""
+    return codes.groupBy(id_col).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(subspace, code))), x -> x.code)"
+        ).alias("__codes")
+    )
+
+
+def _packed_dtable(dtable: DataFrame) -> DataFrame:
+    """ADC distance table (query_id, s, code, __d) → one row per
+    query: (query_id, __dt) where __dt[s] is a code→distance MAP for
+    subspace s (a map, not a position-sorted array, so a cluster
+    label dropped by an emptied k-means cell cannot shift its
+    neighbors' indices). |Q| rows of m·k doubles — broadcast-sized."""
+    per_s = dtable.groupBy("query_id", "s").agg(
+        F.expr("map_from_entries(array_sort(collect_list(struct(code, __d))))").alias("__ds")
+    )
+    return per_s.groupBy("query_id").agg(
+        # explicit comparator: default array_sort ordering rejects
+        # structs that contain maps; s is unique per query so the
+        # comparator fully determines the order
+        F.expr(
+            "transform(array_sort(collect_list(struct(s, __ds)), (a, b) -> a.s - b.s), "
+            "x -> x.__ds)"
+        ).alias("__dt")
+    )
+
+
+def pq_pack_index(codes: DataFrame, books: DataFrame, id_col: str) -> tuple[DataFrame, DataFrame]:
+    """Search-side packing of a trained PQ index, built ONCE per index
+    (callers session-memoize it alongside the index itself):
+    - packed codes: one row per vector, the m codes subspace-ordered;
+    - packed codebook: ONE row whose __books[s] is subspace s's
+      (cluster, centroid) list — m·k small vectors, broadcast-sized.
+    With both in hand a search needs ZERO index-side shuffles: the
+    distance table is computed map-side against the broadcast books
+    and the corpus path is one packed-codes scan."""
+    packed_codes = _packed_codes(codes, id_col)
+    packed_books = (
+        books.groupBy("s")
+        .agg(
+            F.expr(
+                "array_sort(collect_list(struct(cluster, __cvec)), "
+                "(a, b) -> a.cluster - b.cluster)"
+            ).alias("__cs")
+        )
+        .groupBy()
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(s, __cs)), (a, b) -> a.s - b.s), "
+                "x -> x.__cs)"
+            ).alias("__books")
+        )
+    )
+    return packed_codes, packed_books
+
+
+def _packed_dtable_mapside(
+    emb: DataFrame, id_col: str, vec_col: str, query_ids: list[int], packed_books: DataFrame,
+    m: int, dsub: int,
+) -> DataFrame:
+    """The packed ADC distance table computed MAP-SIDE: each query row
+    cross-joins the one-row broadcast codebook and evaluates every
+    (subspace, cluster) distance in a single expression — no join, no
+    packing aggregates, no shuffle. Arithmetic is textually identical
+    to _adc_distance_table (same slice, same cast-fold), so the
+    distances — and every downstream shortlist — stay bit-identical
+    to the SQL oracles."""
+    dt = (
+        f"transform(sequence(0, {m - 1}), s -> map_from_entries(transform("
+        f"element_at(__books, s + 1), c -> struct(c.cluster, "
+        f"aggregate(zip_with(transform(slice({vec_col}, s * {dsub} + 1, {dsub}), "
+        f"x -> CAST(x AS DOUBLE)), c.__cvec, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))))"
+    )
+    return (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col))
+        .crossJoin(F.broadcast(packed_books))
+        .select("query_id", F.expr(dt).alias("__dt"))
+    )
+
+
+#: Per-(query, vector) ADC distance from packed codes + packed table:
+#: pick each subspace's table entry by code, then LEFT-FOLD in
+#: subspace order from a 0.0 seed — the exact accumulation order the
+#: collect_list(struct(s, d))/array_sort formulation produced, so
+#: adc_dist stays bit-identical to the SQL oracles while the corpus
+#: path becomes one map-side expression (no per-subspace rows, no
+#: hash aggregate).
+_ADC_FOLD = (
+    "aggregate(zip_with(__codes, __dt, (c, ds) -> ds[c]), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
 def ivf_topk(
     emb: DataFrame,
     id_col: str,
@@ -976,6 +1076,7 @@ def pq_adc_topk(
     k: int = 5,
     rerank: int | None = None,
     index: tuple[DataFrame, DataFrame] | None = None,
+    packed: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """PQ search with Asymmetric Distance Computation: queries keep
     their RAW subvectors; each corpus vector is approximated by its PQ
@@ -1007,19 +1108,28 @@ def pq_adc_topk(
     degrades results (wrong-length probe strings join nothing;
     mis-sliced subvectors score noise).
     """
-    codes, cent = index if index is not None else product_quantize(
-        emb, id_col, vec_col, m=m, dsub=dsub, k=k_codes, iters=iters, return_codebook=True
-    )
-    dtable = _adc_distance_table(emb, id_col, vec_col, query_ids, cent, m=m, dsub=dsub)
-    pairs = codes.withColumnRenamed("subspace", "s").join(F.broadcast(dtable), on=["s", "code"])
+    if packed is not None:
+        pcodes, pbooks = packed
+        dpacked = _packed_dtable_mapside(emb, id_col, vec_col, query_ids, pbooks, m=m, dsub=dsub)
+    else:
+        codes, cent = index if index is not None else product_quantize(
+            emb, id_col, vec_col, m=m, dsub=dsub, k=k_codes, iters=iters, return_codebook=True
+        )
+        pcodes = _packed_codes(codes, id_col)
+        dpacked = _packed_dtable(
+            _adc_distance_table(emb, id_col, vec_col, query_ids, cent, m=m, dsub=dsub)
+        )
+    # packed scan: corpus rows (one per vector, m codes packed) ×
+    # broadcast per-query tables, scored by ONE map-side fold — no
+    # N·|Q|·m intermediate rows, no collect_list hash aggregate on
+    # the corpus path (that aggregate was ~60% of the search time).
     adc = (
-        pairs.filter(F.col(id_col) != F.col("query_id"))
-        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
-        .agg(
-            F.expr(
-                "aggregate(transform(array_sort(collect_list(struct(s, __d))), x -> x.__d), "
-                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-            ).alias("adc_dist")
+        pcodes.crossJoin(F.broadcast(dpacked))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.expr(_ADC_FOLD).alias("adc_dist"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc())
@@ -1092,6 +1202,7 @@ def ivfpq_topk(
     pq_iters: int = 2,
     ivf_index: tuple[DataFrame, DataFrame] | None = None,
     pq_index: tuple[DataFrame, DataFrame] | None = None,
+    packed: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVFPQ (FAISS IVFADC shape, non-residual): the trained IVF
     coarse quantizer prunes the corpus to the ``nprobe`` nearest
@@ -1117,9 +1228,17 @@ def ivfpq_topk(
     cent, corpus = ivf_index if ivf_index is not None else ivf_build(
         emb, id_col, vec_col, n_cells=n_cells, iters=ivf_iters
     )
-    codes, books = pq_index if pq_index is not None else product_quantize(
-        emb, id_col, vec_col, m=m, dsub=dsub, k=k_codes, iters=pq_iters, return_codebook=True
-    )
+    if packed is not None:
+        pcodes, pbooks = packed
+        dpacked = _packed_dtable_mapside(emb, id_col, vec_col, query_ids, pbooks, m=m, dsub=dsub)
+    else:
+        codes, books = pq_index if pq_index is not None else product_quantize(
+            emb, id_col, vec_col, m=m, dsub=dsub, k=k_codes, iters=pq_iters, return_codebook=True
+        )
+        pcodes = _packed_codes(codes, id_col)
+        dpacked = _packed_dtable(
+            _adc_distance_table(emb, id_col, vec_col, query_ids, books, m=m, dsub=dsub)
+        )
     probe = _ivf_probe(emb, id_col, vec_col, query_ids, cent, nprobe).select(
         "query_id", "__cell"
     )
@@ -1129,20 +1248,18 @@ def ivfpq_topk(
         .filter(F.col(id_col) != F.col("query_id"))
         .select("query_id", F.col(id_col))
     )
-    # ADC distance table |Q|·m·k — broadcast
-    dtable = _adc_distance_table(emb, id_col, vec_col, query_ids, books, m=m, dsub=dsub)
-    # candidate codes only: cand (query, id) ⋈ codes (id-keyed) —
-    # the code lookup never touches rows outside the probed lists
-    pairs = (
-        codes.withColumnRenamed("subspace", "s")
-        .join(cand, on=id_col)
-        .join(F.broadcast(dtable), on=["query_id", "s", "code"])
-    )
-    adc = pairs.groupBy("query_id", F.col(id_col).alias("neighbor_id")).agg(
-        F.expr(
-            "aggregate(transform(array_sort(collect_list(struct(s, __d))), x -> x.__d), "
-            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-        ).alias("adc_dist")
+    # candidate codes only: cand (query, id) ⋈ packed codes (one row
+    # per vector, id-keyed), per-query table broadcast — ADC score is
+    # one map-side fold per surviving (query, vector) pair; no
+    # per-subspace rows, no collect_list hash aggregate.
+    adc = (
+        pcodes.join(cand, on=id_col)
+        .join(F.broadcast(dpacked), on="query_id")
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.expr(_ADC_FOLD).alias("adc_dist"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc())
     shortlist = (

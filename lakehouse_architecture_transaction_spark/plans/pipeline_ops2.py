@@ -818,6 +818,27 @@ def _pq_index(spark: SparkSession, sf_dir: str):
     return built
 
 
+#: Search-side packing of the memoized PQ index (packed codes + the
+#: one-row broadcast codebook) — built once per (app, sf_dir) like the
+#: index itself; emb_ann_pq_adc and emb_ann_ivfpq share it so their
+#: searches run with zero index-side shuffles.
+_PQ_PACKED_MEMO: dict[tuple[str, str], tuple] = {}
+
+
+def _pq_packed(spark: SparkSession, sf_dir: str):
+    from lakehouse_architecture_transaction_spark.operators.similarity import pq_pack_index
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _PQ_PACKED_MEMO.get(key)
+    if got is not None:
+        return got
+    codes, cent = _pq_index(spark, sf_dir)
+    pcodes, pbooks = pq_pack_index(codes, cent, "vec_id")
+    built = (pcodes.localCheckpoint(eager=True), pbooks.localCheckpoint(eager=True))
+    _PQ_PACKED_MEMO[key] = built
+    return built
+
+
 @register("emb_product_quantize", oracle=_pq_oracle())
 def emb_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (operators/similarity.py product_quantize):
@@ -930,6 +951,7 @@ def emb_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, id_col="vec_id", vec_col="embedding", query_ids=list(range(_ADC_Q_MAX)),
         m=_PQ_M, dsub=_PQ_DSUB, k_codes=_PQ_K, iters=_PQ_ITERS, k=_ADC_K,
         rerank=_ADC_RERANK, index=_pq_index(spark, sf_dir),
+        packed=_pq_packed(spark, sf_dir),
     )
     return out.select(
         "query_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cosine"
@@ -1120,6 +1142,7 @@ def emb_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cells=_IVF_CELLS, ivf_iters=_IVF_ITERS,
         m=_PQ_M, dsub=_PQ_DSUB, k_codes=_PQ_K, pq_iters=_PQ_ITERS,
         ivf_index=_ivf_index(spark, sf_dir), pq_index=_pq_index(spark, sf_dir),
+        packed=_pq_packed(spark, sf_dir),
     )
     return out.select(
         "query_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cosine"
