@@ -1238,3 +1238,134 @@ def docs_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sentence_chunks(docs, id_col="doc_id", text_col="text", budget=_SENT_BUDGET).orderBy(
         "doc_id", "chunk_idx"
     )
+
+
+# ------------------------------------------------- semantic dedup
+
+#: Within-cell cosine threshold. The synthetic embeddings are
+#: near-uniform (pairwise cosine ~ N(0, 1/8) — see _DUP_TAU in
+#: pipeline_ops.py), so 0.25 ≈ +2σ: a small, deterministic dup set.
+_SEM_TAU = 0.25
+#: Per-cell member cap for the quadratic pair stage, ranked by vec_id
+#: — ACTIVE at sf0.1 (~400 members/cell), mirrored exactly in the
+#: oracle. At real scale SemDeDup keeps cells small by growing the
+#: cell count with the corpus (k ∝ N), which this cap stands in for
+#: at fixed k=16; the pair stage is then per-cell-bounded everywhere.
+_SEM_CAP = 128
+
+
+def _semantic_dedup_oracle() -> str:
+    from lakehouse_architecture_transaction_spark.plans.pipeline_ops import (
+        _IVF_CELLS,
+        _IVF_ITERS,
+        _N2_FOLD,
+        _km_assign_sql,
+        _km_update_sql,
+    )
+
+    parts = [
+        f"""c0 AS (
+        SELECT CAST(vec_id AS INTEGER) AS cluster,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+        FROM embeddings WHERE vec_id < {_IVF_CELLS})"""
+    ]
+    for i in range(_IVF_ITERS):
+        parts.append(f"a{i + 1} AS {_km_assign_sql(f'c{i}')}")
+        parts.append(f"c{i + 1} AS {_km_update_sql(f'a{i + 1}')}")
+    parts.append(f"fin AS {_km_assign_sql(f'c{_IVF_ITERS}')}")
+    parts.append(
+        f"""cap AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY vec_id ASC) AS rn
+            FROM fin
+        ) WHERE rn <= {_SEM_CAP})"""
+    )
+    parts.append(
+        f"""mem AS (
+        SELECT c.vec_id, c.cluster, e.embedding, {_N2_FOLD} AS n2
+        FROM cap c JOIN (SELECT vec_id, embedding FROM embeddings) e USING (vec_id))"""
+    )
+    parts.append(
+        f"""p AS (
+        SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+               list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                   z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, y) -> x + y)
+               / (sqrt(a.n2) * sqrt(b.n2)) AS cosine
+        FROM mem a JOIN mem b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT id_b AS vec_id, CAST(cluster AS INTEGER) AS cell,
+           COUNT(*) AS n_lower_dups, MAX(cosine) AS max_cosine
+    FROM p WHERE cosine >= {_SEM_TAU}
+    GROUP BY id_b, cluster
+    ORDER BY vec_id ASC
+    """
+    )
+
+
+@register("emb_semantic_dedup", oracle=_semantic_dedup_oracle())
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster
+    the embedding corpus with the trained k-means cells, compare pairs
+    ONLY within a cell, and mark every vector that has a lower-id
+    cell-mate with cosine ≥ τ as a semantic duplicate (min-id-wins
+    keep rule). Output: one row per DROPPED vector — (vec_id, cell,
+    n_lower_dups, max_cosine).
+
+    Composition, not new machinery: the cells are the session-memoized
+    IVF coarse quantizer (shared with emb_ann_ivf / emb_ann_ivfpq —
+    in a real pipeline the same index serves search AND dedup), the
+    per-cell pair stage is capped to the _SEM_CAP lowest-id members
+    (deterministic, oracle-mirrored — the house discipline for every
+    quadratic candidate stage), and cosines are the package's
+    left-fold doubles, so the DuckDB oracle replays training, cap,
+    pairs, and threshold bit-for-bit.
+
+    Scale shape: the corpus shuffles ONCE by cell id; each cell's
+    pair generation is an equi-join on the cell key with a hard
+    quadratic bound; no cross-cell pairs exist by construction (the
+    SemDeDup approximation), so total work is cells × cap² — linear
+    in the corpus for cap fixed and k ∝ N."""
+    from lakehouse_architecture_transaction_spark.operators.similarity import dot_expr
+    from lakehouse_architecture_transaction_spark.plans.pipeline_ops import _ivf_index
+
+    _cent, corpus = _ivf_index(spark, sf_dir)
+    w = Window.partitionBy("__cell").orderBy(F.col("vec_id").asc())
+    capped = (
+        corpus.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= _SEM_CAP)
+        .select("__cell", "vec_id", "embedding", "__n2")
+    )
+    a = capped.select(
+        F.col("__cell"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("__va"),
+        F.col("__n2").alias("__na"),
+    )
+    b = capped.select(
+        F.col("__cell"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("__vb"),
+        F.col("__n2").alias("__nb"),
+    )
+    scored = (
+        a.join(b, on="__cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "__cell",
+            "id_b",
+            (dot_expr("__va", "__vb") / (F.sqrt(F.col("__na")) * F.sqrt(F.col("__nb")))).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= F.lit(_SEM_TAU))
+    )
+    return (
+        scored.groupBy(F.col("id_b").alias("vec_id"), F.col("__cell").cast("int").alias("cell"))
+        .agg(F.count("*").alias("n_lower_dups"), F.max("cosine").alias("max_cosine"))
+        .orderBy("vec_id")
+    )
