@@ -684,3 +684,52 @@ def test_pagerank_directed_includes_sinks_and_conserves_mass(spark):
     assert abs(sum(out.values()) - 1.0) < 1e-6
     assert out[1] > out[0] and out[2] > out[0]  # sinks accumulate
     assert round(out[1], 12) == round(out[2], 12)  # symmetric sinks tie
+
+
+def test_packed_adc_path_identical_to_unpacked(spark, sf_dir):
+    # The packed-index search path (pq_pack_index + map-side distance
+    # tables) must be BIT-identical to the join/aggregate formulation:
+    # same distances (textually identical cast-fold), same subspace
+    # fold order, same shortlist ties. Any drift here silently changes
+    # the oracle-checked registry queries.
+    from lakehouse_architecture_transaction_spark.catalog import load_table
+    from lakehouse_architecture_transaction_spark.operators.similarity import (
+        ivf_build,
+        ivfpq_topk,
+        pq_adc_topk,
+        pq_pack_index,
+        product_quantize,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(8))
+    codes, books = product_quantize(
+        emb, "vec_id", "embedding", m=16, dsub=4, k=16, iters=2, return_codebook=True
+    )
+    packed = pq_pack_index(codes, books, "vec_id")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    plain = pq_adc_topk(
+        emb, "vec_id", "embedding", qids, m=16, dsub=4, k_codes=16, iters=2, k=5,
+        rerank=50, index=(codes, books),
+    )
+    fast = pq_adc_topk(
+        emb, "vec_id", "embedding", qids, m=16, dsub=4, k_codes=16, iters=2, k=5,
+        rerank=50, index=(codes, books), packed=packed,
+    )
+    assert rows(plain) == rows(fast)
+
+    ivf = ivf_build(emb, "vec_id", "embedding", n_cells=16, iters=2)
+    plain2 = ivfpq_topk(
+        emb, "vec_id", "embedding", qids, k=5, nprobe=2, rerank=50,
+        n_cells=16, ivf_iters=2, m=16, dsub=4, k_codes=16, pq_iters=2,
+        ivf_index=ivf, pq_index=(codes, books),
+    )
+    fast2 = ivfpq_topk(
+        emb, "vec_id", "embedding", qids, k=5, nprobe=2, rerank=50,
+        n_cells=16, ivf_iters=2, m=16, dsub=4, k_codes=16, pq_iters=2,
+        ivf_index=ivf, pq_index=(codes, books), packed=packed,
+    )
+    assert rows(plain2) == rows(fast2)
