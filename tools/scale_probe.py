@@ -1,0 +1,231 @@
+"""Scale-up probe: replicate the sf0.1 tables ×2/×4/×8 with consistent
+key offsets, rerun representative registry queries on each scaled
+copy, and record how wall time grows vs data volume — measured
+evidence for the "would this plan hold at 1000×?" question that a
+fixed-sf bench cannot answer.
+
+Replication model (how real scale-up behaves, not naive row copies):
+- FACT/ENTITY tables (customer, orders, lineitem, part, supplier,
+  events, documents, embeddings) are replicated with every entity key
+  shifted by replica × (max_key + 1), using ONE shared offset per
+  entity across all referencing tables — FK joins stay 1:1-shaped and
+  the join key space grows with the data, exactly like a bigger
+  corpus (no artificial hot keys, no broken RI).
+- DIMENSIONS (region, nation) are NOT replicated — 25 nations serve
+  any corpus size, so broadcast-side cardinality stays fixed at scale.
+- Document text gets a per-replica suffix and embeddings a per-replica
+  tail perturbation so dedup/ANN ops see a GROWN corpus rather than r
+  exact copies of the old one (which would degenerate every
+  similarity bucket).
+
+Usage: python tools/scale_probe.py [--factors 1,2,4,8] [--update-md]
+Writes per-factor parquet to /tmp/spark_graft_scale/x{f}/ (reused if
+present) and, with --update-md, rewrites the table in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from lakehouse_architecture_transaction_spark.catalog import load_table  # noqa: E402
+from lakehouse_architecture_transaction_spark.plans import REGISTRY  # noqa: E402
+from lakehouse_architecture_transaction_spark.session import get_spark  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+OUT = "/tmp/spark_graft_scale"
+
+#: entity → (home table, key column) — the offset source of truth
+ENTITIES = {
+    "custkey": ("customer", "c_custkey"),
+    "orderkey": ("orders", "o_orderkey"),
+    "partkey": ("part", "p_partkey"),
+    "suppkey": ("supplier", "s_suppkey"),
+    "user": ("events", "user_id"),
+    "event": ("events", "event_id"),
+    "doc": ("documents", "doc_id"),
+    "vec": ("embeddings", "vec_id"),
+}
+
+#: table → {column: entity} for key shifting
+KEYMAP = {
+    "customer": {"c_custkey": "custkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {"l_orderkey": "orderkey", "l_partkey": "partkey", "l_suppkey": "suppkey"},
+    "part": {"p_partkey": "partkey"},
+    "supplier": {"s_suppkey": "suppkey"},
+    "events": {"event_id": "event", "user_id": "user"},
+    "documents": {"doc_id": "doc"},
+    "embeddings": {"vec_id": "vec"},
+}
+
+DIMS = ["region", "nation"]
+
+#: representative shapes: scan-agg, shuffle join, window machinery,
+#: dedup PK, shingle/banding explosion, as-of, vector scan, sessions
+PROBES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q18_large_volume_customers",
+    "dedup_pk_lineitem",
+    "top3_orders_per_customer",
+    "sessionize_events",
+    "events_asof_orders",
+    "docs_minhash_lsh_pairs",
+    "docs_token_stats",
+    "emb_knn_bruteforce",
+]
+
+
+def build_scaled(spark, factor: int) -> str:
+    out_dir = os.path.join(OUT, f"x{factor}")
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    offs = {
+        ent: spark.read.parquet(f"{BASE}/{tbl}.parquet").agg(
+            (F.max(col) + 1).alias("m")
+        ).collect()[0]["m"]
+        for ent, (tbl, col) in ENTITIES.items()
+    }
+    for t in DIMS:
+        spark.read.parquet(f"{BASE}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{out_dir}/{t}.parquet"
+        )
+    for t, keys in KEYMAP.items():
+        df = spark.read.parquet(f"{BASE}/{t}.parquet")
+        reps = []
+        for r in range(factor):
+            rep = df
+            for col, ent in keys.items():
+                rep = rep.withColumn(col, (F.col(col) + F.lit(r * offs[ent])).cast("bigint"))
+            if t == "documents" and r > 0:
+                # grown corpus, not r carbon copies: keep most shingles
+                # (realistic near-dup rates) but break exact identity
+                rep = rep.withColumn("text", F.concat(F.col("text"), F.lit(f" r{r}")))
+                rep = rep.withColumn("n_chars", F.col("n_chars") + F.lit(len(f" r{r}")))
+            if t == "embeddings" and r > 0:
+                # deterministic small tail rotation per replica
+                rep = rep.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"transform(embedding, (x, i) -> CAST(x + {r} * 1e-3 * "
+                        "CASE WHEN i % 2 = 0 THEN 1 ELSE -1 END AS FLOAT))"
+                    ),
+                )
+            reps.append(rep)
+        scaled = reps[0]
+        for rep in reps[1:]:
+            scaled = scaled.unionByName(rep)
+        n_files = max(8, min(64, 8 * factor))
+        scaled.repartition(n_files).write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return out_dir
+
+
+def main() -> None:
+    factors = [1, 2, 4, 8]
+    for a in sys.argv[1:]:
+        if a.startswith("--factors"):
+            factors = [int(x) for x in a.split("=", 1)[1].split(",")]
+    spark = get_spark("scale-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    REGISTRY["q1_pricing_summary"].fn(spark, BASE).count()  # warmup
+
+    # factor 1 goes through the SAME writer: identical file counts and
+    # row-group layout, so ratios measure data growth, not the base
+    # snapshot's different (single-file) layout.
+    dirs = {}
+    for f_ in factors:
+        t0 = time.perf_counter()
+        dirs[f_] = build_scaled(spark, f_)
+        print(f"built x{f_} in {time.perf_counter() - t0:.1f}s", flush=True)
+
+    from lakehouse_architecture_transaction_spark.operators.dedup import release_persisted
+
+    # cold = first run on a fresh (app, sf_dir) key — session-memoized
+    # index/signature builds are PART of the measured cost (they are
+    # the part that scales); warm = min of the two repeat runs.
+    cold: dict[str, dict[int, float]] = {}
+    warm: dict[str, dict[int, float]] = {}
+    for name in PROBES:
+        cold[name], warm[name] = {}, {}
+        for f_ in factors:
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                REGISTRY[name].fn(spark, dirs[f_]).count()
+                times.append(time.perf_counter() - t0)
+                release_persisted()
+            cold[name][f_] = times[0]
+            warm[name][f_] = min(times[1:])
+        row = "  ".join(
+            f"x{f_}={cold[name][f_]:.2f}/{warm[name][f_]:.2f}s" for f_ in factors
+        )
+        print(f"{name:32s} {row}", flush=True)
+
+    fmax, f0 = factors[-1], factors[0]
+    lines = [
+        "| query | "
+        + " | ".join(f"×{f_} cold/warm (s)" for f_ in factors)
+        + f" | cold t(×{fmax})/t(×{f0}) |",
+        "|---|" + "---|" * (len(factors) + 1),
+    ]
+    for name in PROBES:
+        ratio = cold[name][fmax] / cold[name][f0] if cold[name][f0] else float("nan")
+        lines.append(
+            f"| `{name}` | "
+            + " | ".join(f"{cold[name][f_]:.2f} / {warm[name][f_]:.2f}" for f_ in factors)
+            + f" | {ratio:.1f}× |"
+        )
+    table = "\n".join(lines)
+    print(table)
+    if "--update-md" in sys.argv:
+        _update_md(table, factors)
+        print("SCALE.md updated")
+
+
+BEGIN = "<!-- SCALE-PROBE:BEGIN -->"
+END = "<!-- SCALE-PROBE:END -->"
+
+
+def _update_md(table: str, factors) -> None:
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md")
+    block = (
+        f"{BEGIN}\nMeasured on local[32], data = sf0.1 replicated with shifted key\n"
+        f"spaces (see tools/scale_probe.py header for the replication model).\n"
+        f"cold = first run at that volume (includes session-memoized index/\n"
+        f"signature builds — the part that scales); warm = min of 2 repeats.\n"
+        f"Every factor, including ×1, is written by the same writer, so file\n"
+        f"layout is identical and ratios isolate data growth.\n\n{table}\n{END}"
+    )
+    if os.path.exists(path):
+        txt = open(path).read()
+        if BEGIN in txt:
+            pre = txt.split(BEGIN)[0]
+            post = txt.split(END)[1]
+            open(path, "w").write(pre + block + post)
+            return
+    open(path, "w").write(
+        "# SCALE — measured scale-up behavior\n\n"
+        "A fixed-sf bench can't show whether a plan's cost is linear in the\n"
+        "data or hiding a quadratic/skew cliff. This probe replicates the\n"
+        "bench tables with consistent key-space growth (dimensions stay\n"
+        "fixed — 25 nations serve any corpus, as at real scale) and reruns\n"
+        "representative query shapes at ×2/×4/×8 volume.\n\n"
+        "Reading the table: a healthy distributed plan at these tiny\n"
+        "volumes should grow SUB-linearly (per-stage constants amortize);\n"
+        "anything growing FASTER than the data factor is a red flag —\n"
+        "a quadratic candidate stage, a skew hotspot, or a driver-side\n"
+        "bottleneck.\n\n" + block + "\n"
+    )
+
+
+if __name__ == "__main__":
+    main()
