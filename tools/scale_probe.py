@@ -79,6 +79,12 @@ PROBES = [
     "docs_minhash_lsh_pairs",
     "docs_token_stats",
     "emb_knn_bruteforce",
+    # iterative / machinery-heavy shapes
+    "docs_dup_clusters",
+    "orders_pctrank_in_segment",
+    "scd2_customer_history",
+    "orders_market_basket",
+    "emb_ann_ivf",
 ]
 
 
