@@ -459,3 +459,51 @@ def test_native_session_window_watermark_lateness(spark, tmp_path):
     }
     assert results["default"] == want, results["default"]
     assert results["rocksdb"] == want, results["rocksdb"]
+
+
+def test_stateful_sessionization_survives_straggler_beyond_watermark(spark, tmp_path):
+    # Availability pin for the watermark clamp (ADVICE r4): an event
+    # arriving AFTER the watermark has advanced past its session's
+    # (end + gap) must not kill the query — pre-clamp, a timeout
+    # timestamp <= watermark raised inside applyInPandasWithState and
+    # failed the whole stream. The straggler either gets dropped as
+    # late data or its session flushes on the next watermark advance;
+    # both are acceptable — query death is not.
+    src = tmp_path / "straggler_landing"
+    src.mkdir()
+    schema = "event_id bigint, ts string, user_id bigint, event_type string, value double, props string"
+
+    def drop(batch_id, rows):
+        df = spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp_ntz")
+        )
+        df.coalesce(1).write.parquet(str(src / f"b{batch_id}"))
+
+    drop(0, [(1, "2024-01-01 10:00:00", 7, "click", 1.0, "{}")])
+    stream = read_event_stream(spark, str(src / "*"))
+    q = (
+        sessionize_stateful(stream, event_time_gap_s=600, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("straggler_sessions_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance the watermark far past 10:00 + gap
+        drop(1, [(2, "2024-01-01 12:00:00", 8, "click", 1.0, "{}")])
+        q.processAllAvailable()
+        # straggler at 10:05 — hours behind the 11:50 watermark; its
+        # session end + gap is far below the watermark, the clamp case
+        drop(2, [(3, "2024-01-01 10:05:00", 9, "click", 1.0, "{}")])
+        q.processAllAvailable()
+        # keep advancing so any clamped timer actually fires
+        drop(3, [(4, "2024-01-01 13:00:00", 8, "click", 1.0, "{}")])
+        q.processAllAvailable()
+        assert q.exception() is None, f"stream died on straggler: {q.exception()}"
+        # the on-time user's session must have flushed regardless
+        assert (
+            spark.sql("SELECT * FROM straggler_sessions_out WHERE user_id = 7").count() == 1
+        )
+    finally:
+        q.stop()
