@@ -143,7 +143,17 @@ def tail_line(base: dict, budget: int = TAIL_BUDGET) -> str:
     slim = dict(base)
     slim["queries"] = {}
     slim["queries_full"] = "bench_full.json"
+    slim["queries_omitted"] = len(times)
     line = json.dumps(slim, separators=(",", ":"))
+    if len(line) > budget:
+        # degenerate guard: even the no-queries record is over budget —
+        # shed the optional fields until the line fits (metric/value/
+        # unit/sf/queries are the driver contract and always stay)
+        for field in ("families", "aggregation", "runs_per_query", "cpus"):
+            slim.pop(field, None)
+            line = json.dumps(slim, separators=(",", ":"))
+            if len(line) <= budget:
+                break
     for name in sorted(times, key=times.get, reverse=True):
         trial = dict(slim)
         trial["queries"] = {**slim["queries"], name: round(times[name], 2)}

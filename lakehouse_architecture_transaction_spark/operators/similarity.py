@@ -361,35 +361,64 @@ def cosine_dup_pairs(
         sign_bucket_expr(vec_col, bits).alias("__bkt"),
         norm2_expr(vec_col).alias("__n2"),
     )
-    if bucket_cap is not None:
-        wcap = Window.partitionBy("__bkt").orderBy(F.col(id_col).asc())
-        bucketed = (
-            bucketed.withColumn("__bn", F.row_number().over(wcap))
-            .filter(F.col("__bn") <= bucket_cap)
-            .drop("__bn")
+    return (
+        capped_group_cosine_pairs(
+            bucketed, "__bkt", id_col, vec_col, "__n2", cap=bucket_cap, threshold=threshold
         )
-    a = bucketed.select(
-        F.col("__bkt"),
+        .select("id_a", "id_b", "cosine")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def capped_group_cosine_pairs(
+    grouped: DataFrame,
+    group_col: str,
+    id_col: str,
+    vec_col: str,
+    n2_col: str,
+    cap: int | None,
+    threshold: float,
+) -> DataFrame:
+    """The shared quadratic-stage discipline for every within-group
+    cosine pair miner (sign-LSH buckets in cosine_dup_pairs, trained
+    IVF cells in emb_semantic_dedup): cap each group to its ``cap``
+    LOWEST ids (deterministic — the SQL oracles mirror the cut with a
+    ROW_NUMBER ... ORDER BY id), self-join on the group key, keep
+    id_a < id_b, score with the left-fold double cosine, cut at
+    ``threshold``. ONE definition of cap rule, tie rule, and fold so
+    the oracle-lockstep semantics cannot silently diverge between
+    callers. Returns (group_col, id_a, id_b, cosine)."""
+    if cap is not None:
+        wcap = Window.partitionBy(group_col).orderBy(F.col(id_col).asc())
+        grouped = (
+            grouped.withColumn("__gn", F.row_number().over(wcap))
+            .filter(F.col("__gn") <= cap)
+            .drop("__gn")
+        )
+    a = grouped.select(
+        F.col(group_col),
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__va"),
-        F.col("__n2").alias("__na"),
+        F.col(n2_col).alias("__na"),
     )
-    b = bucketed.select(
-        F.col("__bkt"),
+    b = grouped.select(
+        F.col(group_col),
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("__vb"),
-        F.col("__n2").alias("__nb"),
+        F.col(n2_col).alias("__nb"),
     )
     return (
-        a.join(b, on="__bkt", how="inner")
+        a.join(b, on=group_col, how="inner")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
+            F.col(group_col),
             "id_a",
             "id_b",
-            (dot_expr("__va", "__vb") / (F.sqrt(F.col("__na")) * F.sqrt(F.col("__nb")))).alias("cosine"),
+            (dot_expr("__va", "__vb") / (F.sqrt(F.col("__na")) * F.sqrt(F.col("__nb")))).alias(
+                "cosine"
+            ),
         )
         .filter(F.col("cosine") >= threshold)
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -1107,6 +1136,14 @@ def pq_adc_topk(
     — the frames carry no metadata to check, and a mismatch silently
     degrades results (wrong-length probe strings join nothing;
     mis-sliced subvectors score noise).
+
+    ``packed`` (pq_pack_index output) TAKES PRECEDENCE over the
+    long-form PQ frames when both are given: the codes/codebook half
+    of the search then comes solely from the packed frames, so they
+    MUST be packed from the same trained index passed as ``index`` /
+    ``pq_index`` (the registry memos guarantee this; ad-hoc callers
+    must too — test_packed_adc_path_identical_to_unpacked pins the
+    equivalence).
     """
     if packed is not None:
         pcodes, pbooks = packed
@@ -1224,6 +1261,12 @@ def ivfpq_topk(
     — the frames carry no metadata to check, and a mismatch silently
     degrades results (wrong-length probe strings join nothing;
     mis-sliced subvectors score noise).
+
+    ``packed`` (pq_pack_index output) TAKES PRECEDENCE over the
+    long-form ``pq_index`` frames for the code/codebook half when both
+    are given — it must be packed from that same trained PQ index
+    (the registry memos guarantee this; the IVF half always comes
+    from ``ivf_index``).
     """
     cent, corpus = ivf_index if ivf_index is not None else ivf_build(
         emb, id_col, vec_col, n_cells=n_cells, iters=ivf_iters

@@ -1330,39 +1330,20 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic bound; no cross-cell pairs exist by construction (the
     SemDeDup approximation), so total work is cells × cap² — linear
     in the corpus for cap fixed and k ∝ N."""
-    from lakehouse_architecture_transaction_spark.operators.similarity import dot_expr
+    from lakehouse_architecture_transaction_spark.operators.similarity import (
+        capped_group_cosine_pairs,
+    )
     from lakehouse_architecture_transaction_spark.plans.pipeline_ops import _ivf_index
 
     _cent, corpus = _ivf_index(spark, sf_dir)
-    w = Window.partitionBy("__cell").orderBy(F.col("vec_id").asc())
-    capped = (
-        corpus.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= _SEM_CAP)
-        .select("__cell", "vec_id", "embedding", "__n2")
-    )
-    a = capped.select(
-        F.col("__cell"),
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("__va"),
-        F.col("__n2").alias("__na"),
-    )
-    b = capped.select(
-        F.col("__cell"),
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("__vb"),
-        F.col("__n2").alias("__nb"),
-    )
-    scored = (
-        a.join(b, on="__cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "__cell",
-            "id_b",
-            (dot_expr("__va", "__vb") / (F.sqrt(F.col("__na")) * F.sqrt(F.col("__nb")))).alias(
-                "cosine"
-            ),
-        )
-        .filter(F.col("cosine") >= F.lit(_SEM_TAU))
+    scored = capped_group_cosine_pairs(
+        corpus.select("__cell", "vec_id", "embedding", "__n2"),
+        group_col="__cell",
+        id_col="vec_id",
+        vec_col="embedding",
+        n2_col="__n2",
+        cap=_SEM_CAP,
+        threshold=_SEM_TAU,
     )
     return (
         scored.groupBy(F.col("id_b").alias("vec_id"), F.col("__cell").cast("int").alias("cell"))

@@ -40,13 +40,16 @@ from lakehouse_architecture_transaction_spark.session import get_spark  # noqa: 
 BASE = "/root/testdata/sf0.1"
 OUT = "/tmp/spark_graft_scale"
 
-#: entity → (home table, key column) — the offset source of truth
+#: entity → (home table, key column) — the offset source of truth.
+#: events.user_id shares the CUSTKEY space (events_asof_orders joins
+#: e.user_id = o_custkey), so it must use the custkey offset — its own
+#: max (1499 at sf0.1) would land every replica's users inside the
+#: base custkey range and silently break the FK the probe promises.
 ENTITIES = {
     "custkey": ("customer", "c_custkey"),
     "orderkey": ("orders", "o_orderkey"),
     "partkey": ("part", "p_partkey"),
     "suppkey": ("supplier", "s_suppkey"),
-    "user": ("events", "user_id"),
     "event": ("events", "event_id"),
     "doc": ("documents", "doc_id"),
     "vec": ("embeddings", "vec_id"),
@@ -59,12 +62,15 @@ KEYMAP = {
     "lineitem": {"l_orderkey": "orderkey", "l_partkey": "partkey", "l_suppkey": "suppkey"},
     "part": {"p_partkey": "partkey"},
     "supplier": {"s_suppkey": "suppkey"},
-    "events": {"event_id": "event", "user_id": "user"},
+    "events": {"event_id": "event", "user_id": "custkey"},
     "documents": {"doc_id": "doc"},
     "embeddings": {"vec_id": "vec"},
 }
 
 DIMS = ["region", "nation"]
+
+#: one file count for EVERY factor — matches local[32] task slots
+N_FILES = 32
 
 #: representative shapes: scan-agg, shuffle join, window machinery,
 #: dedup PK, shingle/banding explosion, as-of, vector scan, sessions
@@ -129,8 +135,11 @@ def build_scaled(spark, factor: int) -> str:
         scaled = reps[0]
         for rep in reps[1:]:
             scaled = scaled.unionByName(rep)
-        n_files = max(8, min(64, 8 * factor))
-        scaled.repartition(n_files).write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+        # SAME file count at every factor: per-task row volume scales
+        # with the data, and the ×1 baseline gets the same read
+        # parallelism as ×8 (a factor-proportional file count made ×1
+        # parallelism-starved and deflated every ratio).
+        scaled.repartition(N_FILES).write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
     with open(marker, "w") as f:
         f.write("ok\n")
     return out_dir
@@ -138,10 +147,14 @@ def build_scaled(spark, factor: int) -> str:
 
 def main() -> None:
     factors = [1, 2, 4, 8]
-    for a in sys.argv[1:]:
-        if a.startswith("--factors"):
+    argv = sys.argv[1:]
+    for i, a in enumerate(argv):
+        if a == "--factors" and i + 1 < len(argv):
+            factors = [int(x) for x in argv[i + 1].split(",")]
+        elif a.startswith("--factors="):
             factors = [int(x) for x in a.split("=", 1)[1].split(",")]
-    spark = get_spark("scale-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("scale-probe", cpus=cpus)
     REGISTRY["q1_pricing_summary"].fn(spark, BASE).count()  # warmup
 
     # factor 1 goes through the SAME writer: identical file counts and
@@ -193,7 +206,7 @@ def main() -> None:
     table = "\n".join(lines)
     print(table)
     if "--update-md" in sys.argv:
-        _update_md(table, factors)
+        _update_md(table, cpus)
         print("SCALE.md updated")
 
 
@@ -201,19 +214,20 @@ BEGIN = "<!-- SCALE-PROBE:BEGIN -->"
 END = "<!-- SCALE-PROBE:END -->"
 
 
-def _update_md(table: str, factors) -> None:
+def _update_md(table: str, cpus: int) -> None:
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md")
     block = (
-        f"{BEGIN}\nMeasured on local[32], data = sf0.1 replicated with shifted key\n"
+        f"{BEGIN}\nMeasured on local[{cpus}], data = sf0.1 replicated with shifted key\n"
         f"spaces (see tools/scale_probe.py header for the replication model).\n"
         f"cold = first run at that volume (includes session-memoized index/\n"
         f"signature builds — the part that scales); warm = min of 2 repeats.\n"
-        f"Every factor, including ×1, is written by the same writer, so file\n"
-        f"layout is identical and ratios isolate data growth.\n\n{table}\n{END}"
+        f"Every factor, including ×1, is written by the same writer with the\n"
+        f"same file count ({N_FILES}), so per-task row volume — not read\n"
+        f"parallelism — is what grows with the factor.\n\n{table}\n{END}"
     )
     if os.path.exists(path):
         txt = open(path).read()
-        if BEGIN in txt:
+        if BEGIN in txt and END in txt:
             pre = txt.split(BEGIN)[0]
             post = txt.split(END)[1]
             open(path, "w").write(pre + block + post)
