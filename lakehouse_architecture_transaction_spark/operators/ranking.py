@@ -179,9 +179,20 @@ def grouped_percent_rank(
        percent_rank = #lower / (n_g − 1), cume_dist = #le / n_g —
        the SQL-standard tie-sharing semantics, exactly.
     """
-    dv = df.groupBy(*group_cols, F.col(value_col)).agg(F.count("*").alias("__cnt"))
+    # Collapse FIRST, checkpoint, then derive the bucket boundaries
+    # from the collapsed frame: the fact table is scanned exactly once
+    # (the old order ran approxQuantile over raw df — a second full
+    # scan — before the groupBy job). Boundaries from DISTINCT values
+    # instead of rows only move bucket walls, and bucketing never
+    # affects the exact ranks (#lower / #le are bucket-invariant), so
+    # the output is unchanged — only the scan count drops.
+    dv = (
+        df.groupBy(*group_cols, F.col(value_col))
+        .agg(F.count("*").alias("__cnt"))
+        .localCheckpoint(eager=True)
+    )
     probs = [i / num_buckets for i in range(1, num_buckets)]
-    bounds = df.stat.approxQuantile(value_col, probs, 1.0 / (4 * num_buckets))
+    bounds = dv.stat.approxQuantile(value_col, probs, 1.0 / (4 * num_buckets))
     uniq = sorted(set(bounds))
     v = F.col(value_col).cast("double")
     if uniq:
@@ -191,7 +202,7 @@ def grouped_percent_rank(
         bucket = chain.otherwise(0).cast("long")
     else:
         bucket = F.lit(0).cast("long")
-    dv = dv.withColumn("__rb", bucket).localCheckpoint(eager=True)
+    dv = dv.withColumn("__rb", bucket)
     w = Window.partitionBy(*group_cols, "__rb").orderBy(F.col(value_col).asc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
