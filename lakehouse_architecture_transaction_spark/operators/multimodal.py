@@ -128,6 +128,8 @@ def extract_frame_features(mm: DataFrame, n_frames: int = N_FRAMES) -> DataFrame
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # corrupt/missing blob -> zero frames
+                    continue
                 for i, (fsha, arr) in enumerate(sample_frames(bytes(payload), n_frames)):
                     rows.append(
                         {
@@ -137,7 +139,7 @@ def extract_frame_features(mm: DataFrame, n_frames: int = N_FRAMES) -> DataFrame
                             "mean_byte": float(arr.astype(np.float64).mean()),
                         }
                     )
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_sha", "mean_byte"])
 
     return mm.select("doc_id", "payload").mapInPandas(_frames, schema=out_schema)
 
@@ -175,6 +177,8 @@ def extract_audio_features(mm: DataFrame, n_windows: int = N_AUDIO_WINDOWS) -> D
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # corrupt/missing blob -> zero windows
+                    continue
                 pcm = decode_audio(bytes(payload), n_windows * AUDIO_WINDOW, fake=True)
                 for w in range(n_windows):
                     win = pcm[w * AUDIO_WINDOW : (w + 1) * AUDIO_WINDOW]
@@ -186,7 +190,7 @@ def extract_audio_features(mm: DataFrame, n_windows: int = N_AUDIO_WINDOWS) -> D
                             "mean_abs": float(np.abs(win).sum()) / AUDIO_WINDOW,
                         }
                     )
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(rows, columns=["doc_id", "window_idx", "n_samples", "mean_abs"])
 
     return mm.select("doc_id", "payload").mapInPandas(_audio, schema=out_schema)
 
@@ -205,6 +209,8 @@ def extract_features(mm: DataFrame, batch_target_rows: int = 1024, fake_decode: 
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # corrupt/missing blob -> dropped
+                    continue
                 b = bytes(payload)
                 if fake_decode:
                     img = decode_image(b, fake=True)
@@ -221,7 +227,9 @@ def extract_features(mm: DataFrame, batch_target_rows: int = 1024, fake_decode: 
                         "feature": (hist / total).astype(np.float32),
                     }
                 )
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "content_sha", "n_bytes", "feature"]
+            )
 
     return mm.select("doc_id", "payload").repartition(
         max(1, mm.sparkSession.sparkContext.defaultParallelism)

@@ -985,9 +985,16 @@ def pca_power_project(
             u.groupBy()
             .agg(F.expr("transform(array_sort(collect_list(struct(i, u))), s -> s.u)").alias("uv"))
             .select(
+                # zero-norm guard (divide by 1 instead): a degenerate
+                # corpus (single vector / zero covariance) drives u to
+                # exactly 0, and ANSI mode turns 0/0 into a query-killing
+                # error. nrm > 0 on any non-degenerate corpus, so values
+                # are unchanged there; the oracle carries the same CASE.
                 F.expr(
-                    "transform(uv, x -> x / sqrt(aggregate(transform(uv, e -> e * e), "
-                    "CAST(0.0 AS DOUBLE), (acc, e) -> acc + e)))"
+                    "transform(uv, x -> x / (CASE WHEN sqrt(aggregate(transform(uv, e -> e * e), "
+                    "CAST(0.0 AS DOUBLE), (acc, e) -> acc + e)) = 0.0 THEN CAST(1.0 AS DOUBLE) "
+                    "ELSE sqrt(aggregate(transform(uv, e -> e * e), "
+                    "CAST(0.0 AS DOUBLE), (acc, e) -> acc + e)) END))"
                 ).alias("v")
             )
             .localCheckpoint(eager=True)

@@ -2043,9 +2043,12 @@ def _pca_oracle() -> str:
             f"FROM {cm} c, v{t} p)"
         )
         ctes.append(f"r{t} AS (SELECT list(u ORDER BY i) AS uv FROM u{t})")
+        # zero-norm guard in lockstep with pca_power_project's CASE
         ctes.append(
             f"v{t + 1} AS (SELECT list_transform(uv, x -> x / "
-            f"sqrt(list_reduce(list_transform(uv, e -> e * e), (a, b) -> a + b))) AS v FROM r{t})"
+            f"(CASE WHEN sqrt(list_reduce(list_transform(uv, e -> e * e), (a, b) -> a + b)) = 0.0 "
+            f"THEN 1.0 ELSE "
+            f"sqrt(list_reduce(list_transform(uv, e -> e * e), (a, b) -> a + b)) END)) AS v FROM r{t})"
         )
     body = ",\n    ".join(ctes)
     return f"""

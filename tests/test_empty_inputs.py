@@ -1,44 +1,78 @@
-"""Empty-scan robustness: every registered query must run (not
-necessarily return rows) when every table is present but EMPTY.
+"""Degenerate-input robustness: every registered query must RUN (not
+necessarily return rows) on inputs a cluster actually produces:
 
-At cluster scale this is not an edge case — partition pruning, a
-selective pushed filter, or a fresh ingest zone routinely hand an
-operator zero rows, and an engine that throws on an empty side
-(seedless k-means, div-by-zero in a ratio, first() on an empty
-aggregate) fails the whole job. The full registry is swept in one
-test so a new query that regresses on empty input fails CI by name.
+- EMPTY tables — partition pruning, a selective pushed filter, or a
+  fresh ingest zone routinely hand an operator zero rows;
+- SINGLE-ROW tables — the seed/init paths of iterative ops (k-means
+  seeding, covariance over n=1, normalization of a zero vector);
+- NULL-HEAVY tables — every non-key column NULL on alternating rows
+  (corrupt blobs, absent text, missing metrics) under ANSI mode,
+  where an unguarded 0/0 or bytes(None) kills the whole job.
+
+Each sweep runs the FULL registry in one test so a new query that
+regresses fails CI by name. These sweeps found and pinned real bugs:
+emb_pca_project's zero-norm 0/0 on a 1-row corpus and bytes(None)
+crashes in all three multimodal extractors.
 """
 
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from lakehouse_architecture_transaction_spark.catalog import TABLES
 from lakehouse_architecture_transaction_spark.operators.dedup import release_persisted
 from lakehouse_architecture_transaction_spark.plans import REGISTRY
 
-
-@pytest.fixture(scope="module")
-def empty_dir(spark, sf_dir, tmp_path_factory) -> str:
-    out = str(tmp_path_factory.mktemp("sf_empty"))
-    for t in TABLES:
-        (
-            spark.read.parquet(f"{sf_dir}/{t}.parquet")
-            .limit(0)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(f"{out}/{t}.parquet")
-        )
-    return out
+#: key columns that keep their values in the null-heavy variant (a
+#: null PK/FK is a different failure class — RI validation's job)
+_KEYS = {
+    "r_regionkey", "n_nationkey", "n_regionkey", "c_custkey", "c_nationkey",
+    "s_suppkey", "s_nationkey", "p_partkey", "o_orderkey", "o_custkey",
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "event_id", "user_id", "doc_id", "vec_id",
+}
 
 
-def test_every_registered_query_survives_empty_tables(spark, empty_dir):
+def _sweep(spark, data_dir: str) -> list[str]:
     failures = []
     for name, ent in REGISTRY.items():
         try:
-            ent.fn(spark, empty_dir).count()
+            ent.fn(spark, data_dir).count()
         except Exception as e:  # noqa: BLE001 — collecting the full list
             failures.append(f"{name}: {type(e).__name__}: {str(e)[:120]}")
         finally:
             release_persisted()
+    return failures
+
+
+@pytest.fixture(scope="module")
+def degenerate_dirs(spark, sf_dir, tmp_path_factory) -> dict[str, str]:
+    root = tmp_path_factory.mktemp("degenerate")
+    dirs = {"empty": str(root / "empty"), "one_row": str(root / "one"), "null_heavy": str(root / "nulls")}
+    for t in TABLES:
+        base = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        base.limit(0).coalesce(1).write.parquet(f"{dirs['empty']}/{t}.parquet")
+        base.limit(1).coalesce(1).write.parquet(f"{dirs['one_row']}/{t}.parquet")
+        nh = base
+        cond = F.monotonically_increasing_id() % 2 == 0
+        for c, dt in base.dtypes:
+            if c not in _KEYS:
+                nh = nh.withColumn(c, F.when(cond, F.lit(None).cast(dt)).otherwise(F.col(c)))
+        nh.coalesce(1).write.parquet(f"{dirs['null_heavy']}/{t}.parquet")
+    return dirs
+
+
+def test_every_registered_query_survives_empty_tables(spark, degenerate_dirs):
+    failures = _sweep(spark, degenerate_dirs["empty"])
     assert not failures, "queries crashed on empty input:\n" + "\n".join(failures)
+
+
+def test_every_registered_query_survives_single_row_tables(spark, degenerate_dirs):
+    failures = _sweep(spark, degenerate_dirs["one_row"])
+    assert not failures, "queries crashed on 1-row input:\n" + "\n".join(failures)
+
+
+def test_every_registered_query_survives_null_heavy_tables(spark, degenerate_dirs):
+    failures = _sweep(spark, degenerate_dirs["null_heavy"])
+    assert not failures, "queries crashed on null-heavy input:\n" + "\n".join(failures)
