@@ -1,0 +1,142 @@
+"""Skew probe: SAME data volume, one HOT key — the other half of the
+"would this hold at 1000×?" question. tools/scale_probe.py grows the
+data uniformly; real corpora instead grow one celebrity user, one
+megacorp customer, one dominant source. A plan that looks linear on
+uniform keys can still funnel a hot key's entire group through one
+task (the per-group window / unsalted-join failure mode).
+
+Model: rewrite the sf0.1 facts so ~30% of each fact's join/window key
+collapses onto ONE existing key (deterministic pmod selection —
+events.user_id, orders.o_custkey, lineitem.l_partkey), dimensions and
+row counts unchanged, then run the window/join shapes on both layouts.
+The report is the skewed/uniform wall-time ratio: ≈1 means the plan's
+parallelism does not depend on the key distribution; >2 flags a
+hot-key funnel.
+
+Usage: python tools/skew_probe.py [--update-md]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from lakehouse_architecture_transaction_spark.catalog import TABLES  # noqa: E402
+from lakehouse_architecture_transaction_spark.plans import REGISTRY  # noqa: E402
+from lakehouse_architecture_transaction_spark.session import get_spark  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+OUT = "/tmp/spark_graft_skew"
+N_FILES = 32
+SKEW_FRAC = 10 // 3  # pmod(key, 3) == 0 → ~1/3 of rows take the hot key
+
+#: table → {column: hot value source} — ~1/3 of rows in each listed
+#: column collapse onto that column's MINIMUM existing key
+SKEWED = {
+    "events": ["user_id"],
+    "orders": ["o_custkey"],
+    "lineitem": ["l_partkey"],
+    "documents": ["source"],
+}
+
+#: window/join shapes where a hot key would funnel one task
+PROBES = [
+    "top3_orders_per_customer",        # per-custkey window
+    "customer_running_spend",          # per-custkey running window
+    "sessionize_events",               # per-user session window
+    "events_session_stats",            # per-user session aggregation
+    "orders_salted_segment_revenue",   # the salted join built for this
+    "q18_large_volume_customers",      # groupBy orderkey + join custkey
+    "orders_pctrank_in_segment",       # grouped exact rank (bucketed)
+    "docs_top_quality_per_source",     # salted two-phase top-k
+]
+
+
+def build(spark, variant: str) -> str:
+    out_dir = os.path.join(OUT, variant)
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        df = spark.read.parquet(f"{BASE}/{t}.parquet")
+        if variant == "skewed" and t in SKEWED:
+            for col in SKEWED[t]:
+                hot = df.agg(F.min(col).alias("m")).collect()[0]["m"]
+                key_expr = (
+                    F.crc32(F.col(col).cast("string")) if df.schema[col].dataType.simpleString() == "string"
+                    else F.col(col)
+                )
+                df = df.withColumn(
+                    col,
+                    F.when(F.pmod(key_expr, F.lit(3)) == 0, F.lit(hot)).otherwise(F.col(col)),
+                )
+        df.repartition(N_FILES).write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return out_dir
+
+
+def main() -> None:
+    spark = get_spark("skew-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    REGISTRY["q1_pricing_summary"].fn(spark, BASE).count()  # warmup
+    dirs = {v: build(spark, v) for v in ("uniform", "skewed")}
+
+    from lakehouse_architecture_transaction_spark.operators.dedup import release_persisted
+
+    rows = []
+    for name in PROBES:
+        t = {}
+        for v, d in dirs.items():
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                REGISTRY[name].fn(spark, d).count()
+                best = min(best, time.perf_counter() - t0)
+                release_persisted()
+            t[v] = best
+        ratio = t["skewed"] / t["uniform"] if t["uniform"] else float("nan")
+        rows.append((name, t["uniform"], t["skewed"], ratio))
+        print(f"{name:32s} uniform={t['uniform']:.2f}s skewed={t['skewed']:.2f}s ratio={ratio:.1f}x", flush=True)
+
+    lines = [
+        "| query | uniform (s) | skewed (s) | skew/uniform |",
+        "|---|---|---|---|",
+    ]
+    for name, u, s, r in rows:
+        lines.append(f"| `{name}` | {u:.2f} | {s:.2f} | {r:.1f}× |")
+    table = "\n".join(lines)
+    print(table)
+    if "--update-md" in sys.argv:
+        _update_md(table)
+        print("SCALE.md updated")
+
+
+BEGIN = "<!-- SKEW-PROBE:BEGIN -->"
+END = "<!-- SKEW-PROBE:END -->"
+
+
+def _update_md(table: str) -> None:
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md")
+    block = (
+        f"{BEGIN}\nSame volume (sf0.1, 32 files both sides), but ~1/3 of each\n"
+        f"fact's join/window key collapsed onto ONE hot key (events.user_id,\n"
+        f"orders.o_custkey, lineitem.l_partkey, documents.source); per-query\n"
+        f"min of 3 runs. ratio ≈ 1 ⇒ the plan's parallelism does not depend\n"
+        f"on the key distribution; > 2 flags a hot-key funnel.\n\n{table}\n{END}"
+    )
+    txt = open(path).read()
+    if BEGIN in txt and END in txt:
+        pre, post = txt.split(BEGIN)[0], txt.split(END)[1]
+        open(path, "w").write(pre + block + post)
+    else:
+        open(path, "a").write("\n## Skew probe (hot-key robustness)\n\n" + block + "\n")
+
+
+if __name__ == "__main__":
+    main()
