@@ -33,7 +33,6 @@ from lakehouse_architecture_transaction_spark.session import get_spark  # noqa: 
 BASE = "/root/testdata/sf0.1"
 OUT = "/tmp/spark_graft_skew"
 N_FILES = 32
-SKEW_FRAC = 10 // 3  # pmod(key, 3) == 0 → ~1/3 of rows take the hot key
 
 #: table → {column: hot value source} — ~1/3 of rows in each listed
 #: column collapse onto that column's MINIMUM existing key
