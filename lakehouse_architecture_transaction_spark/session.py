@@ -15,13 +15,17 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "lakehouse-spark", cpus: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "lakehouse-spark", cpus: int | None = None, ui: bool = False
+) -> SparkSession:
     """Build (or fetch) the tuned SparkSession.
 
     ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or all cores. Shuffle
     partitions track the core count — at cluster scale you'd size this
     to ~2-3x total executor cores instead; AQE coalescing makes the
-    exact number forgiving.
+    exact number forgiving. ``ui=True`` enables the Spark UI (off by
+    default — tests/gates don't need the port) so measurement tools
+    can read per-stage shuffle metrics from the REST API.
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -39,7 +43,7 @@ def get_spark(app_name: str = "lakehouse-spark", cpus: int | None = None) -> Spa
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        .config("spark.ui.enabled", "false")
+        .config("spark.ui.enabled", "true" if ui else "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -145,6 +145,31 @@ def build_scaled(spark, factor: int) -> str:
     return out_dir
 
 
+def shuffle_write_bytes(spark) -> int:
+    """Total shuffle-write bytes over all completed stages so far,
+    from the UI REST API (the probe session runs with ui=True).
+    Deltas around a run give that run's shuffle volume — the number
+    that must scale LINEARLY with the data for a plan to be healthy
+    (time can stay flat while parallelism absorbs the growth; shuffle
+    bytes cannot lie)."""
+    import json as _json
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    try:
+        # executors, not stages: the stage list is evicted past
+        # spark.ui.retainedStages (cumulative totals can DECREASE and a
+        # long probe's poll payload grows to MBs); per-executor
+        # totalShuffleWrite is cumulative for the app's lifetime and a
+        # few hundred bytes to fetch.
+        with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/executors") as r:
+            execs = _json.load(r)
+        return sum(e.get("totalShuffleWrite", 0) for e in execs)
+    except Exception:  # noqa: BLE001 — metrics are best-effort
+        return -1
+
+
 def main() -> None:
     factors = [1, 2, 4, 8]
     argv = sys.argv[1:]
@@ -154,7 +179,7 @@ def main() -> None:
         elif a.startswith("--factors="):
             factors = [int(x) for x in a.split("=", 1)[1].split(",")]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = get_spark("scale-probe", cpus=cpus)
+    spark = get_spark("scale-probe", cpus=cpus, ui=True)
     REGISTRY["q1_pricing_summary"].fn(spark, BASE).count()  # warmup
 
     # factor 1 goes through the SAME writer: identical file counts and
@@ -173,35 +198,51 @@ def main() -> None:
     # the part that scales); warm = min of the two repeat runs.
     cold: dict[str, dict[int, float]] = {}
     warm: dict[str, dict[int, float]] = {}
+    shuf: dict[str, dict[int, float]] = {}
     for name in PROBES:
-        cold[name], warm[name] = {}, {}
+        cold[name], warm[name], shuf[name] = {}, {}, {}
         for f_ in factors:
             times = []
+            sh0 = shuffle_write_bytes(spark)
             for _ in range(3):
                 t0 = time.perf_counter()
                 REGISTRY[name].fn(spark, dirs[f_]).count()
                 times.append(time.perf_counter() - t0)
                 release_persisted()
+            # 3 identical runs → per-run shuffle volume = delta / 3
+            # (memoized builds land in run 1's share; fine — cold owns
+            # the build in the time columns too)
+            sh1 = shuffle_write_bytes(spark)
+            shuf[name][f_] = (sh1 - sh0) / 3 / 1e6 if sh0 >= 0 and sh1 >= 0 else float("nan")
             cold[name][f_] = times[0]
             warm[name][f_] = min(times[1:])
         row = "  ".join(
-            f"x{f_}={cold[name][f_]:.2f}/{warm[name][f_]:.2f}s" for f_ in factors
+            f"x{f_}={cold[name][f_]:.2f}/{warm[name][f_]:.2f}s/{shuf[name][f_]:.0f}MB"
+            for f_ in factors
         )
         print(f"{name:32s} {row}", flush=True)
 
     fmax, f0 = factors[-1], factors[0]
     lines = [
         "| query | "
-        + " | ".join(f"×{f_} cold/warm (s)" for f_ in factors)
-        + f" | cold t(×{fmax})/t(×{f0}) |",
-        "|---|" + "---|" * (len(factors) + 1),
+        + " | ".join(f"×{f_} cold/warm (s) · shuffle (MB)" for f_ in factors)
+        + f" | cold t(×{fmax})/t(×{f0}) | shuffle ×{fmax}/×{f0} |",
+        "|---|" + "---|" * (len(factors) + 2),
     ]
     for name in PROBES:
         ratio = cold[name][fmax] / cold[name][f0] if cold[name][f0] else float("nan")
+        sratio = (
+            shuf[name][fmax] / shuf[name][f0]
+            if shuf[name].get(f0) and shuf[name][f0] > 0
+            else float("nan")
+        )
         lines.append(
             f"| `{name}` | "
-            + " | ".join(f"{cold[name][f_]:.2f} / {warm[name][f_]:.2f}" for f_ in factors)
-            + f" | {ratio:.1f}× |"
+            + " | ".join(
+                f"{cold[name][f_]:.2f} / {warm[name][f_]:.2f} · {shuf[name][f_]:.1f}"
+                for f_ in factors
+            )
+            + f" | {ratio:.1f}× | {sratio:.1f}× |"
         )
     table = "\n".join(lines)
     print(table)
@@ -220,7 +261,12 @@ def _update_md(table: str, cpus: int) -> None:
         f"{BEGIN}\nMeasured on local[{cpus}], data = sf0.1 replicated with shifted key\n"
         f"spaces (see tools/scale_probe.py header for the replication model).\n"
         f"cold = first run at that volume (includes session-memoized index/\n"
-        f"signature builds — the part that scales); warm = min of 2 repeats.\n"
+        f"signature builds — the part that scales); warm = min of 2 repeats;\n"
+        f"shuffle = per-run shuffle-write MB from the UI REST API. Shuffle\n"
+        f"bytes are the honest scaling signal: wall time can stay flat while\n"
+        f"parallelism absorbs the growth, shuffle volume cannot lie — linear\n"
+        f"shuffle + flat time is exactly the healthy distributed shape, and\n"
+        f"a near-zero shuffle column is a broadcast/scan-agg plan confirmed.\n"
         f"Every factor, including ×1, is written by the same writer with the\n"
         f"same file count ({N_FILES}), so per-task row volume — not read\n"
         f"parallelism — is what grows with the factor.\n\n{table}\n{END}"
