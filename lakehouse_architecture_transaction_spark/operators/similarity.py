@@ -1318,3 +1318,35 @@ def ivfpq_topk(
         .select("query_id", "neighbor_id")
     )
     return exact_rerank(emb, id_col, vec_col, query_ids, shortlist, k)
+
+
+def validate_embeddings(
+    emb: DataFrame, id_col: str, vec_col: str, dim: int
+) -> tuple[DataFrame, DataFrame]:
+    """Ingest-boundary validation for vector corpora — the same
+    split-don't-crash pattern as the ETL validation zone (reference
+    scripts/glue/script.py rejection routing): every similarity/ANN
+    operator in this module assumes FIXED-DIM, non-null vectors, and
+    a malformed row (zero-length or wrong-length array, NULL payload,
+    non-finite element) otherwise surfaces as a mid-job ANSI error —
+    DIVIDE_BY_ZERO in a cosine, an element_at out of bounds in a
+    bucketer — killing the whole query at scale.
+
+    Returns (valid, rejected): ``valid`` is search-ready; ``rejected``
+    carries one reject_reason per row (null_vector | wrong_dim |
+    non_finite), first-match-wins, for the quarantine zone.
+    """
+    reason = (
+        F.when(F.col(vec_col).isNull(), F.lit("null_vector"))
+        .when(F.size(F.col(vec_col)) != dim, F.lit("wrong_dim"))
+        .when(
+            F.exists(F.col(vec_col), lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == float("inf"))),
+            F.lit("non_finite"),
+        )
+    )
+    tagged = emb.withColumn("__reject", reason)
+    valid = tagged.filter(F.col("__reject").isNull()).drop("__reject")
+    rejected = tagged.filter(F.col("__reject").isNotNull()).select(
+        F.col(id_col), F.col("__reject").alias("reject_reason")
+    )
+    return valid, rejected

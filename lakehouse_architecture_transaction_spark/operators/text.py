@@ -45,7 +45,7 @@ def token_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.regexp_count(F.col(text_col), F.lit(BPE_PATTERN)).cast("bigint").alias("n_bpe_tokens"),
         (
             F.aggregate(F.transform(toks, lambda t: F.length(t).cast("bigint")), F.lit(0).cast("bigint"), lambda a, x: a + x).cast("double")
-            / F.size(toks)
+            / F.greatest(F.size(toks), F.lit(1))
         ).alias("mean_token_len"),
     )
 
@@ -65,9 +65,13 @@ def quality_score(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         n_chars.alias("chars"),
         n_tokens.alias("n_tokens"),
-        (punct.cast("double") / n_chars).alias("punct_ratio"),
-        (digits.cast("double") / n_chars).alias("digit_ratio"),
-        (stops.cast("double") / n_tokens).alias("stop_ratio"),
+        # greatest(.., 1): an empty document yields all-zero ratios
+        # instead of an ANSI divide-by-zero that kills the job; the
+        # oracles carry the identical guard (values unchanged for any
+        # non-empty doc: the numerators are 0 whenever the guard fires)
+        (punct.cast("double") / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+        (digits.cast("double") / F.greatest(n_chars, F.lit(1))).alias("digit_ratio"),
+        (stops.cast("double") / F.greatest(n_tokens, F.lit(1))).alias("stop_ratio"),
     )
     score = (
         F.when((F.col("chars") >= 50) & (F.col("chars") <= 5000), 0.25).otherwise(0.0)
@@ -499,4 +503,100 @@ def sentence_chunks(
             F.sum("__len").cast("bigint").alias("n_chars"),
             F.min("pos").cast("int").alias("first_sentence"),
         )
+    )
+
+
+def hash_embed(docs: DataFrame, id_col: str, text_col: str, dim: int = 64) -> DataFrame:
+    """Feature-hashed document embedding (the hashing trick,
+    Weinberger et al. ICML'09): every whitespace token lands in bucket
+    h32(token) mod ``dim`` with sign ± from a second hash bit, signed
+    counts accumulate per bucket, and the vector L2-normalizes.
+    Output (id, embedding array<double>) — similarity-search-ready
+    without a model, the classic cheap text vectorizer.
+
+    Determinism (the house oracle discipline, for the registry entry):
+    bucket counts are exact BIGINT sums; the squared norm is an exact
+    BIGINT sum of squares; the only doubles are one sqrt of an exact
+    integer and one correctly-rounded division per element, so a SQL
+    engine with the same md5-based h32 replays the vector bit-for-bit.
+    Zero-norm (empty/stopword-free doc) divides by 1 — the zero vector,
+    not a crash (ANSI 0/0 guard, same rule as pca_power_project).
+
+    Scale shape: token explode is row-local; ONE shuffle keyed
+    (id, bucket) with map-side combine, then the per-doc pack on the
+    id key. dim is a constant — state per doc is dim longs.
+    """
+    from lakehouse_architecture_transaction_spark.functions.hashing import h32_col
+
+    tok = (
+        docs.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("__t"))
+        .select(
+            F.col(id_col),
+            F.pmod(h32_col(F.col("__t")), F.lit(dim)).cast("int").alias("__b"),
+            F.when(
+                F.pmod(h32_col(F.concat(F.col("__t"), F.lit("#s"))), F.lit(2)) == 0, F.lit(1)
+            ).otherwise(F.lit(-1)).cast("long").alias("__sgn"),
+        )
+    )
+    counts = tok.groupBy(id_col, "__b").agg(F.sum("__sgn").cast("bigint").alias("__c"))
+    packed = counts.groupBy(id_col).agg(
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), i -> "
+            "coalesce(element_at(map_from_entries(collect_list(struct(__b, __c))), i), 0L))"
+        ).alias("__raw")
+    )
+    nrm = (
+        "sqrt(CAST(aggregate(__raw, CAST(0 AS BIGINT), (acc, v) -> acc + v * v) AS DOUBLE))"
+    )
+    return packed.select(
+        F.col(id_col),
+        F.expr(
+            f"transform(__raw, v -> CAST(v AS DOUBLE) / "
+            f"(CASE WHEN {nrm} = 0.0 THEN 1.0 ELSE {nrm} END))"
+        ).alias("embedding"),
+    )
+
+
+#: Fixed quality-model weights over the quality_score feature vector
+#: (chars, n_tokens, punct_ratio, digit_ratio, stop_ratio) — a stand-in
+#: for a trained model-based quality filter, published here so the
+#: score is a pure function of the document.
+QUALITY_WEIGHTS = {
+    "bias": -1.0,
+    "chars": 0.0005,
+    "n_tokens": 0.002,
+    "punct_ratio": 4.0,
+    "digit_ratio": -6.0,
+    "stop_ratio": 5.0,
+}
+
+
+def quality_logistic_score(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Model-based quality filtering stand-in: a fixed linear model
+    over the quality_score features, squashed to (0, 1) with the
+    ALGEBRAIC sigmoid 0.5 + 0.5·s/(1+|s|) instead of 1/(1+e^-s) —
+    exp() is not correctly rounded and differs across libm builds, so
+    the logistic sigmoid can never be bit-identical cross-engine;
+    the algebraic form uses only +,*,/,abs (all correctly rounded)
+    and preserves the ranking exactly (both squashers are monotone).
+    Output (id, raw_score, quality_p).
+    """
+    base = quality_score(docs, id_col=id_col, text_col=text_col)
+    w = QUALITY_WEIGHTS
+    s = (
+        F.lit(w["bias"])
+        + F.col("chars").cast("double") * w["chars"]
+        + F.col("n_tokens").cast("double") * w["n_tokens"]
+        + F.col("punct_ratio") * w["punct_ratio"]
+        + F.col("digit_ratio") * w["digit_ratio"]
+        + F.col("stop_ratio") * w["stop_ratio"]
+    )
+    return base.select(
+        F.col(id_col),
+        s.alias("raw_score"),
+        (F.lit(0.5) + F.lit(0.5) * F.col("raw_score") / (F.lit(1.0) + F.abs(F.col("raw_score")))).alias(
+            "quality_p"
+        ),
+    ).withColumn("quality_p", F.col("quality_p")).select(
+        id_col, "raw_score", "quality_p"
     )

@@ -734,7 +734,7 @@ def docs_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(text) AS BIGINT) AS chars,
            CAST(len(tk) AS BIGINT) AS n_tokens,
            CAST(len(regexp_extract_all(text, '{T.BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
-           CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk) AS mean_token_len
+           CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / greatest(len(tk), 1) AS mean_token_len
     FROM tok
     ORDER BY doc_id ASC
     """,
@@ -756,9 +756,9 @@ _STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in T.LEXICON["en"]) + "]"
         SELECT doc_id,
                CAST(length(text) AS BIGINT) AS chars,
                CAST(len(tk) AS BIGINT) AS n_tokens,
-               CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text) AS punct_ratio,
-               CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text) AS digit_ratio,
-               CAST(len(list_filter(tk, x -> list_contains({_STOPS_SQL}, lower(x)))) AS DOUBLE) / len(tk) AS stop_ratio
+               CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(length(text), 1) AS digit_ratio,
+               CAST(len(list_filter(tk, x -> list_contains({_STOPS_SQL}, lower(x)))) AS DOUBLE) / greatest(len(tk), 1) AS stop_ratio
         FROM base
     )
     SELECT *, CAST(
@@ -795,8 +795,8 @@ def _keep_best_oracle() -> str:
         SELECT doc_id,
                CAST((CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 0.25 ELSE 0.0 END)
              + (CASE WHEN CAST(len(list_filter(tk, x -> list_contains({_STOPS_SQL}, lower(x)))) AS DOUBLE)
-                      / len(tk) >= 0.05 THEN 0.25 ELSE 0.0 END)
-             + (CASE WHEN CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text) <= 0.2
+                      / greatest(len(tk), 1) >= 0.05 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / greatest(length(text), 1) <= 0.2
                       THEN 0.25 ELSE 0.0 END)
              + (CASE WHEN len(tk) BETWEEN 10 AND 2000 THEN 0.25 ELSE 0.0 END) AS DOUBLE) AS quality
         FROM base

@@ -288,8 +288,8 @@ _Q_SALTS = 8
         SELECT doc_id, source,
                CAST(length(text) AS BIGINT) AS chars,
                CAST(len(tk) AS BIGINT) AS n_tokens,
-               CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text) AS punct_ratio,
-               CAST(len(list_filter(tk, x -> list_contains({_STOPS_SQL}, lower(x)))) AS DOUBLE) / len(tk) AS stop_ratio
+               CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
+               CAST(len(list_filter(tk, x -> list_contains({_STOPS_SQL}, lower(x)))) AS DOUBLE) / greatest(len(tk), 1) AS stop_ratio
         FROM base
     ),
     q AS (

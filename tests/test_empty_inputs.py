@@ -76,3 +76,48 @@ def test_every_registered_query_survives_single_row_tables(spark, degenerate_dir
 def test_every_registered_query_survives_null_heavy_tables(spark, degenerate_dirs):
     failures = _sweep(spark, degenerate_dirs["null_heavy"])
     assert not failures, "queries crashed on null-heavy input:\n" + "\n".join(failures)
+
+
+def test_validate_embeddings_splits_and_unblocks_vector_ops(spark, sf_dir, tmp_path):
+    # Malformed vectors (zero-length, null, wrong dim, non-finite) are
+    # NOT survivable inside the vector operators — an empty array turns
+    # every cosine into an ANSI DIVIDE_BY_ZERO mid-job. The contract is
+    # validation at the ingest boundary instead: validate_embeddings
+    # splits them out (reject-zone pattern), and every emb_ query runs
+    # green on the validated remainder.
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_transaction_spark.operators.similarity import validate_embeddings
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(base.select("embedding").first()["embedding"])
+    corrupted = base.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 17 == 0, F.expr("CAST(array() AS ARRAY<FLOAT>)"))
+        .when(F.col("vec_id") % 23 == 0, F.lit(None).cast("array<float>"))
+        .otherwise(F.col("embedding")),
+    )
+    valid, rejected = validate_embeddings(corrupted, "vec_id", "embedding", dim=dim)
+    n_bad = corrupted.filter((F.col("vec_id") % 17 == 0) | (F.col("vec_id") % 23 == 0)).count()
+    assert rejected.count() == n_bad
+    assert valid.count() == base.count() - n_bad
+    reasons = {r["reject_reason"] for r in rejected.select("reject_reason").distinct().collect()}
+    assert reasons == {"wrong_dim", "null_vector"}
+
+    out = str(tmp_path / "validated")
+    for t in TABLES:
+        if t == "embeddings":
+            valid.write.parquet(f"{out}/{t}.parquet")
+        else:
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").write.parquet(f"{out}/{t}.parquet")
+    failures = []
+    for name, ent in REGISTRY.items():
+        if not name.startswith("emb_"):
+            continue
+        try:
+            ent.fn(spark, out).count()
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: {type(e).__name__}: {str(e)[:120]}")
+        finally:
+            release_persisted()
+    assert not failures, "emb queries crashed on validated input:\n" + "\n".join(failures)

@@ -733,3 +733,55 @@ def test_packed_adc_path_identical_to_unpacked(spark, sf_dir):
         ivf_index=ivf, pq_index=(codes, books), packed=packed,
     )
     assert rows(plain2) == rows(fast2)
+
+
+def test_hash_embed_matches_python_reference(spark):
+    # Feature hashing must reproduce the reference construction
+    # exactly: md5-based h32 buckets, +-1 sign bit, exact integer
+    # counts, L2 norm from an exact integer sum of squares.
+    import hashlib
+    import math
+
+    from lakehouse_architecture_transaction_spark.operators.text import hash_embed
+
+    texts = {1: "the cat sat on the mat", 2: "numbers 123 456 789 123", 3: "x"}
+    dim = 8
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def ref(text):
+        raw = [0] * dim
+        for t in text.split():
+            b = h32(t) % dim
+            raw[b] += 1 if h32(t + "#s") % 2 == 0 else -1
+        n = math.sqrt(float(sum(v * v for v in raw))) or 1.0
+        return [v / n for v in raw]
+
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r["doc_id"]: list(r["embedding"]) for r in hash_embed(df, "doc_id", "text", dim=dim).collect()}
+    for d, text in texts.items():
+        assert got[d] == ref(text), f"doc {d}: {got[d]} != {ref(text)}"
+
+
+def test_quality_logistic_score_monotone_and_bounded(spark):
+    from lakehouse_architecture_transaction_spark.operators.text import quality_logistic_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is on the mat, and the dog is in the house."),
+            (2, "0123456789 " * 30),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_logistic_score(df, "doc_id", "text").collect()}
+    assert len(rows) == 3  # empty doc scores (guarded ratios), not crashes
+    for r in rows.values():
+        assert 0.0 < r["quality_p"] < 1.0
+    # algebraic sigmoid is monotone: stopword-rich prose beats digit soup
+    assert rows[1]["quality_p"] > rows[2]["quality_p"]
+    # squash identity: p = 0.5 + 0.5*s/(1+|s|) exactly
+    for r in rows.values():
+        s = r["raw_score"]
+        assert r["quality_p"] == 0.5 + 0.5 * s / (1.0 + abs(s))
