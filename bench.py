@@ -88,6 +88,7 @@ HEADLINE_FAMILIES: dict[str, str] = {
     "docs_chunk_dup_docs": "dedup",
     "docs_dup_cluster_sizes": "dedup",
     "docs_minhash_jaccard_est": "dedup",
+    "emb_semantic_dedup": "dedup",
     "docs_lsh_precision": "dedup",
     "docs_lsh_recall": "dedup",
     "emb_cosine_dup_pairs": "dedup",
