@@ -121,3 +121,29 @@ def test_validate_embeddings_splits_and_unblocks_vector_ops(spark, sf_dir, tmp_p
         finally:
             release_persisted()
     assert not failures, "emb queries crashed on validated input:\n" + "\n".join(failures)
+
+
+def test_laketable_degenerate_lifecycle(spark, tmp_path):
+    # The storage layer's empty/degenerate paths: create from an empty
+    # frame, append/upsert empty sources, compact, diff, restore,
+    # vacuum, clone — none may throw, and versioning must stay sane
+    # (a fresh ingest zone IS empty until the first real drop).
+    from lakehouse_architecture_transaction_spark.lakehouse.table import LakeTable
+
+    schema = "k long, v string"
+    empty = spark.createDataFrame([], schema)
+    one = spark.createDataFrame([(1, "a")], schema)
+    t = LakeTable(spark, str(tmp_path / "t1"), keys=["k"], versioned=True)
+    t.create(empty)
+    assert t.read().count() == 0
+    t.append(empty)
+    t.upsert(one)
+    t.upsert(empty)  # no-op upsert must not clobber
+    assert t.read().count() == 1
+    t.compact()
+    assert t.diff(0).count() == 1  # the single insert vs the empty v0
+    t.restore(0)
+    assert t.read().count() == 0
+    t.vacuum()
+    t2 = t.clone(str(tmp_path / "t2"))
+    assert t2.read().count() == 0

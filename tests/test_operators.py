@@ -785,3 +785,25 @@ def test_quality_logistic_score_monotone_and_bounded(spark):
     for r in rows.values():
         s = r["raw_score"]
         assert r["quality_p"] == 0.5 + 0.5 * s / (1.0 + abs(s))
+
+
+def test_hash_embed_feeds_cosine_topk(spark, sf_dir):
+    # Integration: the model-free text vectorizer composes with the
+    # vector search stack — documents → hash_embed → exact cosine
+    # top-k, no embeddings table involved. Pins the schema contract
+    # (array<double>, fixed dim, L2-normalized) the ANN ops expect.
+    from lakehouse_architecture_transaction_spark.operators.similarity import cosine_topk
+    from lakehouse_architecture_transaction_spark.operators.text import hash_embed
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    vecs = hash_embed(docs, "doc_id", "text", dim=32)
+    out = cosine_topk(vecs, "doc_id", "embedding", query_ids=[0, 1, 2], k=3).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append(r)
+    assert set(got) <= {0, 1, 2} and got, "no results"
+    for q, rows in got.items():
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        cosines = [r["cosine"] for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(-1.0 - 1e-9 <= c <= 1.0 + 1e-9 for c in cosines)
