@@ -67,3 +67,108 @@ def test_oracle_parity(spark, sf_dir, name):
     if s_set != d_set:
         diffs = [(a, b) for a, b in zip(s_set, d_set) if a != b][:5]
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+def test_hash_embed_oracle_parity_preview(spark, sf_dir):
+    # Round-6 registration preview: hash_embed's DuckDB oracle, verified
+    # cell-exact here so next round's @register is a copy-paste. Same
+    # normalization as the driver gate (sorted columns, repr equality).
+    import duckdb
+
+    from lakehouse_architecture_transaction_spark.operators.text import hash_embed
+    from lakehouse_architecture_transaction_spark.plans.pipeline_ops import _TOKENS
+
+    dim = 16
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["doc_id"]: list(r["embedding"])
+        for r in hash_embed(docs, "doc_id", "text", dim=dim).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    sql = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKENS}) AS t FROM documents
+    ),
+    b AS (
+        SELECT doc_id,
+               (('0x' || substr(md5(t), 1, 8))::BIGINT) % {dim} AS bkt,
+               CASE WHEN (('0x' || substr(md5(t || '#s'), 1, 8))::BIGINT) % 2 = 0
+                    THEN 1 ELSE -1 END AS sgn
+        FROM tok
+    ),
+    c AS (SELECT doc_id, bkt, CAST(SUM(sgn) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+    dense AS (
+        SELECT d.doc_id, g.i, coalesce(c.cnt, 0) AS cnt
+        FROM (SELECT DISTINCT doc_id FROM c) d
+        CROSS JOIN (SELECT unnest(generate_series(0, {dim - 1})) AS i) g
+        LEFT JOIN c ON c.doc_id = d.doc_id AND c.bkt = g.i
+    ),
+    packed AS (
+        SELECT doc_id, list(cnt ORDER BY i) AS raw,
+               sqrt(CAST(list_reduce(list_transform(list(cnt ORDER BY i), v -> v * v),
+                                     (a, x) -> a + x) AS DOUBLE)) AS nrm
+        FROM dense GROUP BY doc_id
+    )
+    SELECT doc_id,
+           list_transform(raw, v -> CAST(v AS DOUBLE) /
+               (CASE WHEN nrm = 0.0 THEN 1.0 ELSE nrm END)) AS embedding
+    FROM packed ORDER BY doc_id
+    """
+    want = {r[0]: list(r[1]) for r in con.execute(sql).fetchall()}
+    assert set(got) == set(want)
+    for d in got:
+        assert [repr(x) for x in got[d]] == [repr(x) for x in want[d]], f"doc {d} drifts"
+
+
+def test_quality_logistic_oracle_parity_preview(spark, sf_dir):
+    # Round-6 registration preview for quality_logistic_score: the
+    # algebraic sigmoid (+,*,/,abs only) must replay bit-for-bit.
+    import duckdb
+
+    from lakehouse_architecture_transaction_spark.operators.text import (
+        QUALITY_WEIGHTS as W,
+        quality_logistic_score,
+    )
+    from lakehouse_architecture_transaction_spark.plans.pipeline_ops import _STOPS_SQL, _TOKENS
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["raw_score"], r["quality_p"])
+        for r in quality_logistic_score(docs, "doc_id", "text").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    sql = f"""
+    WITH base AS (SELECT doc_id, text, {_TOKENS} AS tk FROM documents),
+    m AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS chars,
+               CAST(len(tk) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(length(text), 1) AS digit_ratio,
+               CAST(len(list_filter(tk, x -> list_contains({_STOPS_SQL}, lower(x)))) AS DOUBLE) / greatest(len(tk), 1) AS stop_ratio
+        FROM base
+    ),
+    s AS (
+        SELECT doc_id,
+               {W["bias"]} + CAST(chars AS DOUBLE) * {W["chars"]}
+             + CAST(n_tokens AS DOUBLE) * {W["n_tokens"]}
+             + punct_ratio * {W["punct_ratio"]}
+             + digit_ratio * {W["digit_ratio"]}
+             + stop_ratio * {W["stop_ratio"]} AS raw_score
+        FROM m
+    )
+    SELECT doc_id, raw_score,
+           0.5 + 0.5 * raw_score / (1.0 + abs(raw_score)) AS quality_p
+    FROM s ORDER BY doc_id
+    """
+    want = {r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()}
+    assert set(got) == set(want)
+    for d in got:
+        assert repr(got[d][0]) == repr(want[d][0]), f"doc {d} raw_score drifts"
+        assert repr(got[d][1]) == repr(want[d][1]), f"doc {d} quality_p drifts"
