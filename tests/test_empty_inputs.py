@@ -49,7 +49,12 @@ def _sweep(spark, data_dir: str) -> list[str]:
 @pytest.fixture(scope="module")
 def degenerate_dirs(spark, sf_dir, tmp_path_factory) -> dict[str, str]:
     root = tmp_path_factory.mktemp("degenerate")
-    dirs = {"empty": str(root / "empty"), "one_row": str(root / "one"), "null_heavy": str(root / "nulls")}
+    dirs = {
+        "empty": str(root / "empty"),
+        "one_row": str(root / "one"),
+        "null_heavy": str(root / "nulls"),
+        "dirty_values": str(root / "dirty"),
+    }
     for t in TABLES:
         base = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         base.limit(0).coalesce(1).write.parquet(f"{dirs['empty']}/{t}.parquet")
@@ -60,6 +65,18 @@ def degenerate_dirs(spark, sf_dir, tmp_path_factory) -> dict[str, str]:
             if c not in _KEYS:
                 nh = nh.withColumn(c, F.when(cond, F.lit(None).cast(dt)).otherwise(F.col(c)))
         nh.coalesce(1).write.parquet(f"{dirs['null_heavy']}/{t}.parquet")
+        dirty = base
+        for c, dt in base.dtypes:
+            if dt == "string" and c not in _KEYS and c != "source":
+                dirty = dirty.withColumn(c, F.when(cond, F.lit("")).otherwise(F.col(c)))
+            if dt == "double":
+                dirty = dirty.withColumn(
+                    c,
+                    F.when(F.monotonically_increasing_id() % 13 == 0, F.lit(float("nan")))
+                    .when(F.monotonically_increasing_id() % 17 == 0, F.lit(float("inf")))
+                    .otherwise(F.col(c)),
+                )
+        dirty.coalesce(1).write.parquet(f"{dirs['dirty_values']}/{t}.parquet")
     return dirs
 
 
@@ -76,6 +93,15 @@ def test_every_registered_query_survives_single_row_tables(spark, degenerate_dir
 def test_every_registered_query_survives_null_heavy_tables(spark, degenerate_dirs):
     failures = _sweep(spark, degenerate_dirs["null_heavy"])
     assert not failures, "queries crashed on null-heavy input:\n" + "\n".join(failures)
+
+
+def test_every_registered_query_survives_dirty_values(spark, degenerate_dirs):
+    # empty strings in text/props columns + NaN/Infinity in every
+    # double column — the ANSI hazards (x/0 on length-0 text; NaN
+    # passes `> 0` rules because Spark orders NaN largest) that nulls
+    # alone cannot reach.
+    failures = _sweep(spark, degenerate_dirs["dirty_values"])
+    assert not failures, "queries crashed on dirty values:\n" + "\n".join(failures)
 
 
 def test_validate_embeddings_splits_and_unblocks_vector_ops(spark, sf_dir, tmp_path):
