@@ -82,33 +82,43 @@ def build(spark, variant: str) -> str:
 
 
 def main() -> None:
-    spark = get_spark("skew-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark = get_spark("skew-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")), ui=True)
     REGISTRY["q1_pricing_summary"].fn(spark, BASE).count()  # warmup
     dirs = {v: build(spark, v) for v in ("uniform", "skewed")}
 
     from lakehouse_architecture_transaction_spark.operators.dedup import release_persisted
 
+    from lakehouse_architecture_transaction_spark.plans import REGISTRY as _R  # noqa: F401
+    from tools.scale_probe import shuffle_write_bytes
+
     rows = []
     for name in PROBES:
-        t = {}
+        t, sh = {}, {}
         for v, d in dirs.items():
             best = float("inf")
+            s0 = shuffle_write_bytes(spark)
             for _ in range(3):
                 t0 = time.perf_counter()
                 REGISTRY[name].fn(spark, d).count()
                 best = min(best, time.perf_counter() - t0)
                 release_persisted()
+            s1 = shuffle_write_bytes(spark)
+            sh[v] = (s1 - s0) / 3 / 1e6 if s0 >= 0 and s1 >= 0 else float("nan")
             t[v] = best
         ratio = t["skewed"] / t["uniform"] if t["uniform"] else float("nan")
-        rows.append((name, t["uniform"], t["skewed"], ratio))
-        print(f"{name:32s} uniform={t['uniform']:.2f}s skewed={t['skewed']:.2f}s ratio={ratio:.1f}x", flush=True)
+        rows.append((name, t["uniform"], t["skewed"], ratio, sh["uniform"], sh["skewed"]))
+        print(
+            f"{name:32s} uniform={t['uniform']:.2f}s/{sh['uniform']:.1f}MB "
+            f"skewed={t['skewed']:.2f}s/{sh['skewed']:.1f}MB ratio={ratio:.1f}x",
+            flush=True,
+        )
 
     lines = [
-        "| query | uniform (s) | skewed (s) | skew/uniform |",
+        "| query | uniform (s · MB) | skewed (s · MB) | time skew/uniform |",
         "|---|---|---|---|",
     ]
-    for name, u, s, r in rows:
-        lines.append(f"| `{name}` | {u:.2f} | {s:.2f} | {r:.1f}× |")
+    for name, u, s, r, su, ss in rows:
+        lines.append(f"| `{name}` | {u:.2f} · {su:.1f} | {s:.2f} · {ss:.1f} | {r:.1f}× |")
     table = "\n".join(lines)
     print(table)
     if "--update-md" in sys.argv:
