@@ -600,3 +600,69 @@ def quality_logistic_score(docs: DataFrame, id_col: str, text_col: str) -> DataF
     ).withColumn("quality_p", F.col("quality_p")).select(
         id_col, "raw_score", "quality_p"
     )
+
+
+#: Unicode script ranges for script_profile — BMP-only approximation,
+#: deliberately regex-replayable in any RE2-class engine (no \p{Script}
+#: properties, which DuckDB's regex lacks).
+SCRIPT_RANGES = {
+    "latin": "A-Za-z",
+    "digit": "0-9",
+    "cyrillic": "Ѐ-ӿ",
+    "cjk": "一-鿿぀-ヿ가-힯",
+    "arabic": "؀-ۿ",
+}
+
+
+def script_profile(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document writing-script profile: the fraction of characters
+    in each major unicode script block (latin/digit/cyrillic/cjk/
+    arabic) plus an `other_ratio` remainder — the curation signal that
+    catches mixed-script spam, mojibake, and wrong-language routing
+    *before* an expensive model-based language ID.
+
+    All counting is regexp_count over explicit BMP ranges (no \\p
+    properties — portable to any RE2-class engine), ratios divide by
+    greatest(chars, 1) (empty docs profile as all-zero, not a crash).
+    Row-local, zero shuffles."""
+    chars = F.greatest(F.length(F.col(text_col)), F.lit(1)).cast("double")
+    cols = [F.col(id_col), F.length(F.col(text_col)).cast("bigint").alias("chars")]
+    total = F.lit(0.0)
+    for name, rng in SCRIPT_RANGES.items():
+        ratio = F.regexp_count(F.col(text_col), F.lit(f"[{rng}]")).cast("double") / chars
+        cols.append(ratio.alias(f"{name}_ratio"))
+        total = total + ratio
+    # empty doc: all ratios 0 INCLUDING the remainder (not "100% other")
+    other = F.when(F.length(F.col(text_col)) == 0, F.lit(0.0)).otherwise(F.lit(1.0) - total)
+    cols.append(other.alias("other_ratio"))
+    return docs.select(*cols)
+
+
+def paragraph_dups(docs: DataFrame, id_col: str, text_col: str, min_chars: int = 30) -> DataFrame:
+    """Cross-document duplicate PARAGRAPHS: split on blank lines, hash
+    each paragraph (md5 — engine-portable), and keep hashes appearing
+    in ≥ 2 distinct documents. Output one row per (paragraph_hash)
+    with n_docs, n_occurrences, and the min doc id (the canonical
+    holder). Paragraph-level dedup is the practical middle ground
+    between whole-doc dedup (misses shared boilerplate) and shingle
+    dedup (pays the explosion for near-misses this op doesn't need).
+
+    Scale shape: split + explode are row-local; the only shuffle is
+    the hash-keyed aggregate with map-side combine. ``min_chars``
+    drops trivial fragments so the hot hashes are real boilerplate,
+    not empty lines."""
+    paras = (
+        docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), "\n\\s*\n")).alias("__p"))
+        .select(F.col(id_col), F.trim(F.col("__p")).alias("__p"))
+        .filter(F.length("__p") >= min_chars)
+    )
+    return (
+        paras.select(F.col(id_col), F.md5(F.col("__p")).alias("paragraph_hash"))
+        .groupBy("paragraph_hash")
+        .agg(
+            F.countDistinct(id_col).cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.min(id_col).alias("canonical_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

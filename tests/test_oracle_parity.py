@@ -172,3 +172,71 @@ def test_quality_logistic_oracle_parity_preview(spark, sf_dir):
     for d in got:
         assert repr(got[d][0]) == repr(want[d][0]), f"doc {d} raw_score drifts"
         assert repr(got[d][1]) == repr(want[d][1]), f"doc {d} quality_p drifts"
+
+
+def test_script_profile_oracle_parity_preview(spark, sf_dir):
+    # Round-6 preview: per-doc unicode-script ratios, cell-exact vs
+    # DuckDB (BMP range regexes — no \p properties, RE2-portable).
+    import duckdb
+
+    from lakehouse_architecture_transaction_spark.operators.text import (
+        SCRIPT_RANGES,
+        script_profile,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {r["doc_id"]: r.asDict() for r in script_profile(docs, "doc_id", "text").collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    ratio_sql = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '[{rng}]')) AS DOUBLE) / greatest(length(text), 1)"
+        f" AS {name}_ratio"
+        for name, rng in SCRIPT_RANGES.items()
+    )
+    total = " + ".join(f"{name}_ratio" for name in SCRIPT_RANGES)
+    sql = f"""
+    WITH m AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS chars, length(text) AS ln, {ratio_sql}
+        FROM documents
+    )
+    SELECT doc_id, chars, {", ".join(f"{n}_ratio" for n in SCRIPT_RANGES)},
+           CASE WHEN ln = 0 THEN 0.0 ELSE 1.0 - ({total}) END AS other_ratio
+    FROM m ORDER BY doc_id
+    """
+    cols = ["chars", *[f"{n}_ratio" for n in SCRIPT_RANGES], "other_ratio"]
+    for row in con.execute(sql).fetchall():
+        d, vals = row[0], dict(zip(cols, row[1:]))
+        for c in cols:
+            assert repr(got[d][c]) == repr(vals[c]), f"doc {d} col {c}: {got[d][c]} vs {vals[c]}"
+
+
+def test_paragraph_dups_oracle_parity_preview(spark, sf_dir):
+    # Round-6 preview: cross-doc duplicate paragraphs via md5 hashes.
+    import duckdb
+
+    from lakehouse_architecture_transaction_spark.operators.text import paragraph_dups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        map(tuple, paragraph_dups(docs, "doc_id", "text", min_chars=30).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    sql = r"""
+    WITH paras AS (
+        SELECT doc_id, trim(unnest(regexp_split_to_array(text, '\n\s*\n'))) AS p
+        FROM documents
+    ),
+    kept AS (SELECT doc_id, md5(p) AS paragraph_hash FROM paras WHERE length(p) >= 30)
+    SELECT paragraph_hash,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           MIN(doc_id) AS canonical_doc
+    FROM kept GROUP BY paragraph_hash HAVING COUNT(DISTINCT doc_id) >= 2
+    """
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert got == want
