@@ -431,3 +431,48 @@ def test_connected_components_matches_union_find(spark, edges, extra):
         for r in connected_components(vdf, edf, id_col="id", src_col="src", dst_col="dst").collect()
     }
     assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=1000), min_size=0, max_size=12),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_hash_embed_matches_python_reference_fuzz(spark, words):
+    # hash_embed vs the pure-python reference on ARBITRARY tokens —
+    # unicode, empties, duplicates — not just the unit test's fixtures.
+    import hashlib
+    import math
+
+    from lakehouse_architecture_transaction_spark.operators.text import hash_embed
+
+    import re
+
+    dim = 8
+    text = " ".join(words)
+    # ASCII whitespace ONLY: Spark's Java regex \s and DuckDB's RE2 \s
+    # agree on [ \t\n\x0b\f\r]; Python str.split() would also split
+    # on unicode spaces (NBSP etc.) and diverge from BOTH engines —
+    # this fuzz test caught exactly that when it used str.split().
+    toks = [w for w in re.split(r"[ \t\n\x0b\f\r]+", text) if w]
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    raw = [0] * dim
+    for t in toks:
+        raw[h32(t) % dim] += 1 if h32(t + "#s") % 2 == 0 else -1
+    n = math.sqrt(float(sum(v * v for v in raw))) or 1.0
+    want = [v / n for v in raw]
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = hash_embed(df, "doc_id", "text", dim=dim).collect()
+    if not toks:
+        # no tokens -> explode drops the doc (documented: tokenless
+        # docs carry no embedding)
+        assert rows == [] or list(rows[0]["embedding"]) == [0.0] * dim
+    else:
+        assert list(rows[0]["embedding"]) == want

@@ -507,3 +507,42 @@ def test_stateful_sessionization_survives_straggler_beyond_watermark(spark, tmp_
         )
     finally:
         q.stop()
+
+
+def test_streams_survive_zero_file_source(spark, tmp_path):
+    # A glob matching no files yet (fresh landing zone) must start,
+    # drain, and emit nothing — not throw. Both the stateless window
+    # agg and the stateful sessionizer.
+    from lakehouse_architecture_transaction_spark.streaming.pipeline import hourly_stream_agg
+
+    src = tmp_path / "empty_landing"
+    src.mkdir()
+    stream = read_event_stream(spark, str(src / "*"))
+    q = (
+        hourly_stream_agg(stream)
+        .writeStream.format("memory")
+        .queryName("zero_file_agg")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+        assert spark.sql("SELECT * FROM zero_file_agg").count() == 0
+    finally:
+        q.stop()
+
+    stream2 = read_event_stream(spark, str(src / "*"))
+    q2 = (
+        sessionize_stateful(stream2, idle_timeout_ms=1000)
+        .writeStream.format("memory")
+        .queryName("zero_file_sessions")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+        assert q2.exception() is None
+        assert spark.sql("SELECT * FROM zero_file_sessions").count() == 0
+    finally:
+        q2.stop()
