@@ -1959,14 +1959,14 @@ def docs_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_dim_stats",
-    oracle="""
+    oracle=f"""
     WITH x AS (
         SELECT generate_subscripts(embedding, 1) - 1 AS dim,
                CAST(unnest(embedding) AS DOUBLE) AS v
         FROM embeddings
     )
     SELECT CAST(dim AS INTEGER) AS dim,
-           CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS mean_v,
+           CAST(CAST(SUM({_V9_HALF_UP}) AS BIGINT) AS DOUBLE) / 1e9 / COUNT(*) AS mean_v,
            MIN(v) AS min_v, MAX(v) AS max_v
     FROM x GROUP BY dim ORDER BY dim ASC
     """,
@@ -1982,12 +1982,19 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = emb.select(F.posexplode("embedding").alias("dim", "v")).select(
         "dim", F.col("v").cast("double").alias("v")
     )
+    # int64-exact mean (the _V9_HALF_UP discipline): quantize each
+    # value HALF_UP at 1e9 into BIGINT, sum exactly, divide ONCE at
+    # the end. sf0.1 exposed Java BigDecimal.doubleValue() rounding
+    # the decimal-sum→double path 1 ulp off DuckDB at this sum
+    # magnitude — exactly the hazard the house rule (only int64-exact
+    # intermediates cross the engine boundary) exists to prevent.
+    q = F.expr(
+        "CAST(CAST(v AS DECIMAL(18,9)) * CAST(1000000000 AS DECIMAL(10,0)) AS BIGINT)"
+    )
     return (
         x.groupBy("dim")
         .agg(
-            (F.sum(F.col("v").cast("decimal(18,9)")).cast("double") / F.count("*")).alias(
-                "mean_v"
-            ),
+            (F.sum(q).cast("double") / F.lit(1e9) / F.count("*")).alias("mean_v"),
             F.min("v").alias("min_v"),
             F.max("v").alias("max_v"),
         )
