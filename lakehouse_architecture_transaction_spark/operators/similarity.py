@@ -39,6 +39,21 @@ _NORM2 = (
 )
 
 
+#: int64-exact mean over a posexploded value column named "v" — THE
+#: engine-boundary mean for every centroid/dimension statistic:
+#: HALF_UP-quantize each value to BIGINT at 1e9 (exact for |v| < 2^33
+#: /1e9 inputs), sum exactly, then divide once. The decimal-sum→double
+#: form it replaces was 1 ulp off DuckDB at sf0.1 sum magnitudes
+#: (Java BigDecimal.doubleValue vs DuckDB's integer-then-divide path)
+#: — only int64-exact intermediates may cross the engine boundary.
+#: Oracles mirror it as CAST(CAST(SUM(V9_HALF_UP) AS BIGINT) AS
+#: DOUBLE) / 1e9 / COUNT(*). At true 100 TB cardinalities drop the
+#: quantization to 1e6 to keep per-group sums inside int64.
+def mean_v_exact() -> Column:
+    q = "CAST(CAST(v AS DECIMAL(18,9)) * CAST(1000000000 AS DECIMAL(10,0)) AS BIGINT)"
+    return F.sum(F.expr(q)).cast("double") / F.lit(1e9) / F.count("*")
+
+
 def dot_expr(a: str, b: str) -> Column:
     return F.expr(_DOT.format(a=a, b=b))
 
@@ -706,11 +721,7 @@ def kmeans_centroids(
         cent = (
             assigned.select("cluster", F.posexplode(F.col(vec_col)).alias("pos", "v"))
             .groupBy("cluster", "pos")
-            .agg(
-                (
-                    F.sum(F.col("v").cast("decimal(18,9)")).cast("double") / F.count("*")
-                ).alias("cv")
-            )
+            .agg(mean_v_exact().alias("cv"))
             .groupBy("cluster")
             .agg(
                 F.expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").alias(
@@ -772,12 +783,7 @@ def label_centroids(emb: DataFrame, label_col: str, vec_col: str) -> DataFrame:
     exploded = emb.select(F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "v"))
     return (
         exploded.groupBy(label_col, "pos")
-        .agg(
-            (
-                F.sum(F.col("v").cast("decimal(18,9)")).cast("decimal(38,18)").cast("double")
-                / F.count("*")
-            ).alias("centroid")
-        )
+        .agg(mean_v_exact().alias("centroid"))
     )
 
 
@@ -1076,11 +1082,7 @@ def product_quantize(
         cent = (
             assigned.select("s", "cluster", F.posexplode(F.col("sv")).alias("pos", "v"))
             .groupBy("s", "cluster", "pos")
-            .agg(
-                (
-                    F.sum(F.col("v").cast("decimal(18,9)")).cast("double") / F.count("*")
-                ).alias("cv")
-            )
+            .agg(mean_v_exact().alias("cv"))
             .groupBy("s", "cluster")
             .agg(
                 F.expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").alias(

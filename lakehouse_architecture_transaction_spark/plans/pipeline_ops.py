@@ -1177,7 +1177,7 @@ def _km_assign_sql(cent_cte: str) -> str:
 def _km_update_sql(assign_cte: str) -> str:
     return f"""(
     SELECT cluster, list(cv ORDER BY pos) AS cvec FROM (
-        SELECT a.cluster, x.pos, CAST(SUM({_V9_HALF_UP}) AS DOUBLE) / 1e9 / COUNT(*) AS cv
+        SELECT a.cluster, x.pos, CAST(CAST(SUM({_V9_HALF_UP}) AS BIGINT) AS DOUBLE) / 1e9 / COUNT(*) AS cv
         FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
                      unnest(embedding) AS v FROM embeddings) x
         JOIN {assign_cte} a USING (vec_id)
@@ -1398,7 +1398,7 @@ def emb_label_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_label_centroids",
     oracle=f"""
     SELECT label, CAST(pos AS INTEGER) AS pos,
-           CAST(SUM({_V9_HALF_UP}) AS DOUBLE) / 1e9 / COUNT(*) AS centroid
+           CAST(CAST(SUM({_V9_HALF_UP}) AS BIGINT) AS DOUBLE) / 1e9 / COUNT(*) AS centroid
     FROM (SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v FROM embeddings)
     GROUP BY label, pos
     ORDER BY label ASC, pos ASC
@@ -1410,7 +1410,7 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
     return (
         exploded.groupBy("label", "pos")
-        .agg((F.sum(F.col("v").cast("decimal(18,9)")).cast("double") / F.count("*")).alias("centroid"))
+        .agg(S.mean_v_exact().alias("centroid"))
         .select("label", (F.col("pos") + 1).cast("int").alias("pos"), "centroid")
         .orderBy("label", "pos")
     )

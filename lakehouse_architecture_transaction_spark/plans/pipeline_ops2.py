@@ -764,7 +764,7 @@ def _pq_assign_sql(cent_cte: str) -> str:
 def _pq_update_sql(assign_cte: str) -> str:
     return f"""(
     SELECT s, cluster, list(cv ORDER BY pos) AS cvec FROM (
-        SELECT x.s, a.cluster, x.pos, CAST(SUM({_PQ_V9}) AS DOUBLE) / 1e9 / COUNT(*) AS cv
+        SELECT x.s, a.cluster, x.pos, CAST(CAST(SUM({_PQ_V9}) AS BIGINT) AS DOUBLE) / 1e9 / COUNT(*) AS cv
         FROM (SELECT vec_id, s, generate_subscripts(sv, 1) AS pos, unnest(sv) AS v FROM sub) x
         JOIN {assign_cte} a ON a.vec_id = x.vec_id AND a.s = x.s
         GROUP BY x.s, a.cluster, x.pos
