@@ -807,3 +807,45 @@ def test_hash_embed_feeds_cosine_topk(spark, sf_dir):
         cosines = [r["cosine"] for r in rows]
         assert cosines == sorted(cosines, reverse=True)
         assert all(-1.0 - 1e-9 <= c <= 1.0 + 1e-9 for c in cosines)
+
+
+def test_capped_group_cosine_pairs_keep_rule_on_constructed_clusters(spark):
+    # Constructed geometry: two tight clusters (near-identical vectors)
+    # plus an orthogonal singleton. Within a group, every higher-id
+    # member of a tight cluster must pair with every lower-id one at
+    # cosine ~1; the singleton pairs with nobody at tau=0.9; the cap
+    # excludes ids beyond the cap from pair generation entirely.
+    from lakehouse_architecture_transaction_spark.operators.similarity import (
+        capped_group_cosine_pairs,
+        norm2_expr,
+    )
+    from pyspark.sql import functions as F
+
+    rows = []
+    # group 0: ids 0..3 all ~[1, 0], id 4 = [0, 1] (orthogonal)
+    for i in range(4):
+        rows.append((0, i, [1.0, 0.0 + i * 1e-6]))
+    rows.append((0, 4, [0.0, 1.0]))
+    # group 1: ids 10..12 all ~[0.6, 0.8]
+    for i in range(3):
+        rows.append((1, 10 + i, [0.6, 0.8 + i * 1e-6]))
+    df = spark.createDataFrame(rows, "g int, vid long, vec array<double>").withColumn(
+        "n2", norm2_expr("vec")
+    )
+    out = capped_group_cosine_pairs(
+        df, group_col="g", id_col="vid", vec_col="vec", n2_col="n2", cap=None, threshold=0.9
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert pairs == {
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+        (10, 11), (10, 12), (11, 12),
+    }
+    # min-id-wins dedup view: dropped = ids with any lower-id partner
+    dropped = {b for _, b in pairs}
+    assert dropped == {1, 2, 3, 11, 12}  # 0 and 10 are keepers; 4 untouched
+
+    # cap=2: only the 2 lowest ids per group generate pairs
+    out2 = capped_group_cosine_pairs(
+        df, group_col="g", id_col="vid", vec_col="vec", n2_col="n2", cap=2, threshold=0.9
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out2} == {(0, 1), (10, 11)}
