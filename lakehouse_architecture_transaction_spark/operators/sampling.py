@@ -229,3 +229,25 @@ def weighted_stratum_sample(
         .filter(F.col("__bucket") < thresh)
         .drop("__bucket")
     )
+
+
+def grouped_fold_assign(
+    df: DataFrame, group_col: str, k: int = 5, salt: str = "fold-v1"
+) -> DataFrame:
+    """Group-coherent k-fold assignment (scikit-learn's GroupKFold
+    semantics, hash-based): every row of a group lands in the SAME
+    fold — the leakage guard for grouped data (all of a document's
+    chunks, all of a user's events, all of a source's docs train
+    together or evaluate together, never both).
+
+    fold = h32(salt || group) mod k: deterministic, engine-portable
+    (md5), independent of row order and of which rows are present —
+    adding data never reassigns an existing group's fold, so folds
+    are stable across incremental ingests. Row-local, zero shuffles.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(group_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return df.withColumn("fold", F.pmod(h, F.lit(k)).cast("int"))

@@ -849,3 +849,24 @@ def test_capped_group_cosine_pairs_keep_rule_on_constructed_clusters(spark):
         df, group_col="g", id_col="vid", vec_col="vec", n2_col="n2", cap=2, threshold=0.9
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in out2} == {(0, 1), (10, 11)}
+
+
+def test_grouped_fold_assign_coherent_stable_and_balanced(spark):
+    from lakehouse_architecture_transaction_spark.operators.sampling import grouped_fold_assign
+
+    rows = [(i, f"src{i % 40}") for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, source string")
+    out = grouped_fold_assign(df, "source", k=5).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["source"], set()).add(r["fold"])
+    # coherence: one fold per group
+    assert all(len(v) == 1 for v in by_group.values())
+    folds = {g: next(iter(v)) for g, v in by_group.items()}
+    assert all(0 <= f < 5 for f in folds.values())
+    # balance: 40 hashed groups spread over 5 folds — none empty
+    assert len(set(folds.values())) == 5
+    # stability: a subset assigns identically (incremental-ingest safe)
+    sub = grouped_fold_assign(df.filter("id < 100"), "source", k=5).collect()
+    for r in sub:
+        assert r["fold"] == folds[r["source"]]
