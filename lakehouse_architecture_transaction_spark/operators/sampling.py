@@ -244,9 +244,14 @@ def grouped_fold_assign(
     (md5), independent of row order and of which rows are present —
     adding data never reassigns an existing group's fold, so folds
     are stable across incremental ingests. Row-local, zero shuffles.
+
+    A NULL group key hashes via a sentinel string (never produced by a
+    real cast) so NULL-group rows land together in one deterministic
+    fold instead of getting fold=NULL and silently escaping the split.
     """
+    key = F.coalesce(F.col(group_col).cast("string"), F.lit("\x00null"))
     h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(group_col).cast("string"))), 1, 8),
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), key)), 1, 8),
         16,
         10,
     ).cast("long")

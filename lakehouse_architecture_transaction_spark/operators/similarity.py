@@ -603,10 +603,16 @@ def _packed_dtable_mapside(
 #: collect_list(struct(s, d))/array_sort formulation produced, so
 #: adc_dist stays bit-identical to the SQL oracles while the corpus
 #: path becomes one map-side expression (no per-subspace rows, no
-#: hash aggregate).
+#: hash aggregate). The outer coalesce(+Inf) is the precondition
+#: guard: a code absent from the packed table (index built with
+#: different m/dsub than the call) folds to NULL, and NULL sorts
+#: FIRST under the ascending shortlist window — +Infinity sends such
+#: rows to the bottom instead of silently promoting them to rank 1.
+#: On a matched index the lookup never misses, so the coalesce is
+#: inert and the oracles stay bit-identical.
 _ADC_FOLD = (
-    "aggregate(zip_with(__codes, __dt, (c, ds) -> ds[c]), "
-    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    "coalesce(aggregate(zip_with(__codes, __dt, (c, ds) -> ds[c]), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), CAST('Infinity' AS DOUBLE))"
 )
 
 

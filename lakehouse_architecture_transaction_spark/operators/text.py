@@ -519,8 +519,10 @@ def hash_embed(docs: DataFrame, id_col: str, text_col: str, dim: int = 64) -> Da
     BIGINT sum of squares; the only doubles are one sqrt of an exact
     integer and one correctly-rounded division per element, so a SQL
     engine with the same md5-based h32 replays the vector bit-for-bit.
-    Zero-norm (empty/stopword-free doc) divides by 1 — the zero vector,
-    not a crash (ANSI 0/0 guard, same rule as pca_power_project).
+    Tokenless docs produce NO output row (explode drops them); the
+    divide-by-1 zero-norm guard covers the sign-cancellation case
+    (every bucket's signed count nets to 0), where the doc DOES get a
+    row — the zero vector, not an ANSI 0/0 crash.
 
     Scale shape: token explode is row-local; ONE shuffle keyed
     (id, bucket) with map-side combine, then the per-doc pack on the
@@ -597,8 +599,6 @@ def quality_logistic_score(docs: DataFrame, id_col: str, text_col: str) -> DataF
         (F.lit(0.5) + F.lit(0.5) * F.col("raw_score") / (F.lit(1.0) + F.abs(F.col("raw_score")))).alias(
             "quality_p"
         ),
-    ).withColumn("quality_p", F.col("quality_p")).select(
-        id_col, "raw_score", "quality_p"
     )
 
 

@@ -870,3 +870,16 @@ def test_grouped_fold_assign_coherent_stable_and_balanced(spark):
     sub = grouped_fold_assign(df.filter("id < 100"), "source", k=5).collect()
     for r in sub:
         assert r["fold"] == folds[r["source"]]
+
+
+def test_grouped_fold_assign_null_group_gets_a_fold(spark):
+    from lakehouse_architecture_transaction_spark.operators.sampling import grouped_fold_assign
+
+    df = spark.createDataFrame(
+        [(0, "a"), (1, None), (2, None), (3, "b")], "id long, source string"
+    )
+    out = grouped_fold_assign(df, "source", k=5).collect()
+    # every row gets a non-null fold; the NULL group is coherent too
+    assert all(r["fold"] is not None and 0 <= r["fold"] < 5 for r in out)
+    null_folds = {r["fold"] for r in out if r["id"] in (1, 2)}
+    assert len(null_folds) == 1
