@@ -15,5 +15,6 @@ from lakehouse_architecture_transaction_spark.plans import (  # noqa: F401
     lakehouse_queries,
     pipeline_ops,
     pipeline_ops2,
+    pipeline_ops3,
 )
 from lakehouse_architecture_transaction_spark.plans.registry import REGISTRY, QuerySpec  # noqa: F401
