@@ -150,7 +150,7 @@ def tail_line(base: dict, budget: int = TAIL_BUDGET) -> str:
         # degenerate guard: even the no-queries record is over budget —
         # shed the optional fields until the line fits (metric/value/
         # unit/sf/queries are the driver contract and always stay)
-        for field in ("families", "aggregation", "runs_per_query", "cpus"):
+        for field in ("anchor_def", "families", "aggregation", "runs_per_query", "cpus"):
             slim.pop(field, None)
             line = json.dumps(slim, separators=(",", ":"))
             if len(line) <= budget:
@@ -164,6 +164,25 @@ def tail_line(base: dict, budget: int = TAIL_BUDGET) -> str:
             break
         slim, line = trial, t_line
     return line
+
+
+#: Constant-work CPU anchor: xxhash64 over a fixed 4B-row range,
+#: sf-independent and data-independent. This VM's throughput swings
+#: ~40% day to day (r4→r5 read as a uniform 1.52× "slowdown" on
+#: untouched queries), so raw cross-round totals don't compare;
+#: query_time / anchor_s does — the anchor moves with the VM weather
+#: and cancels it. See README "Reading bench numbers".
+ANCHOR_ROWS = 4_000_000_000
+
+
+def measure_anchor(spark, runs: int) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        # bit_xor, not sum: 4B signed hashes overflow a long under ANSI
+        spark.range(ANCHOR_ROWS).selectExpr("bit_xor(xxhash64(id))").collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
 
 
 def main() -> None:
@@ -180,6 +199,7 @@ def main() -> None:
     from lakehouse_architecture_transaction_spark.operators.dedup import release_persisted
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    anchor_s = measure_anchor(spark, runs)
     times: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -209,6 +229,8 @@ def main() -> None:
         "cpus": cpus,
         "runs_per_query": runs,
         "aggregation": "min",
+        "anchor_s": anchor_s,
+        "anchor_def": f"min-of-{runs} sum(xxhash64(id)) over range({ANCHOR_ROWS})",
     }
     # Full per-query record → bench_full.json (the driver's harness
     # captures only the LAST 2000 chars of stdout — round 4's 78-query
