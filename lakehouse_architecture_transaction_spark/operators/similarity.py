@@ -140,54 +140,6 @@ def sign_lsh_ann(
     return _cosine_topk_tail(scored, k)
 
 
-def probe_buckets_expr(bucket_col: str, bits: int) -> Column:
-    """Multi-probe bucket list: the query's own sign bucket plus every
-    single-bit-flip neighbor (bits+1 probes). Near-miss neighbors most
-    often differ in exactly one thresholded dimension, so probing the
-    Hamming-1 shell recovers most of the recall lost to bucketing at
-    (bits+1)× the candidate cost — the classic multi-probe LSH
-    trade (Lv et al., VLDB'07). Delegates to probe_shell_expr
-    (radius 1) — one definition of the flip expression."""
-    return probe_shell_expr(bucket_col, bits, radius=1)
-
-
-def sign_lsh_multiprobe_ann(
-    emb: DataFrame, id_col: str, vec_col: str, query_ids: list[int], k: int = 5, bits: int = 4
-) -> DataFrame:
-    """Multi-probe sign-LSH ANN: like :func:`sign_lsh_ann` but each
-    query searches its own bucket AND all Hamming-1 neighbor buckets.
-    Corpus buckets partition the data (one bucket per vector), so the
-    probe explode cannot duplicate candidate pairs. Same output shape
-    and determinism contract as cosine_topk."""
-    bucketed = emb.select(
-        F.col(id_col),
-        F.col(vec_col),
-        sign_bucket_expr(vec_col, bits).alias("__bkt"),
-        norm2_expr(vec_col).alias("__n2"),
-    )
-    q = (
-        bucketed.filter(F.col(id_col).isin(query_ids))
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("__qv"),
-            F.col("__n2").alias("__qn2"),
-            F.explode(probe_buckets_expr("__bkt", bits)).alias("__bkt"),
-        )
-    )
-    pairs = bucketed.join(F.broadcast(q), on="__bkt", how="inner").filter(
-        F.col(id_col) != F.col("query_id")
-    )
-    scored = pairs.select(
-        "query_id",
-        F.col(id_col).alias("neighbor_id"),
-        (
-            dot_expr("__qv", vec_col)
-            / (F.sqrt(F.col("__qn2")) * F.sqrt(F.col("__n2")))
-        ).alias("cosine"),
-    )
-    return _cosine_topk_tail(scored, k)
-
-
 def _flip_expr(bucket_col: str, i: str) -> str:
     """SQL fragment: ``bucket_col`` with bit position ``i`` (1-based
     expression) inverted."""
@@ -303,6 +255,13 @@ def sign_lsh_var_ann(
     a Hamming-≤``radius`` probe shell — the tuned successor of the
     round-4 single-probe leading-dims variant (recall@5 0.100 → 0.775
     at ~35% corpus scanned on the frontier corpus).
+
+    ``radius=1`` IS the classic multi-probe LSH parameterization (Lv
+    et al., VLDB'07: probe the query's bucket plus every one-bit-flip
+    neighbor) — it replaced the former leading-dims
+    sign_lsh_multiprobe_ann in round 6, which the variance-bit index
+    strictly dominated (recall@5 0.625 → see tools/ann_frontier.py),
+    so there is ONE bucketed index shared by both radii.
 
     Same output shape and determinism contract as cosine_topk. The
     corpus is bucketed ONCE (row-local key against the broadcast dim

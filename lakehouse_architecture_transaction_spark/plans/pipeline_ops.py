@@ -1051,7 +1051,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     return built
 
 
-def _lshv_oracle() -> str:
+def _lshv_oracle(radius: int = 2) -> str:
     b = _LSHV_BITS
     flip1 = (
         "substr(bkt, 1, i - 1) || (CASE WHEN substr(bkt, i, 1) = '1' THEN '0' ELSE '1' END) "
@@ -1061,6 +1061,13 @@ def _lshv_oracle() -> str:
         "substr(bkt, 1, i - 1) || (CASE WHEN substr(bkt, i, 1) = '1' THEN '0' ELSE '1' END) "
         "|| substr(bkt, i + 1, j - i - 1) "
         "|| (CASE WHEN substr(bkt, j, 1) = '1' THEN '0' ELSE '1' END) || substr(bkt, j + 1)"
+    )
+    shell2 = (
+        f"""
+                   || flatten(list_transform(generate_series(1, {b} - 1),
+                          i -> list_transform(generate_series(i + 1, {b}), j -> {flip2})))"""
+        if radius == 2
+        else ""
     )
     return f"""
     WITH xv AS (SELECT generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
@@ -1081,9 +1088,7 @@ def _lshv_oracle() -> str:
         SELECT vec_id AS query_id, embedding, n2,
                unnest(list_distinct(
                    [bkt]
-                   || list_transform(generate_series(1, {b}), i -> {flip1})
-                   || flatten(list_transform(generate_series(1, {b} - 1),
-                          i -> list_transform(generate_series(i + 1, {b}), j -> {flip2})))
+                   || list_transform(generate_series(1, {b}), i -> {flip1}){shell2}
                )) AS bkt
         FROM bk WHERE vec_id < {_Q_MAX}
     ),
@@ -1100,7 +1105,7 @@ def _lshv_oracle() -> str:
     """
 
 
-@register("emb_ann_lsh", oracle=_lshv_oracle())
+@register("emb_ann_lsh", oracle=_lshv_oracle(_LSHV_RADIUS))
 def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH ANN, variance-selected bits + Hamming-2 probe shell
     (operators/similarity.py sign_lsh_var_ann): hyperplanes are the 6
@@ -1117,44 +1122,30 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "emb_ann_multiprobe",
-    oracle=f"""
-    WITH b AS (
-        SELECT vec_id, embedding,
-               array_to_string(list_transform(embedding[1:{_LSH_BITS}],
-                   x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bkt,
-               {_N2_FOLD} AS n2
-        FROM embeddings
-    ),
-    probes AS (
-        SELECT vec_id AS query_id, embedding, n2,
-               unnest(list_distinct([bkt] || list_transform(generate_series(1, {_LSH_BITS}),
-                   i -> substr(bkt, 1, i - 1)
-                        || (CASE WHEN substr(bkt, i, 1) = '1' THEN '0' ELSE '1' END)
-                        || substr(bkt, i + 1)))) AS bkt
-        FROM b WHERE vec_id < {_Q_MAX}
-    ),
-    scored AS (
-        SELECT q.query_id, c.vec_id AS neighbor_id,
-               {_DOT_FOLD} / (sqrt(q.n2) * sqrt(c.n2)) AS cosine
-        FROM b c JOIN probes q ON c.bkt = q.bkt AND c.vec_id != q.query_id
-    )
-    SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
-        FROM scored
-    ) WHERE rank <= {_K}
-    ORDER BY query_id ASC, rank ASC
-    """,
-)
+@register("emb_ann_multiprobe", oracle=_lshv_oracle(1))
 def emb_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe sign-LSH ANN (operators/similarity.py): each query
-    searches its bucket plus every Hamming-1 neighbor bucket — most of
-    single-probe's lost recall back for (bits+1)× candidates, no index
-    rebuild (Lv et al. multi-probe LSH)."""
+    """Multi-probe sign-LSH ANN (Lv et al., VLDB'07): each query
+    probes its bucket plus every Hamming-1 neighbor. Round 6
+    CONSOLIDATED this into the variance-bit LSH family: the former
+    standalone leading-dims variant (recall@5 0.625 at ~31% scan) was
+    strictly dominated by emb_ann_lsh, so this entry is now the
+    radius-1 parameterization of the SAME sign_lsh_var_ann operator
+    and SAME memoized index — one index serves the whole radius curve.
+
+    Measured radius curve on the frontier corpus (sf0.1, bits=6):
+    radius-1 = 0.425 recall@5 at ~11% scanned (this entry, the
+    cheapest-scan LSH point), radius-2 = 0.775 at ~34% (emb_ann_lsh).
+    A radius-1 sweep over bit widths found no non-dominated higher
+    point (bits=4 → 0.550 @ 31%, bits=3 → 0.775 @ 50%): on this
+    corpus near neighbors typically differ in ≥ 2 thresholded dims,
+    so the Hamming-1 shell cannot reach the radius-2 recall at less
+    scan — the recorded reason this stays a parameterization rather
+    than a retune."""
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    return S.sign_lsh_multiprobe_ann(
-        emb, id_col="vec_id", vec_col="embedding", query_ids=list(range(_Q_MAX)), k=_K, bits=_LSH_BITS
+    return S.sign_lsh_var_ann(
+        emb, id_col="vec_id", vec_col="embedding", query_ids=list(range(_Q_MAX)),
+        k=_K, bits=_LSHV_BITS, radius=1,
+        bucketed=_lsh_index(spark, sf_dir),
     )
 
 

@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 VARIANTS = [
     ("emb_knn_bruteforce", "exact cosine (baseline)"),
     ("emb_ann_lsh", "sign-LSH, variance-selected bits, Hamming-2 shell"),
-    ("emb_ann_multiprobe", "sign-LSH, leading bits, Hamming-1 probes"),
+    ("emb_ann_multiprobe", "sign-LSH, variance-selected bits, Hamming-1 probes"),
     ("emb_ann_ivf", "trained IVF (16 cells), nprobe=2"),
     ("emb_ann_sq8", "int8 scalar-quantized rerank"),
     ("emb_ann_pq_adc", "PQ-ADC shortlist + exact re-rank"),
