@@ -1,0 +1,157 @@
+"""Persisted ANN index: IVF centroids/inverted lists and PQ
+codes/codebooks as versioned LakeTables.
+
+At 100 TB a vector index is not a session artifact — training the
+coarse quantizer and PQ codebooks is iters × corpus-scans plus
+k·dim-cardinality shuffles, so every new session rebuilding it from
+scratch (the session-memo pattern in plans/pipeline_ops.py) pays the
+build again. This module makes the index a table with its own
+lifecycle:
+
+- each component is a **versioned LakeTable** (lakehouse/table.py), so
+  an index refresh is a commit: ``describe_history()`` shows builds,
+  ``diff(v_old)`` gives the index delta (vectors that changed cells /
+  codes), ``restore(v)`` rolls back a bad build, ``vacuum()`` retires
+  old snapshots;
+- a ``_meta.json`` manifest pins the hyperparameters the index was
+  built with (n_cells/iters for IVF, m/dsub/k/iters for PQ) —
+  loaders REFUSE a mismatched load instead of silently degrading
+  (the index frames themselves carry no metadata; see the warnings
+  on ivf_topk/sign_lsh_var_ann);
+- the IVF corpus table stores the vectors WITH their cell assignment
+  (FAISS-style: the index contains the clustered vectors), so a
+  loaded search is zero-join — and file-level data skipping on
+  ``__cell`` (lakehouse/table.py register_scan) means probing nprobe
+  cells reads only those files at scale.
+
+Search results from a loaded index are bit-identical to a
+freshly-trained one: doubles round-trip parquet exactly, packing
+(pq_pack_index) re-derives from the stored long forms with
+deterministic sorts, and every downstream fold is order-independent.
+
+The query plans opt in via ``$SPARK_GRAFT_ANN_INDEX_DIR``: when set
+and a store exists for the sf_dir, plans/pipeline_ops.py loads
+instead of training (see default_store / build_store)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lakehouse_architecture_transaction_spark.lakehouse.table import LakeTable
+
+
+class AnnIndexStore:
+    """Versioned on-disk home of one embedding corpus's ANN index."""
+
+    def __init__(self, spark: SparkSession, base_path: str) -> None:
+        self.spark = spark
+        self.base_path = base_path
+        self.ivf_centroids = LakeTable(
+            spark, os.path.join(base_path, "ivf_centroids"), keys=["cluster"], versioned=True
+        )
+        self.ivf_corpus = LakeTable(
+            spark, os.path.join(base_path, "ivf_corpus"), keys=["vec_id"], versioned=True
+        )
+        self.pq_codes = LakeTable(
+            spark, os.path.join(base_path, "pq_codes"), keys=["vec_id", "subspace"], versioned=True
+        )
+        self.pq_books = LakeTable(
+            spark, os.path.join(base_path, "pq_books"), keys=["s", "cluster"], versioned=True
+        )
+
+    # -- manifest ------------------------------------------------------
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.base_path, "_meta.json")
+
+    def read_meta(self) -> dict:
+        try:
+            with open(self._meta_path()) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}
+
+    def _merge_meta(self, update: dict) -> None:
+        meta = self.read_meta()
+        meta.update(update)
+        os.makedirs(self.base_path, exist_ok=True)
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._meta_path())
+
+    @staticmethod
+    def _check_params(kind: str, want: dict, got: dict) -> None:
+        mismatched = {k: (v, got.get(k)) for k, v in want.items() if got.get(k) != v}
+        if mismatched:
+            raise ValueError(
+                f"persisted {kind} index was built with different hyperparameters: "
+                + ", ".join(f"{k}: expected {v[0]}, stored {v[1]}" for k, v in mismatched.items())
+                + " — rebuild the store or match the call's parameters"
+            )
+
+    # -- IVF -----------------------------------------------------------
+
+    def save_ivf(
+        self, cent: DataFrame, corpus: DataFrame, *, n_cells: int, iters: int
+    ) -> dict[str, int]:
+        """Commit a trained IVF index (ivf_build output). Re-saving is
+        a new version on both tables — ``ivf_corpus.diff(v)`` then
+        yields exactly the vectors whose cell assignment changed."""
+        versions = {
+            "ivf_centroids": self.ivf_centroids._commit(cent, operation="index-build"),
+            "ivf_corpus": self.ivf_corpus._commit(corpus, operation="index-build"),
+        }
+        self._merge_meta({"ivf": {"n_cells": n_cells, "iters": iters}})
+        return versions
+
+    def has_ivf(self) -> bool:
+        return (
+            "ivf" in self.read_meta()
+            and self.ivf_centroids.exists()
+            and self.ivf_corpus.exists()
+        )
+
+    def load_ivf(self, *, n_cells: int, iters: int) -> tuple[DataFrame, DataFrame]:
+        """(centroids, corpus) from the latest committed version, after
+        verifying the manifest matches the caller's hyperparameters."""
+        self._check_params("IVF", {"n_cells": n_cells, "iters": iters}, self.read_meta().get("ivf", {}))
+        return self.ivf_centroids.read(), self.ivf_corpus.read()
+
+    # -- PQ ------------------------------------------------------------
+
+    def save_pq(
+        self, codes: DataFrame, books: DataFrame, *, m: int, dsub: int, k: int, iters: int
+    ) -> dict[str, int]:
+        """Commit a trained PQ index (product_quantize long forms:
+        codes (vec_id, subspace, code), books (s, cluster, __cvec))."""
+        versions = {
+            "pq_codes": self.pq_codes._commit(codes, operation="index-build"),
+            "pq_books": self.pq_books._commit(books, operation="index-build"),
+        }
+        self._merge_meta({"pq": {"m": m, "dsub": dsub, "k": k, "iters": iters}})
+        return versions
+
+    def has_pq(self) -> bool:
+        return "pq" in self.read_meta() and self.pq_codes.exists() and self.pq_books.exists()
+
+    def load_pq(self, *, m: int, dsub: int, k: int, iters: int) -> tuple[DataFrame, DataFrame]:
+        self._check_params(
+            "PQ", {"m": m, "dsub": dsub, "k": k, "iters": iters}, self.read_meta().get("pq", {})
+        )
+        return self.pq_codes.read(), self.pq_books.read()
+
+
+def default_store(spark: SparkSession, sf_dir: str) -> AnnIndexStore | None:
+    """The store the query plans consult: ``$SPARK_GRAFT_ANN_INDEX_DIR/
+    <sf_dir basename>`` when the env var is set, else None (plans fall
+    back to the session-memoized in-process build). One subdirectory
+    per corpus, so one env var serves every scale factor."""
+    base = os.environ.get("SPARK_GRAFT_ANN_INDEX_DIR")
+    if not base:
+        return None
+    leaf = os.path.basename(os.path.normpath(sf_dir))
+    return AnnIndexStore(spark, os.path.join(base, leaf))

@@ -16,6 +16,8 @@ every ordering carries a unique tiebreaker.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -808,6 +810,16 @@ def _pq_index(spark: SparkSession, sf_dir: str):
     got = _PQ_INDEX_MEMO.get(key)
     if got is not None:
         return got
+    # Persisted index first — same contract as pipeline_ops._ivf_index
+    # (load the committed codes/codebooks instead of re-training; the
+    # manifest check refuses a hyperparameter mismatch).
+    from lakehouse_architecture_transaction_spark.lakehouse.ann_index import default_store
+
+    store = default_store(spark, sf_dir)
+    if store is not None and store.has_pq():
+        built = store.load_pq(m=_PQ_M, dsub=_PQ_DSUB, k=_PQ_K, iters=_PQ_ITERS)
+        _PQ_INDEX_MEMO[key] = built
+        return built
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
     codes, cent = product_quantize(
         emb, id_col="vec_id", vec_col="embedding",
@@ -816,6 +828,30 @@ def _pq_index(spark: SparkSession, sf_dir: str):
     built = (codes.localCheckpoint(eager=True), cent.localCheckpoint(eager=True))
     _PQ_INDEX_MEMO[key] = built
     return built
+
+
+def build_persisted_ann_index(spark: SparkSession, sf_dir: str, base_path: str) -> dict[str, int]:
+    """Train (or reuse the session memo of) the IVF and PQ indexes for
+    ``sf_dir`` and COMMIT them to an AnnIndexStore at
+    ``base_path/<sf basename>`` — the explicit build step of the
+    index lifecycle (build → commit → sessions load → periodic
+    refresh = new commit, with LakeTable.diff() giving the index
+    delta). Returns the committed version per component table."""
+    from lakehouse_architecture_transaction_spark.lakehouse.ann_index import AnnIndexStore
+    from lakehouse_architecture_transaction_spark.plans.pipeline_ops import (
+        _IVF_CELLS,
+        _IVF_ITERS,
+        _ivf_index,
+    )
+
+    store = AnnIndexStore(
+        spark, os.path.join(base_path, os.path.basename(os.path.normpath(sf_dir)))
+    )
+    cent, corpus = _ivf_index(spark, sf_dir)
+    versions = store.save_ivf(cent, corpus, n_cells=_IVF_CELLS, iters=_IVF_ITERS)
+    codes, books = _pq_index(spark, sf_dir)
+    versions.update(store.save_pq(codes, books, m=_PQ_M, dsub=_PQ_DSUB, k=_PQ_K, iters=_PQ_ITERS))
+    return versions
 
 
 #: Search-side packing of the memoized PQ index (packed codes + the
