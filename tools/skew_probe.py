@@ -81,6 +81,37 @@ def build(spark, variant: str) -> str:
     return out_dir
 
 
+def max_task_ms(spark, seen: set) -> float:
+    """MAX single-task duration (ms) over completed stages not yet in
+    ``seen`` — the honest hot-task ceiling: wall-clock flatness at
+    sf0.1 can hide a straggler absorbed by 32 idle slots, but the
+    longest task cannot hide. Reads the stage list + per-stage
+    taskSummary(quantiles=1.0) from the UI REST API immediately after
+    each run (stage eviction only bites long-lived polls; per-run
+    deltas are fetched while the stages are fresh)."""
+    import json as _json
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    mx = 0.0
+    try:
+        with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/stages?status=COMPLETE") as r:
+            stages = _json.load(r)
+        for st in stages:
+            key = (st["stageId"], st["attemptId"])
+            if key in seen:
+                continue
+            seen.add(key)
+            url = f"{base}/api/v1/applications/{app}/stages/{key[0]}/{key[1]}/taskSummary?quantiles=1.0"
+            with urllib.request.urlopen(url) as r:
+                ts = _json.load(r)
+            mx = max(mx, float(ts.get("duration", [0.0])[0]))
+    except Exception:  # noqa: BLE001 — metrics are best-effort
+        return float("nan")
+    return mx
+
+
 def main() -> None:
     spark = get_spark("skew-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")), ui=True)
     REGISTRY["q1_pricing_summary"].fn(spark, BASE).count()  # warmup
@@ -91,9 +122,12 @@ def main() -> None:
     from lakehouse_architecture_transaction_spark.plans import REGISTRY as _R  # noqa: F401
     from tools.scale_probe import shuffle_write_bytes
 
+    seen_stages: set = set()
+    max_task_ms(spark, seen_stages)  # baseline: absorb warmup/build stages
+
     rows = []
     for name in PROBES:
-        t, sh = {}, {}
+        t, sh, mt = {}, {}, {}
         for v, d in dirs.items():
             best = float("inf")
             s0 = shuffle_write_bytes(spark)
@@ -105,20 +139,30 @@ def main() -> None:
             s1 = shuffle_write_bytes(spark)
             sh[v] = (s1 - s0) / 3 / 1e6 if s0 >= 0 and s1 >= 0 else float("nan")
             t[v] = best
+            # max over the 3 runs' stages: the per-task ceiling
+            mt[v] = max_task_ms(spark, seen_stages) / 1e3
         ratio = t["skewed"] / t["uniform"] if t["uniform"] else float("nan")
-        rows.append((name, t["uniform"], t["skewed"], ratio, sh["uniform"], sh["skewed"]))
+        mratio = mt["skewed"] / mt["uniform"] if mt["uniform"] else float("nan")
+        rows.append(
+            (name, t["uniform"], t["skewed"], ratio, sh["uniform"], sh["skewed"],
+             mt["uniform"], mt["skewed"], mratio)
+        )
         print(
             f"{name:32s} uniform={t['uniform']:.2f}s/{sh['uniform']:.1f}MB "
-            f"skewed={t['skewed']:.2f}s/{sh['skewed']:.1f}MB ratio={ratio:.1f}x",
+            f"skewed={t['skewed']:.2f}s/{sh['skewed']:.1f}MB ratio={ratio:.1f}x "
+            f"maxtask={mt['uniform']:.2f}s->{mt['skewed']:.2f}s ({mratio:.1f}x)",
             flush=True,
         )
 
     lines = [
-        "| query | uniform (s · MB) | skewed (s · MB) | time skew/uniform |",
-        "|---|---|---|---|",
+        "| query | uniform (s · MB) | skewed (s · MB) | time skew/uniform | max task (s) u→s | max-task ratio |",
+        "|---|---|---|---|---|---|",
     ]
-    for name, u, s, r, su, ss in rows:
-        lines.append(f"| `{name}` | {u:.2f} · {su:.1f} | {s:.2f} · {ss:.1f} | {r:.1f}× |")
+    for name, u, s, r, su, ss, mu, ms, mr in rows:
+        lines.append(
+            f"| `{name}` | {u:.2f} · {su:.1f} | {s:.2f} · {ss:.1f} | {r:.1f}× "
+            f"| {mu:.2f} → {ms:.2f} | {mr:.1f}× |"
+        )
     table = "\n".join(lines)
     print(table)
     if "--update-md" in sys.argv:
@@ -137,7 +181,11 @@ def _update_md(table: str) -> None:
         f"fact's join/window key collapsed onto ONE hot key (events.user_id,\n"
         f"orders.o_custkey, lineitem.l_partkey, documents.source); per-query\n"
         f"min of 3 runs. ratio ≈ 1 ⇒ the plan's parallelism does not depend\n"
-        f"on the key distribution; > 2 flags a hot-key funnel.\n\n{table}\n{END}"
+        f"on the key distribution; > 2 flags a hot-key funnel. The max-task\n"
+        f"column is the per-task duration ceiling across that cell's runs\n"
+        f"(stage metrics API): wall-clock flatness can hide a straggler that\n"
+        f"32 idle slots absorb at sf0.1 but 1000 busy executors would not —\n"
+        f"a max-task ratio ≫ the wall ratio is the hidden-funnel signal.\n\n{table}\n{END}"
     )
     txt = open(path).read()
     if BEGIN in txt and END in txt:
