@@ -157,6 +157,44 @@ def boilerplate_score(
     )
 
 
+def shingle_novelty(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Per-document shingle novelty against the id-ordered corpus
+    prefix: the fraction of a doc's distinct n-gram shingles whose
+    FIRST occurrence (minimum doc id) is the doc itself — the
+    incremental-crawl dedup signal ("how much of this page is new
+    text?") that catches template farms and scraped mirrors that
+    whole-doc and pairwise dedup both miss when every page differs a
+    little.
+
+    Plan: one shingle-keyed aggregate for per-shingle min-id, one
+    shingle-keyed join back, one doc-keyed aggregate — every shuffle
+    bounded by the (doc, shingle) pair count, no pairwise stage at
+    all (cost is linear where contamination_pairs is match-bounded).
+    novelty_ratio is one double division of exact BIGINTs. Docs with
+    < n tokens have no shingles and no output row (same absence rule
+    as hash_embed)."""
+    sh = _doc_shingles(df, text_col, id_col, n)
+    firsts = sh.groupBy("shingle").agg(F.min(id_col).alias("__first"))
+    per_doc = (
+        sh.join(firsts, on="shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("__first") < F.col(id_col), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_seen"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_shingles",
+        "n_seen",
+        ((F.col("n_shingles") - F.col("n_seen")).cast("double") / F.col("n_shingles")).alias(
+            "novelty_ratio"
+        ),
+    )
+
+
 def contamination_pairs(
     train: DataFrame,
     test: DataFrame,

@@ -638,6 +638,94 @@ def script_profile(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return docs.select(*cols)
 
 
+#: Gopher quality-rule bounds (Rae et al. 2021, table A1 subset that
+#: is computable row-locally and cross-engine-exactly). Published as
+#: module constants so the filter is a pure function of the document.
+GOPHER_BOUNDS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_ratio": 0.1,
+    "max_bullet_ratio": 0.9,
+    "min_alpha_word_ratio": 0.8,
+    "min_stop_hits": 2,
+}
+
+
+def gopher_quality_flags(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al. 2021): the
+    classic pre-model curation gate — word-count bounds, mean word
+    length bounds, symbol-to-word ratio, bullet-line fraction,
+    alphabetic-word fraction, and the ≥2-distinct-stopwords test.
+    Emits every per-rule measurement plus ``passes_gopher`` (0/1), so
+    downstream can both filter and audit WHICH rule rejected a doc.
+
+    Cross-engine determinism: every numerator/denominator is an exact
+    BIGINT count; each ratio is ONE double division; bound comparisons
+    then see identical doubles in both engines. Row-local, zero
+    shuffles — at 100 TB this is a map-only pass over the corpus.
+    """
+    b = GOPHER_BOUNDS
+    staged = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        tokens_expr(text_col).alias("__tk"),
+        F.split(F.col(text_col), "\n").alias("__ln"),
+    ).select(
+        F.col(id_col),
+        F.col(text_col),
+        "__tk",
+        "__ln",
+        F.expr("transform(__tk, t -> lower(t))").alias("__lt"),
+        F.size("__tk").cast("bigint").alias("n_words"),
+    )
+    stop_list = F.array(*[F.lit(w) for w in LEXICON["en"]])
+    n1 = F.greatest(F.col("n_words"), F.lit(1))
+    mean_wl = (
+        F.expr(
+            "aggregate(transform(__tk, t -> CAST(length(t) AS BIGINT)), CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).cast("double")
+        / n1
+    )
+    symbol_ratio = (
+        (F.regexp_count(F.col(text_col), F.lit("#")) + F.regexp_count(F.col(text_col), F.lit("\\.\\.\\.")))
+        .cast("bigint")
+        .cast("double")
+        / n1
+    )
+    bullet_ratio = (
+        F.size(F.expr("filter(__ln, l -> l rlike '^\\\\s*[-*•]')")).cast("bigint").cast("double")
+        / F.greatest(F.size("__ln"), F.lit(1))
+    )
+    alpha_ratio = (
+        F.size(F.expr("filter(__tk, t -> t rlike '[A-Za-z]')")).cast("bigint").cast("double") / n1
+    )
+    stop_hits = F.size(F.filter(stop_list, lambda s: F.array_contains(F.col("__lt"), s))).cast(
+        "bigint"
+    )
+    m = staged.select(
+        F.col(id_col),
+        "n_words",
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        stop_hits.alias("n_stop_hits"),
+    )
+    passes = (
+        (F.col("n_words") >= b["min_words"])
+        & (F.col("n_words") <= b["max_words"])
+        & (F.col("mean_word_len") >= b["min_mean_word_len"])
+        & (F.col("mean_word_len") <= b["max_mean_word_len"])
+        & (F.col("symbol_ratio") <= b["max_symbol_ratio"])
+        & (F.col("bullet_ratio") <= b["max_bullet_ratio"])
+        & (F.col("alpha_word_ratio") >= b["min_alpha_word_ratio"])
+        & (F.col("n_stop_hits") >= b["min_stop_hits"])
+    )
+    return m.withColumn("passes_gopher", F.when(passes, F.lit(1)).otherwise(F.lit(0)).cast("bigint"))
+
+
 def paragraph_dups(docs: DataFrame, id_col: str, text_col: str, min_chars: int = 30) -> DataFrame:
     """Cross-document duplicate PARAGRAPHS: split on blank lines, hash
     each paragraph (md5 — engine-portable), and keep hashes appearing

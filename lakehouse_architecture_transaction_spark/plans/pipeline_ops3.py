@@ -1,7 +1,9 @@
 """Round-6 registered queries: the queued text/sampling operators
 (hash_embed, quality_logistic_score, script_profile, paragraph_dups,
-grouped_fold_assign) plus the sketch-accuracy companion that makes the
-approximate-sketch path (A16) driver-checkable.
+grouped_fold_assign), the sketch-accuracy companion that makes the
+approximate-sketch path (A16) driver-checkable, and two new curation
+operators (Gopher rule-based quality filtering, shingle novelty vs
+the corpus prefix).
 
 Reference parity: these extend the reference's single-table curation
 surface (reference scripts/glue/script.py reads → validates → writes)
@@ -16,9 +18,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_architecture_transaction_spark.catalog import load_table
+from lakehouse_architecture_transaction_spark.operators import dedup as D
 from lakehouse_architecture_transaction_spark.operators import sampling as SA
 from lakehouse_architecture_transaction_spark.operators import text as T
-from lakehouse_architecture_transaction_spark.plans.pipeline_ops import _STOPS_SQL, _TOKENS
+from lakehouse_architecture_transaction_spark.plans.pipeline_ops import (
+    _DOC_SHINGLES,
+    _STOPS_SQL,
+    _TOKENS,
+)
 from lakehouse_architecture_transaction_spark.plans.registry import register
 
 _HE_DIM = 16  # hash_embed width for the registered query
@@ -289,3 +296,84 @@ def events_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _gopher_oracle() -> str:
+    b = T.GOPHER_BOUNDS
+    return f"""
+    WITH base AS (
+        SELECT doc_id, text, {_TOKENS} AS tk, string_split(text, chr(10)) AS ln
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(tk) AS BIGINT) AS n_words,
+               CAST(CASE WHEN len(tk) = 0 THEN 0 ELSE
+                    list_reduce(list_transform(tk, t -> CAST(length(t) AS BIGINT)),
+                                (a, x) -> a + x) END AS DOUBLE)
+                   / greatest(len(tk), 1) AS mean_word_len,
+               CAST(CAST(len(regexp_extract_all(text, '#'))
+                    + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS DOUBLE)
+                   / greatest(len(tk), 1) AS symbol_ratio,
+               CAST(CAST(len(list_filter(ln, l -> regexp_matches(l, '^\\s*[-*•]'))) AS BIGINT) AS DOUBLE)
+                   / greatest(len(ln), 1) AS bullet_ratio,
+               CAST(CAST(len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS DOUBLE)
+                   / greatest(len(tk), 1) AS alpha_word_ratio,
+               CAST(len(list_filter({_STOPS_SQL},
+                    s -> list_contains(list_transform(tk, t -> lower(t)), s))) AS BIGINT) AS n_stop_hits
+        FROM base
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+           alpha_word_ratio, n_stop_hits,
+           CAST(CASE WHEN n_words >= {b["min_words"]} AND n_words <= {b["max_words"]}
+                      AND mean_word_len >= {b["min_mean_word_len"]}
+                      AND mean_word_len <= {b["max_mean_word_len"]}
+                      AND symbol_ratio <= {b["max_symbol_ratio"]}
+                      AND bullet_ratio <= {b["max_bullet_ratio"]}
+                      AND alpha_word_ratio >= {b["min_alpha_word_ratio"]}
+                      AND n_stop_hits >= {b["min_stop_hits"]}
+                THEN 1 ELSE 0 END AS BIGINT) AS passes_gopher
+    FROM m ORDER BY doc_id ASC
+    """
+
+
+@register("docs_gopher_quality", oracle=_gopher_oracle())
+def docs_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter (operators/text.py
+    gopher_quality_flags — Rae et al. 2021 table-A1 subset): word
+    count, mean word length, symbol-to-word, bullet-line fraction,
+    alphabetic-word fraction, ≥2-distinct-stopword test, plus the
+    combined 0/1 verdict — the classic pre-model curation gate,
+    emitted with per-rule measurements so rejections are auditable.
+    Exact-integer numerators, one double division per ratio —
+    map-only over the corpus, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return T.gopher_quality_flags(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "docs_shingle_novelty",
+    oracle=f"""
+    WITH {_DOC_SHINGLES},
+    f AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+    p AS (
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+        FROM sh s JOIN f USING (shingle) GROUP BY 1
+    )
+    SELECT doc_id, n_shingles, n_seen,
+           CAST(n_shingles - n_seen AS DOUBLE) / n_shingles AS novelty_ratio
+    FROM p ORDER BY doc_id ASC
+    """,
+)
+def docs_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle novelty vs the id-ordered corpus prefix
+    (operators/dedup.py shingle_novelty): fraction of each doc's
+    distinct 3-gram shingles first seen in an earlier doc — the
+    incremental-crawl signal that catches template farms and scraped
+    mirrors where every page differs slightly. Linear cost: one
+    shingle-keyed min-id aggregate, one shingle join-back, one
+    doc-keyed aggregate — no pairwise stage."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return D.shingle_novelty(docs, "text", "doc_id", n=3).orderBy("doc_id")

@@ -891,3 +891,39 @@ def test_grouped_fold_assign_null_group_gets_a_fold(spark):
     assert all(r["fold"] is not None and 0 <= r["fold"] < 5 for r in out)
     null_folds = {r["fold"] for r in out if r["id"] in (1, 2)}
     assert len(null_folds) == 1
+
+
+def test_shingle_novelty_semantics(spark):
+    from lakehouse_architecture_transaction_spark.operators.dedup import shingle_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),     # all shingles first here
+            (1, "alpha beta gamma delta epsilon"),     # exact dup -> novelty 0
+            (2, "alpha beta gamma zeta eta theta"),    # shares the first shingle only
+            (3, "xy"),                                 # < 3 tokens -> no row
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in shingle_novelty(docs, "text", "doc_id", n=3).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0]["novelty_ratio"] == 1.0 and out[0]["n_seen"] == 0
+    assert out[1]["novelty_ratio"] == 0.0 and out[1]["n_seen"] == out[1]["n_shingles"]
+    # doc 2: shingles "alpha beta gamma" seen (from doc 0), rest new
+    assert out[2]["n_seen"] == 1 and 0.0 < out[2]["novelty_ratio"] < 1.0
+
+
+def test_gopher_quality_flags_semantics(spark):
+    from lakehouse_architecture_transaction_spark.operators.text import gopher_quality_flags
+
+    good = "the quick brown fox jumps over a lazy dog and it is that " * 5  # 65 words, stops
+    bad_symbols = "#tag " * 60  # symbol ratio 1.0, no stop words
+    short = "too short"
+    docs = spark.createDataFrame(
+        [(0, good), (1, bad_symbols), (2, short)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_flags(docs, "doc_id", "text").collect()}
+    assert out[0]["passes_gopher"] == 1
+    assert out[0]["n_words"] == 65 and out[0]["n_stop_hits"] >= 2
+    assert out[1]["passes_gopher"] == 0 and out[1]["symbol_ratio"] > 0.1
+    assert out[2]["passes_gopher"] == 0 and out[2]["n_words"] == 2
