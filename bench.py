@@ -88,6 +88,7 @@ HEADLINE_FAMILIES: dict[str, str] = {
     "docs_chunk_dup_docs": "dedup",
     "docs_dup_cluster_sizes": "dedup",
     "docs_minhash_jaccard_est": "dedup",
+    "docs_shingle_novelty": "dedup",
     "emb_semantic_dedup": "dedup",
     "docs_lsh_precision": "dedup",
     "docs_lsh_recall": "dedup",
@@ -103,6 +104,8 @@ HEADLINE_FAMILIES: dict[str, str] = {
     "docs_sentence_chunks": "text",
     "docs_rare_shingle_score": "text",
     "docs_top_quality_per_source": "text",
+    "docs_hash_embed": "text",
+    "docs_gopher_quality": "text",
     # sampling / sharding
     "docs_shuffled_batches": "sampling",
     "docs_source_mixture_sample": "sampling",

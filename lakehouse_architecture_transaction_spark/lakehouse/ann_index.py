@@ -1,5 +1,6 @@
-"""Persisted ANN index: IVF centroids/inverted lists and PQ
-codes/codebooks as versioned LakeTables.
+"""Persisted ANN index: IVF centroids/inverted lists, PQ
+codes/codebooks, and the variance-bit sign-LSH bucketed corpus as
+versioned LakeTables.
 
 At 100 TB a vector index is not a session artifact — training the
 coarse quantizer and PQ codebooks is iters × corpus-scans plus
@@ -60,6 +61,9 @@ class AnnIndexStore:
         )
         self.pq_books = LakeTable(
             spark, os.path.join(base_path, "pq_books"), keys=["s", "cluster"], versioned=True
+        )
+        self.lsh_corpus = LakeTable(
+            spark, os.path.join(base_path, "lsh_corpus"), keys=["vec_id"], versioned=True
         )
 
     # -- manifest ------------------------------------------------------
@@ -143,6 +147,24 @@ class AnnIndexStore:
             "PQ", {"m": m, "dsub": dsub, "k": k, "iters": iters}, self.read_meta().get("pq", {})
         )
         return self.pq_codes.read(), self.pq_books.read()
+
+
+    # -- sign-LSH ------------------------------------------------------
+
+    def save_lsh(self, bucketed: DataFrame, *, bits: int) -> dict[str, int]:
+        """Commit the variance-bit sign-LSH index (lsh_var_build
+        output: vec_id, embedding, __bkt, __n2 — the bucketed corpus,
+        FAISS-style vectors-in-index like ivf_corpus)."""
+        versions = {"lsh_corpus": self.lsh_corpus._commit(bucketed, operation="index-build")}
+        self._merge_meta({"lsh": {"bits": bits}})
+        return versions
+
+    def has_lsh(self) -> bool:
+        return "lsh" in self.read_meta() and self.lsh_corpus.exists()
+
+    def load_lsh(self, *, bits: int) -> DataFrame:
+        self._check_params("LSH", {"bits": bits}, self.read_meta().get("lsh", {}))
+        return self.lsh_corpus.read()
 
 
 def default_store(spark: SparkSession, sf_dir: str) -> AnnIndexStore | None:

@@ -1029,6 +1029,14 @@ def _lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = _LSH_INDEX_MEMO.get(key)
     if got is not None:
         return got
+    # Persisted index first — same contract as _ivf_index below.
+    from lakehouse_architecture_transaction_spark.lakehouse.ann_index import default_store
+
+    store = default_store(spark, sf_dir)
+    if store is not None and store.has_lsh():
+        built = store.load_lsh(bits=_LSHV_BITS)
+        _LSH_INDEX_MEMO[key] = built
+        return built
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
     bucketed = S.lsh_var_build(
         emb, id_col="vec_id", vec_col="embedding", bits=_LSHV_BITS

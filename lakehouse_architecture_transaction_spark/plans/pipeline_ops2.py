@@ -841,7 +841,9 @@ def build_persisted_ann_index(spark: SparkSession, sf_dir: str, base_path: str) 
     from lakehouse_architecture_transaction_spark.plans.pipeline_ops import (
         _IVF_CELLS,
         _IVF_ITERS,
+        _LSHV_BITS,
         _ivf_index,
+        _lsh_index,
     )
 
     store = AnnIndexStore(
@@ -851,6 +853,7 @@ def build_persisted_ann_index(spark: SparkSession, sf_dir: str, base_path: str) 
     versions = store.save_ivf(cent, corpus, n_cells=_IVF_CELLS, iters=_IVF_ITERS)
     codes, books = _pq_index(spark, sf_dir)
     versions.update(store.save_pq(codes, books, m=_PQ_M, dsub=_PQ_DSUB, k=_PQ_K, iters=_PQ_ITERS))
+    versions.update(store.save_lsh(_lsh_index(spark, sf_dir), bits=_LSHV_BITS))
     return versions
 
 

@@ -23,6 +23,7 @@ def _clear_memos():
     from lakehouse_architecture_transaction_spark.plans import pipeline_ops, pipeline_ops2
 
     pipeline_ops._IVF_INDEX_MEMO.clear()
+    pipeline_ops._LSH_INDEX_MEMO.clear()
     pipeline_ops2._PQ_INDEX_MEMO.clear()
     pipeline_ops2._PQ_PACKED_MEMO.clear()
 
@@ -54,14 +55,16 @@ def test_persisted_index_roundtrip_bit_identical(spark, sf_dir, tmp_path, index_
     # Fresh in-process build (no store on disk yet → trains).
     expected_ivfpq = _rows(REGISTRY["emb_ann_ivfpq"].fn(spark, sf_dir))
     expected_ivf = _rows(REGISTRY["emb_ann_ivf"].fn(spark, sf_dir))
+    expected_lsh = _rows(REGISTRY["emb_ann_lsh"].fn(spark, sf_dir))
 
     versions = build_persisted_ann_index(spark, sf_dir, index_env)
-    assert set(versions) == {"ivf_centroids", "ivf_corpus", "pq_codes", "pq_books"}
+    assert set(versions) == {"ivf_centroids", "ivf_corpus", "pq_codes", "pq_books", "lsh_corpus"}
 
     # Drop the session memos: the next call must LOAD the store.
     _clear_memos()
     assert _rows(REGISTRY["emb_ann_ivfpq"].fn(spark, sf_dir)) == expected_ivfpq
     assert _rows(REGISTRY["emb_ann_ivf"].fn(spark, sf_dir)) == expected_ivf
+    assert _rows(REGISTRY["emb_ann_lsh"].fn(spark, sf_dir)) == expected_lsh
 
 
 def test_persisted_index_refresh_is_a_commit(spark, sf_dir, index_env):
@@ -97,6 +100,8 @@ def test_persisted_index_refuses_hyperparameter_mismatch(spark, sf_dir, index_en
         store.load_ivf(n_cells=99, iters=2)
     with pytest.raises(ValueError, match="different hyperparameters"):
         store.load_pq(m=2, dsub=32, k=8, iters=2)
+    with pytest.raises(ValueError, match="different hyperparameters"):
+        store.load_lsh(bits=3)
 
 
 _NEW_SESSION_SCRIPT = r"""
