@@ -233,7 +233,7 @@ def main() -> None:
         "runs_per_query": runs,
         "aggregation": "min",
         "anchor_s": anchor_s,
-        "anchor_def": f"min-of-{runs} sum(xxhash64(id)) over range({ANCHOR_ROWS})",
+        "anchor_def": f"min-of-{runs} bit_xor(xxhash64(id)) over range({ANCHOR_ROWS})",
     }
     # Full per-query record → bench_full.json (the driver's harness
     # captures only the LAST 2000 chars of stdout — round 4's 78-query
