@@ -456,3 +456,29 @@ def test_registered_bucketed_join_zero_exchange_on_keys(spark, sf_dir):
         assert df.count() >= 1
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_zorder_registered_scan_skips_files(spark, sf_dir):
+    # the REGISTERED query path (lineitem_zorder_pruned_scan) must
+    # actually skip files, not just return correct rows
+    from lakehouse_architecture_transaction_spark.plans.lakehouse_queries import (
+        zorder_scan_report,
+    )
+
+    report = zorder_scan_report(spark, sf_dir)
+    assert report["files_read"] < report["files_total"]
+    assert report["files_read"] >= 1
+
+
+def test_cdc_registered_table_has_two_versions(spark, sf_dir):
+    from lakehouse_architecture_transaction_spark.plans.lakehouse_queries import (
+        cdc_orders_table,
+    )
+
+    t = cdc_orders_table(spark, sf_dir)
+    assert t.latest_version() == 1
+    ops = [e["operation"] for e in t.describe_history()]
+    assert ops[-1] == "create"  # v0
+    # diff is empty between identical versions and non-empty v0->v1
+    assert t.diff(1, 1).count() == 0
+    assert t.diff(0, 1).count() > 0
