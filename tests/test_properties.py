@@ -476,3 +476,87 @@ def test_hash_embed_matches_python_reference_fuzz(spark, words):
         assert rows == [] or list(rows[0]["embedding"]) == [0.0] * dim
     else:
         assert list(rows[0]["embedding"]) == want
+
+
+@_SETTINGS
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_gopher_flags_match_python_oracle(spark, texts):
+    # passes_gopher must equal the conjunction of its own emitted
+    # rule measurements — the combined verdict can never disagree
+    # with the audit columns it ships alongside.
+    from lakehouse_architecture_transaction_spark.operators.text import (
+        GOPHER_BOUNDS as B,
+        gopher_quality_flags,
+    )
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    for r in gopher_quality_flags(docs, "doc_id", "text").collect():
+        want = int(
+            B["min_words"] <= r["n_words"] <= B["max_words"]
+            and B["min_mean_word_len"] <= r["mean_word_len"] <= B["max_mean_word_len"]
+            and r["symbol_ratio"] <= B["max_symbol_ratio"]
+            and r["bullet_ratio"] <= B["max_bullet_ratio"]
+            and r["alpha_word_ratio"] >= B["min_alpha_word_ratio"]
+            and r["n_stop_hits"] >= B["min_stop_hits"]
+        )
+        assert r["passes_gopher"] == want
+        for c in ("symbol_ratio", "bullet_ratio", "alpha_word_ratio"):
+            assert r[c] >= 0.0
+
+
+@_SETTINGS
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=40), min_size=1, max_size=8
+    )
+)
+def test_shingle_novelty_bounds_and_first_doc_full(spark, texts):
+    # ratio in [0,1]; the LOWEST doc id holding any shingles is fully
+    # novel by the min-id definition; n_seen <= n_shingles always.
+    from lakehouse_architecture_transaction_spark.operators.dedup import shingle_novelty
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rows = shingle_novelty(docs, "text", "doc_id", n=2).collect()
+    if not rows:
+        return
+    for r in rows:
+        assert 0 <= r["n_seen"] <= r["n_shingles"]
+        assert 0.0 <= r["novelty_ratio"] <= 1.0
+    first = min(r["doc_id"] for r in rows)
+    fr = next(r for r in rows if r["doc_id"] == first)
+    assert fr["n_seen"] == 0 and fr["novelty_ratio"] == 1.0
+
+
+@_SETTINGS
+@given(
+    groups=st.lists(
+        st.one_of(st.none(), st.text(max_size=8)), min_size=1, max_size=15
+    ),
+    k=st.integers(2, 7),
+)
+def test_grouped_fold_assign_total_coherent_subset_stable(spark, groups, k):
+    # every row folded (nulls included), folds coherent per group, and
+    # any subset assigns identically (incremental-ingest stability).
+    from lakehouse_architecture_transaction_spark.operators.sampling import grouped_fold_assign
+
+    rows = [(i, g) for i, g in enumerate(groups)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    out = grouped_fold_assign(df, "g", k=k).collect()
+    assert len(out) == len(rows)
+    by_group: dict = {}
+    for r in out:
+        assert r["fold"] is not None and 0 <= r["fold"] < k
+        by_group.setdefault(r["g"], set()).add(r["fold"])
+    assert all(len(v) == 1 for v in by_group.values())
+    sub = grouped_fold_assign(df.filter("id % 2 = 0"), "g", k=k).collect()
+    folds = {g: next(iter(v)) for g, v in by_group.items()}
+    assert all(r["fold"] == folds[r["g"]] for r in sub)

@@ -91,6 +91,11 @@ PROBES = [
     "scd2_customer_history",
     "orders_market_basket",
     "emb_ann_ivf",
+    # round-6 additions: hash-embed pack, prefix-novelty join-back,
+    # map-only rule filter (the new curation shapes)
+    "docs_hash_embed",
+    "docs_shingle_novelty",
+    "docs_gopher_quality",
 ]
 
 
