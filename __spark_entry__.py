@@ -31,9 +31,12 @@ def _check_history() -> dict[str, tuple[int, int]]:
     The driver's correctness gate truncates at 50 entries in dict
     order, so with >50 registered queries a fixed order would leave a
     permanent never-checked tail (round 2 left 13 queries without a
-    driver row). Ordering by (fewest checks, least recently checked)
-    rotates coverage: every query cycles through the gate across
-    rounds, and staleness breaks ties.
+    driver row). Ordering is STALENESS-FIRST (least recently checked,
+    then fewest checks): round 6 flipped the key order after the
+    (fewest-checks-first) variant let 23 twice-checked round-2 queries
+    sort BEHIND once-checked round-3/4 ones and miss the gate — the
+    re-check horizon is bounded by the oldest last-green round, which
+    only the staleness-major key minimizes.
     """
     hist: dict[str, tuple[int, int]] = {}
     here = os.path.dirname(os.path.abspath(__file__))
@@ -54,7 +57,10 @@ def _ordered_names() -> list[str]:
     hist = _check_history()
     names = list(REGISTRY)
     reg_pos = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (*hist.get(n, (0, 0)), reg_pos[n]))
+    return sorted(
+        names,
+        key=lambda n: (hist.get(n, (0, 0))[1], hist.get(n, (0, 0))[0], reg_pos[n]),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
