@@ -106,8 +106,8 @@ class AnnIndexStore:
         a new version on both tables — ``ivf_corpus.diff(v)`` then
         yields exactly the vectors whose cell assignment changed."""
         versions = {
-            "ivf_centroids": self.ivf_centroids._commit(cent, operation="index-build"),
-            "ivf_corpus": self.ivf_corpus._commit(corpus, operation="index-build"),
+            "ivf_centroids": self.ivf_centroids.overwrite(cent, operation="index-build"),
+            "ivf_corpus": self.ivf_corpus.overwrite(corpus, operation="index-build"),
         }
         self._merge_meta({"ivf": {"n_cells": n_cells, "iters": iters}})
         return versions
@@ -133,8 +133,8 @@ class AnnIndexStore:
         """Commit a trained PQ index (product_quantize long forms:
         codes (vec_id, subspace, code), books (s, cluster, __cvec))."""
         versions = {
-            "pq_codes": self.pq_codes._commit(codes, operation="index-build"),
-            "pq_books": self.pq_books._commit(books, operation="index-build"),
+            "pq_codes": self.pq_codes.overwrite(codes, operation="index-build"),
+            "pq_books": self.pq_books.overwrite(books, operation="index-build"),
         }
         self._merge_meta({"pq": {"m": m, "dsub": dsub, "k": k, "iters": iters}})
         return versions
@@ -155,7 +155,7 @@ class AnnIndexStore:
         """Commit the variance-bit sign-LSH index (lsh_var_build
         output: vec_id, embedding, __bkt, __n2 — the bucketed corpus,
         FAISS-style vectors-in-index like ivf_corpus)."""
-        versions = {"lsh_corpus": self.lsh_corpus._commit(bucketed, operation="index-build")}
+        versions = {"lsh_corpus": self.lsh_corpus.overwrite(bucketed, operation="index-build")}
         self._merge_meta({"lsh": {"bits": bits}})
         return versions
 

@@ -237,6 +237,19 @@ class LakeTable:
             return
         self._write(df, self.path)
 
+    def overwrite(self, df: DataFrame, operation: str = "overwrite") -> int:
+        """Full-replace commit: the whole table becomes ``df`` as a
+        NEW snapshot (versioned tables keep history — ``diff()``
+        between overwrite commits yields the replacement delta). The
+        refresh primitive for derived tables (e.g. the persisted ANN
+        index, lakehouse/ann_index.py) where merge-on-key semantics
+        would never delete rows that fell out of the new build."""
+        self._check_constraints(df)
+        if self.versioned:
+            return self._commit(df, operation=operation)
+        self._write(df, self.path)
+        return 0
+
     def upsert(self, source: DataFrame, evolve_schema: bool = False) -> None:
         """MERGE ``source`` on the key columns; creates on first call
         (reference scripts/glue/script.py:202-216 try-merge-except-create).

@@ -341,9 +341,7 @@ def cdc_orders_table(spark: SparkSession, sf_dir: str):
         )
         t.upsert(updates.unionByName(inserts))  # v1
         _CDC_MEMO[key] = path
-    from lakehouse_architecture_transaction_spark.lakehouse.table import LakeTable as _LT
-
-    return _LT(spark, path, keys=["o_orderkey"], versioned=True)
+    return LakeTable(spark, path, keys=["o_orderkey"], versioned=True)
 
 
 @register(
