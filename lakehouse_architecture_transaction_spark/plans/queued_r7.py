@@ -1,0 +1,198 @@
+"""Queued round-7 registrations: implemented + oracle-verified now
+(tests/test_oracle_parity.py previews), registered next round inside
+the ≤10/round rotation budget — the same queue discipline that carried
+hash_embed/script_profile/paragraph_dups from round 5 into round 6.
+
+Each entry is a plain ``(spark, sf_dir) -> DataFrame`` plus its DuckDB
+oracle string; round-7 registration is a copy-paste into a
+``@register`` decorator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_transaction_spark.catalog import load_table
+from lakehouse_architecture_transaction_spark.operators import sampling as SA
+from lakehouse_architecture_transaction_spark.operators import text as T
+
+_CUR_FOLDS = 5
+
+CURATION_PIPELINE_ORACLE = None  # composed in tests from the building blocks
+
+
+def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline as ONE declarative query:
+    Gopher rule filter → exact dedup (md5 text groups, min-id keeps) →
+    group-coherent fold assignment → per-(fold, source) corpus stats.
+    This is the composition story: every stage is an existing operator
+    (gopher_quality_flags, md5 keep-best, grouped_fold_assign), chained
+    lazily so Catalyst sees one plan — filters before the dedup
+    shuffle, the fold hash row-local, ONE aggregate at the end.
+
+    Scale shape: the only shuffles are the md5-keyed dedup aggregate
+    and the final (fold, source) aggregate; everything else is
+    map-only over the corpus."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    flags = T.gopher_quality_flags(docs, "doc_id", "text").select("doc_id", "passes_gopher")
+    kept = docs.join(flags, "doc_id").filter(F.col("passes_gopher") == 1)
+    w = Window.partitionBy(F.md5("text")).orderBy(F.col("doc_id").asc())
+    deduped = kept.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    folded = SA.grouped_fold_assign(deduped, "source", k=_CUR_FOLDS)
+    return (
+        folded.groupBy("fold", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        )
+        .orderBy("fold", "source")
+    )
+
+
+def events_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume anomalies: flag (event_type, day) cells
+    whose count deviates from the per-type MEDIAN by more than 3× the
+    median absolute deviation — the robust twin of the 2σ z-test
+    (events_daily_anomalies), immune to the anomalies polluting their
+    own baseline. Both medians are LOWER-median rank selections
+    (element at ceil(n/2) in sorted order) over exact integer counts,
+    so every value crossing the engine boundary is an exact BIGINT —
+    no interpolation, no variance formula, bit-replayable.
+
+    Scale shape: daily counts aggregate (map-side combined), then two
+    event_type-partitioned rank windows at days×types cardinality —
+    the windows never touch raw events."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    wc = Window.partitionBy("event_type")
+    wn = Window.partitionBy("event_type").orderBy(F.col("n").asc(), F.col("day").asc())
+    med = (
+        daily.withColumn("__nd", F.count("*").over(wc))
+        .withColumn("__rn", F.row_number().over(wn))
+        .withColumn("med", F.max(F.when(F.col("__rn") == F.ceil(F.col("__nd") / 2), F.col("n"))).over(wc))
+    )
+    wa = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("n") - F.col("med")).asc(), F.col("day").asc()
+    )
+    mad = (
+        med.withColumn("__ra", F.row_number().over(wa))
+        .withColumn(
+            "mad",
+            F.max(
+                F.when(F.col("__ra") == F.ceil(F.col("__nd") / 2), F.abs(F.col("n") - F.col("med")))
+            ).over(wc),
+        )
+    )
+    return (
+        mad.filter(F.abs(F.col("n") - F.col("med")) > 3 * F.col("mad"))
+        .select(
+            "event_type",
+            F.col("day").cast("timestamp_ntz").alias("day"),
+            F.col("n").alias("n_events"),
+            "med",
+            "mad",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+EVENTS_MAD_ORACLE = """
+WITH daily AS (
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+r AS (
+    SELECT *, COUNT(*) OVER (PARTITION BY event_type) AS nd,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n ASC, day ASC) AS rn
+    FROM daily
+),
+m AS (
+    SELECT *, MAX(CASE WHEN rn = CAST(ceil(CAST(nd AS DOUBLE) / 2) AS BIGINT) THEN n END)
+                  OVER (PARTITION BY event_type) AS med
+    FROM r
+),
+a AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY abs(n - med) ASC, day ASC) AS ra
+    FROM m
+),
+d AS (
+    SELECT *, MAX(CASE WHEN ra = CAST(ceil(CAST(nd AS DOUBLE) / 2) AS BIGINT)
+                       THEN abs(n - med) END)
+                  OVER (PARTITION BY event_type) AS mad
+    FROM a
+)
+SELECT event_type, day, n AS n_events, med, mad
+FROM d WHERE abs(n - med) > 3 * mad
+ORDER BY event_type ASC, day ASC
+"""
+
+
+def customer_mktseg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment Gini coefficient of customer spend — the
+    inequality/concentration metric a revenue-analytics user computes
+    over every segmentation. Uses the rank-sum identity
+    G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) with x ascending: spend
+    totals are exact DECIMAL sums, ranks are exact integers, Σ i·xᵢ is
+    an exact DECIMAL sum of products, and G is one fixed chain of
+    double ops on identical exact inputs — bit-replayable. Tie order
+    (equal spends) cannot change Σ i·xᵢ, so the rank tiebreak is
+    value-neutral.
+
+    Scale shape: spend aggregate at customer cardinality, one
+    segment-partitioned rank window, one segment aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)))").alias("spend"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("spend").asc(), F.col("o_custkey").asc())
+    ranked = spend.withColumn("i", F.row_number().over(w))
+    agg = ranked.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("spend").alias("__s0"),
+        F.sum(F.col("i") * F.col("spend")).alias("__s1"),
+    )
+    s0 = F.col("__s0").cast("double")
+    s1 = F.col("__s1").cast("double")
+    n = F.col("n_customers").cast("double")
+    return agg.select(
+        "c_mktsegment",
+        "n_customers",
+        F.col("__s0").cast("decimal(18,2)").cast("double").alias("total_spend"),
+        ((F.lit(2.0) * s1 - (n + F.lit(1.0)) * s0) / (n * s0)).alias("gini"),
+    ).orderBy("c_mktsegment")
+
+
+CUSTOMER_GINI_ORACLE = """
+WITH spend AS (
+    SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+    FROM orders GROUP BY 1
+),
+j AS (
+    SELECT s.o_custkey, s.spend, c.c_mktsegment
+    FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+),
+r AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY spend ASC, o_custkey ASC) AS i
+    FROM j
+),
+g AS (
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           SUM(spend) AS s0,
+           SUM(i * spend) AS s1
+    FROM r GROUP BY 1
+)
+SELECT c_mktsegment, n_customers,
+       CAST(CAST(s0 AS DECIMAL(18,2)) AS DOUBLE) AS total_spend,
+       (2.0 * CAST(s1 AS DOUBLE) - (CAST(n_customers AS DOUBLE) + 1.0) * CAST(s0 AS DOUBLE))
+           / (CAST(n_customers AS DOUBLE) * CAST(s0 AS DOUBLE)) AS gini
+FROM g ORDER BY c_mktsegment ASC
+"""

@@ -240,3 +240,102 @@ def test_paragraph_dups_oracle_parity_preview(spark, sf_dir):
     """
     want = sorted(map(tuple, con.execute(sql).fetchall()))
     assert got == want
+
+
+def _canon_rows(df):
+    return sorted(tuple(repr(v) for v in r) for r in df.collect())
+
+
+def _duck_rows(con, sql):
+    return sorted(tuple(repr(v) for v in r) for r in con.execute(sql).fetchall())
+
+
+def test_events_mad_anomalies_oracle_parity_preview(spark, sf_dir):
+    # Round-7 registration preview (queued_r7.py): lower-median rank
+    # selections over exact integer counts — cell-exact now so the
+    # r7 @register is a verified copy-paste.
+    import duckdb
+
+    from lakehouse_architecture_transaction_spark.plans.queued_r7 import (
+        EVENTS_MAD_ORACLE,
+        events_mad_anomalies,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    got = _canon_rows(events_mad_anomalies(spark, sf_dir))
+    want = _duck_rows(con, EVENTS_MAD_ORACLE)
+    assert got == want
+
+
+def test_customer_gini_oracle_parity_preview(spark, sf_dir):
+    # Round-7 preview: rank-sum Gini — exact DECIMAL sums + one fixed
+    # double chain, replayed cell-exact by DuckDB.
+    import duckdb
+
+    from lakehouse_architecture_transaction_spark.plans.queued_r7 import (
+        CUSTOMER_GINI_ORACLE,
+        customer_mktseg_gini,
+    )
+
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    got = _canon_rows(customer_mktseg_gini(spark, sf_dir))
+    want = _duck_rows(con, CUSTOMER_GINI_ORACLE)
+    assert got == want
+    # sanity: gini in [0, 1) for positive spends
+    for r in customer_mktseg_gini(spark, sf_dir).collect():
+        assert 0.0 <= r["gini"] < 1.0
+
+
+def test_curation_pipeline_oracle_parity_preview(spark, sf_dir):
+    # Round-7 preview: the composed gopher→dedup→fold pipeline, its
+    # oracle assembled from the same building-block SQL fragments the
+    # registered stage queries use.
+    import duckdb
+
+    from lakehouse_architecture_transaction_spark.plans.queued_r7 import (
+        _CUR_FOLDS,
+        docs_curation_pipeline,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    # the gopher stage's oracle is already pinned cell-exact by the
+    # registered docs_gopher_quality query, so this composition oracle
+    # reuses its VERDICT rather than re-deriving every rule in SQL:
+    # compute the surviving doc set via the registered oracle's
+    # passes_gopher column, then dedup + fold + aggregate in SQL.
+    from lakehouse_architecture_transaction_spark.plans import REGISTRY
+
+    gopher_sql = REGISTRY["docs_gopher_quality"].oracle
+    sql = f"""
+    WITH gq AS ({gopher_sql}),
+    kept AS (
+        SELECT d.doc_id, d.source, d.text
+        FROM documents d JOIN gq ON d.doc_id = gq.doc_id
+        WHERE gq.passes_gopher = 1
+    ),
+    dd AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+        FROM kept
+    ),
+    folded AS (
+        SELECT doc_id, source, text,
+               CAST((('0x' || substr(md5('fold-v1:' ||
+                     coalesce(CAST(source AS VARCHAR), chr(0) || 'null')), 1, 8))::BIGINT)
+                    % {_CUR_FOLDS} AS INTEGER) AS fold
+        FROM dd WHERE rn = 1
+    )
+    SELECT fold, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM folded GROUP BY 1, 2 ORDER BY fold ASC, source ASC
+    """
+    got = _canon_rows(docs_curation_pipeline(spark, sf_dir))
+    want = _duck_rows(con, sql)
+    assert got == want
