@@ -546,3 +546,21 @@ def test_streams_survive_zero_file_source(spark, tmp_path):
         assert spark.sql("SELECT * FROM zero_file_sessions").count() == 0
     finally:
         q2.stop()
+
+
+def test_stream_upsert_epoch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    # The foreachBatch sink's exactly-once-EFFECTIVE claim: Spark can
+    # re-run a micro-batch epoch after a failure, so applying the SAME
+    # batch twice must leave the table exactly as one application —
+    # and on a versioned table the replay commit's diff must be empty.
+    from lakehouse_architecture_transaction_spark.catalog import load_table
+    from lakehouse_architecture_transaction_spark.lakehouse.table import LakeTable
+
+    batch = load_table(spark, sf_dir, "orders").limit(200)
+    t = LakeTable(spark, str(tmp_path / "replay"), keys=["o_orderkey"], versioned=True)
+    t.upsert(batch)
+    v_first = t.latest_version()
+    once = sorted(tuple(r) for r in t.read().collect())
+    t.upsert(batch)  # epoch replay
+    assert sorted(tuple(r) for r in t.read().collect()) == once
+    assert t.diff(v_first, t.latest_version()).count() == 0
