@@ -142,6 +142,11 @@ def customer_mktseg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     (equal spends) cannot change Σ i·xᵢ, so the rank tiebreak is
     value-neutral.
 
+    Engine boundary per the house int64 rule (the emb_dim_stats 1-ulp
+    lesson): both sums cross to DOUBLE as exact BIGINT cent units
+    (×100), because BIGINT→DOUBLE is correctly rounded in both
+    engines while wide-DECIMAL→DOUBLE is not guaranteed to be.
+
     Scale shape: spend aggregate at customer cardinality, one
     segment-partitioned rank window, one segment aggregate."""
     orders = load_table(spark, sf_dir, "orders")
@@ -158,13 +163,13 @@ def customer_mktseg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("spend").alias("__s0"),
         F.sum(F.col("i") * F.col("spend")).alias("__s1"),
     )
-    s0 = F.col("__s0").cast("double")
-    s1 = F.col("__s1").cast("double")
+    s0 = (F.col("__s0") * 100).cast("long").cast("double") / F.lit(100.0)
+    s1 = (F.col("__s1") * 100).cast("long").cast("double") / F.lit(100.0)
     n = F.col("n_customers").cast("double")
     return agg.select(
         "c_mktsegment",
         "n_customers",
-        F.col("__s0").cast("decimal(18,2)").cast("double").alias("total_spend"),
+        ((F.col("__s0") * 100).cast("long").cast("double") / F.lit(100.0)).alias("total_spend"),
         ((F.lit(2.0) * s1 - (n + F.lit(1.0)) * s0) / (n * s0)).alias("gini"),
     ).orderBy("c_mktsegment")
 
@@ -191,8 +196,9 @@ g AS (
     FROM r GROUP BY 1
 )
 SELECT c_mktsegment, n_customers,
-       CAST(CAST(s0 AS DECIMAL(18,2)) AS DOUBLE) AS total_spend,
-       (2.0 * CAST(s1 AS DOUBLE) - (CAST(n_customers AS DOUBLE) + 1.0) * CAST(s0 AS DOUBLE))
-           / (CAST(n_customers AS DOUBLE) * CAST(s0 AS DOUBLE)) AS gini
+       CAST(CAST(s0 * 100 AS BIGINT) AS DOUBLE) / 100.0 AS total_spend,
+       (2.0 * (CAST(CAST(s1 * 100 AS BIGINT) AS DOUBLE) / 100.0)
+        - (CAST(n_customers AS DOUBLE) + 1.0) * (CAST(CAST(s0 * 100 AS BIGINT) AS DOUBLE) / 100.0))
+           / (CAST(n_customers AS DOUBLE) * (CAST(CAST(s0 * 100 AS BIGINT) AS DOUBLE) / 100.0)) AS gini
 FROM g ORDER BY c_mktsegment ASC
 """
