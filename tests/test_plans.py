@@ -113,3 +113,21 @@ def test_salted_top_quality_equals_direct_window(spark, sf_dir):
     direct = q.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 2)
     want = {(r["source"], r["rank"], r["doc_id"]) for r in direct.collect()}
     assert got == want
+
+
+def test_gopher_quality_is_map_only(spark, sf_dir):
+    # The Gopher filter claims "map-only over the corpus, zero
+    # shuffles": the plan must contain no Exchange except the final
+    # presentation sort's range exchange.
+    plan = _formatted_plan(REGISTRY["docs_gopher_quality"].fn(spark, sf_dir))
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(kind == "rangepartitioning" for kind in exchanges), exchanges
+    assert "ReadSchema" in plan
+
+
+def test_sketch_accuracy_window_is_partitioned(spark, sf_dir):
+    # The rank-selection window must partition by event_type — an
+    # unpartitioned window would funnel every value through one task.
+    plan = _formatted_plan(REGISTRY["events_sketch_accuracy"].fn(spark, sf_dir))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan, "rank selection collapsed to one partition"
