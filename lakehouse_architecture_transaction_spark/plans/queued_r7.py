@@ -202,3 +202,128 @@ SELECT c_mktsegment, n_customers,
            / (CAST(n_customers AS DOUBLE) * (CAST(CAST(s0 * 100 AS BIGINT) AS DOUBLE) / 100.0)) AS gini
 FROM g ORDER BY c_mktsegment ASC
 """
+
+
+_COMPACT_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _compacted_orders(spark: SparkSession, sf_dir: str):
+    """Build (once per app+sf_dir) a versioned orders LakeTable whose
+    history is: v0 = a deliberately fragmented 64-file load (the
+    small-file state streaming appends produce), v1 = the OPTIMIZE
+    compaction rewrite. The query reads the compacted snapshot."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from lakehouse_architecture_transaction_spark.lakehouse.table import LakeTable
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _COMPACT_MEMO.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="lakehouse_architecture_transaction_compact_orders_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        t = LakeTable(spark, path, keys=["o_orderkey"], versioned=True)
+        t.create(load_table(spark, sf_dir, "orders").repartition(64))  # fragmented v0
+        t.compact(target_files=4)  # v1
+        _COMPACT_MEMO[key] = path
+    return LakeTable(spark, path, keys=["o_orderkey"], versioned=True)
+
+
+def orders_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status/priority mix read from the COMPACTED snapshot of a
+    deliberately fragmented orders table (lakehouse/table.py compact —
+    E16, OPTIMIZE bin-packing): compaction must be content-neutral, so
+    the plain-table oracle checks the rewrite byte-for-byte while the
+    file count (64 → 4) is pinned by the compaction unit tests. At
+    scale the file count, not the byte count, is the scan bottleneck —
+    this query is the read path that motivates the rewrite."""
+    t = _compacted_orders(spark, sf_dir)
+    return (
+        t.read()
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)))")
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+ORDERS_COMPACTED_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY 1, 2
+ORDER BY o_orderstatus ASC, o_orderpriority ASC
+"""
+
+
+_EVO_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _evolved_orders(spark: SparkSession, sf_dir: str):
+    """Build (once per app+sf_dir) a versioned orders LakeTable whose
+    schema EVOLVES across commits: v0 loads orders without any extra
+    column; v1 merges the keys ≡ 0 (mod 7) with a NEW
+    ``priority_class`` column under evolve_schema=True (Delta
+    mergeSchema). Untouched rows carry NULL in the new column — the
+    exact semantics the oracle states."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from lakehouse_architecture_transaction_spark.lakehouse.table import LakeTable
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _EVO_MEMO.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="lakehouse_architecture_transaction_evo_orders_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+        t = LakeTable(spark, path, keys=["o_orderkey"], versioned=True)
+        t.create(orders)  # v0: original schema
+        update = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+            "priority_class", F.substring("o_orderpriority", 1, 1)
+        )
+        t.upsert(update, evolve_schema=True)  # v1: schema + column
+        _EVO_MEMO[key] = path
+    return LakeTable(spark, path, keys=["o_orderkey"], versioned=True)
+
+
+def orders_schema_evolution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-evolution audit of the schema-evolved table
+    (lakehouse/table.py upsert(evolve_schema=True) — E18, Delta
+    mergeSchema): per priority_class (NULL = rows untouched by the
+    evolving merge), row count and exact total. The oracle derives the
+    same partition of the base table from the deterministic merge
+    predicate — so backfill semantics (new column NULL for old rows,
+    populated for merged rows) are value-checked, not just
+    schema-checked."""
+    t = _evolved_orders(spark, sf_dir)
+    return (
+        t.read()
+        .groupBy("priority_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)))")
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy(F.col("priority_class").asc_nulls_first())
+    )
+
+
+ORDERS_EVOLUTION_ORACLE = """
+SELECT CASE WHEN o_orderkey % 7 = 0 THEN substr(o_orderpriority, 1, 1) END AS priority_class,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY 1
+ORDER BY priority_class ASC NULLS FIRST
+"""

@@ -339,3 +339,38 @@ def test_curation_pipeline_oracle_parity_preview(spark, sf_dir):
     got = _canon_rows(docs_curation_pipeline(spark, sf_dir))
     want = _duck_rows(con, sql)
     assert got == want
+
+
+def test_compacted_scan_oracle_parity_preview(spark, sf_dir):
+    # Round-7 preview (E16 companion): compaction is content-neutral —
+    # the compacted snapshot aggregates exactly like the plain table.
+    import duckdb
+
+    from lakehouse_architecture_transaction_spark.plans.queued_r7 import (
+        ORDERS_COMPACTED_ORACLE,
+        orders_compacted_scan,
+    )
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf_dir}/orders.parquet')")
+    assert _canon_rows(orders_compacted_scan(spark, sf_dir)) == _duck_rows(
+        con, ORDERS_COMPACTED_ORACLE
+    )
+
+
+def test_schema_evolution_oracle_parity_preview(spark, sf_dir):
+    # Round-7 preview (E18 companion): evolve_schema backfill semantics
+    # value-checked — NULL class for untouched rows, populated for the
+    # deterministically merged subset.
+    import duckdb
+
+    from lakehouse_architecture_transaction_spark.plans.queued_r7 import (
+        ORDERS_EVOLUTION_ORACLE,
+        orders_schema_evolution_stats,
+    )
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf_dir}/orders.parquet')")
+    assert _canon_rows(orders_schema_evolution_stats(spark, sf_dir)) == _duck_rows(
+        con, ORDERS_EVOLUTION_ORACLE
+    )
