@@ -327,3 +327,94 @@ FROM orders
 GROUP BY 1
 ORDER BY priority_class ASC NULLS FIRST
 """
+
+
+_TRI_TOP = 20
+
+
+def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting on the part co-purchase graph — the
+    community-density signal (clustering) on top of the same edge set
+    part_pagerank ranks. Uses DEGREE-ORDERED ORIENTATION
+    (Schank–Wagner / compact-forward): every undirected edge points
+    from its lower-(degree, id) endpoint to the higher one, each
+    wedge is enumerated at its lowest-ordered vertex only, and the
+    closing edge is looked up in the SAME oriented set — each triangle
+    is found exactly once and path enumeration is O(m^1.5) instead of
+    Σ deg², because no vertex fans out more than ~√m in the oriented
+    graph. That orientation IS the 100 TB story: hub products with
+    10⁶ co-purchases never enumerate their neighbor pairs. Output:
+    the top-{top} parts by triangle participation (count desc, part
+    asc). Deterministic, oracle-replayable (the orientation is a pure
+    function of exact degrees and ids).""".format(top=_TRI_TOP)
+    from lakehouse_architecture_transaction_spark.plans.behavior import _copurchase_pairs
+
+    edges = _copurchase_pairs(spark, sf_dir).select("part_a", "part_b")
+    deg = (
+        edges.select(F.explode(F.array("part_a", "part_b")).alias("p"))
+        .groupBy("p")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    e = (
+        edges.join(deg.withColumnRenamed("p", "part_a").withColumnRenamed("deg", "da"), "part_a")
+        .join(deg.withColumnRenamed("p", "part_b").withColumnRenamed("deg", "db"), "part_b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("part_a") < F.col("part_b"))
+    )
+    o = e.select(
+        F.when(a_first, F.col("part_a")).otherwise(F.col("part_b")).alias("src"),
+        F.when(a_first, F.col("part_b")).otherwise(F.col("part_a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddeg"),
+    ).localCheckpoint(eager=True)
+    w1 = o.select(F.col("src"), F.col("dst").alias("u"), F.col("ddeg").alias("du"))
+    w2 = o.select(F.col("src"), F.col("dst").alias("w"), F.col("ddeg").alias("dw"))
+    wedges = w1.join(w2, "src").filter(
+        (F.col("du") < F.col("dw")) | ((F.col("du") == F.col("dw")) & (F.col("u") < F.col("w")))
+    )
+    tri = wedges.join(
+        o.select(F.col("src").alias("u"), F.col("dst").alias("w")), ["u", "w"]
+    ).select("src", "u", "w")
+    return (
+        tri.select(F.explode(F.array("src", "u", "w")).alias("part"))
+        .groupBy("part")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), F.col("part").asc())
+        .limit(_TRI_TOP)
+    )
+
+
+PART_TRIANGLES_ORACLE = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+    FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+),
+deg AS (
+    SELECT p, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT part_a AS p FROM edges UNION ALL SELECT part_b FROM edges
+    ) GROUP BY 1
+),
+o AS (
+    SELECT CASE WHEN (da.deg, e.part_a) < (db.deg, e.part_b) THEN e.part_a ELSE e.part_b END AS src,
+           CASE WHEN (da.deg, e.part_a) < (db.deg, e.part_b) THEN e.part_b ELSE e.part_a END AS dst,
+           CASE WHEN (da.deg, e.part_a) < (db.deg, e.part_b) THEN db.deg ELSE da.deg END AS ddeg
+    FROM edges e
+    JOIN deg da ON da.p = e.part_a
+    JOIN deg db ON db.p = e.part_b
+),
+tri AS (
+    SELECT w1.src, w1.dst AS u, w2.dst AS w
+    FROM o w1 JOIN o w2 ON w1.src = w2.src
+         AND (w1.ddeg, w1.dst) < (w2.ddeg, w2.dst)
+    JOIN o c ON c.src = w1.dst AND c.dst = w2.dst
+)
+SELECT part, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+    SELECT src AS part FROM tri
+    UNION ALL SELECT u FROM tri
+    UNION ALL SELECT w FROM tri
+) GROUP BY 1
+ORDER BY n_triangles DESC, part ASC
+LIMIT {_TRI_TOP}
+"""

@@ -374,3 +374,43 @@ def test_schema_evolution_oracle_parity_preview(spark, sf_dir):
     assert _canon_rows(orders_schema_evolution_stats(spark, sf_dir)) == _duck_rows(
         con, ORDERS_EVOLUTION_ORACLE
     )
+
+
+def test_part_triangles_oracle_parity_preview(spark, sf_dir):
+    # Round-7 preview: degree-ordered exact triangle counting. Also
+    # sanity-pin the orientation against the naive id-ordered count —
+    # both formulations must agree on the total.
+    import duckdb
+
+    from lakehouse_architecture_transaction_spark.plans.queued_r7 import (
+        PART_TRIANGLES_ORACLE,
+        part_copurchase_triangles,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    got = _canon_rows(part_copurchase_triangles(spark, sf_dir))
+    want = _duck_rows(con, PART_TRIANGLES_ORACLE)
+    assert got == want
+    naive_total = con.execute("""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT a.l_partkey pa, b.l_partkey pb FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2)
+    SELECT COUNT(*) FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+    JOIN e e3 ON e1.pa = e3.pa AND e2.pb = e3.pb
+    """).fetchone()[0]
+    oriented_total = con.execute("""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (SELECT a.l_partkey part_a, b.l_partkey part_b FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2),
+    deg AS (SELECT p, COUNT(*) deg FROM (SELECT part_a p FROM edges UNION ALL SELECT part_b FROM edges) GROUP BY 1),
+    o AS (SELECT CASE WHEN (da.deg, e.part_a) < (db.deg, e.part_b) THEN e.part_a ELSE e.part_b END src,
+                 CASE WHEN (da.deg, e.part_a) < (db.deg, e.part_b) THEN e.part_b ELSE e.part_a END dst,
+                 CASE WHEN (da.deg, e.part_a) < (db.deg, e.part_b) THEN db.deg ELSE da.deg END ddeg
+          FROM edges e JOIN deg da ON da.p = e.part_a JOIN deg db ON db.p = e.part_b)
+    SELECT COUNT(*) FROM o w1 JOIN o w2 ON w1.src = w2.src AND (w1.ddeg, w1.dst) < (w2.ddeg, w2.dst)
+    JOIN o c ON c.src = w1.dst AND c.dst = w2.dst
+    """).fetchone()[0]
+    assert naive_total == oriented_total
