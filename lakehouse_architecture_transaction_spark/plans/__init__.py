@@ -16,5 +16,6 @@ from lakehouse_architecture_transaction_spark.plans import (  # noqa: F401
     pipeline_ops,
     pipeline_ops2,
     pipeline_ops3,
+    pipeline_ops4,
 )
 from lakehouse_architecture_transaction_spark.plans.registry import REGISTRY, QuerySpec  # noqa: F401

@@ -1,11 +1,15 @@
-"""Queued round-7 registrations: implemented + oracle-verified now
-(tests/test_oracle_parity.py previews), registered next round inside
-the ≤10/round rotation budget — the same queue discipline that carried
-hash_embed/script_profile/paragraph_dups from round 5 into round 6.
+"""Round-7 registered queries: the six operators queued (implemented +
+oracle-parity-previewed) during round 6 — the end-to-end curation
+pipeline composition, robust MAD anomalies, per-segment Gini,
+the E16/E18 lakehouse companions (compacted scan, schema-evolution
+audit), and degree-ordered exact triangle counting.
 
-Each entry is a plain ``(spark, sf_dir) -> DataFrame`` plus its DuckDB
-oracle string; round-7 registration is a copy-paste into a
-``@register`` decorator.
+Reference parity: extends the reference's curation surface (reference
+scripts/glue/script.py read → validate → dedup → write) with the
+composed curation pipeline and the lakehouse maintenance companions
+(compaction = Delta OPTIMIZE, schema evolution = Delta mergeSchema,
+reference scripts/glue/script.py:204-227 writes); each oracle was
+verified cell-exact as a preview in round 6 before promotion here.
 """
 
 from __future__ import annotations
@@ -16,12 +20,39 @@ from pyspark.sql import functions as F
 from lakehouse_architecture_transaction_spark.catalog import load_table
 from lakehouse_architecture_transaction_spark.operators import sampling as SA
 from lakehouse_architecture_transaction_spark.operators import text as T
+from lakehouse_architecture_transaction_spark.plans.pipeline_ops3 import _gopher_oracle
+from lakehouse_architecture_transaction_spark.plans.registry import register
 
 _CUR_FOLDS = 5
 
-CURATION_PIPELINE_ORACLE = None  # composed in tests from the building blocks
+# The composition oracle reuses the registered gopher stage's oracle
+# verbatim (same discipline as the preview test): gopher survivors →
+# md5(text) min-doc_id dedup → deterministic fold hash → one aggregate.
+CURATION_PIPELINE_ORACLE = f"""
+WITH gq AS ({_gopher_oracle()}),
+kept AS (
+    SELECT d.doc_id, d.source, d.text
+    FROM documents d JOIN gq ON d.doc_id = gq.doc_id
+    WHERE gq.passes_gopher = 1
+),
+dd AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+    FROM kept
+),
+folded AS (
+    SELECT doc_id, source, text,
+           CAST((('0x' || substr(md5('fold-v1:' ||
+                 coalesce(CAST(source AS VARCHAR), chr(0) || 'null')), 1, 8))::BIGINT)
+                % {_CUR_FOLDS} AS INTEGER) AS fold
+    FROM dd WHERE rn = 1
+)
+SELECT fold, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
+FROM folded GROUP BY 1, 2 ORDER BY fold ASC, source ASC
+"""
 
 
+@register("docs_curation_pipeline", oracle=CURATION_PIPELINE_ORACLE)
 def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END curation pipeline as ONE declarative query:
     Gopher rule filter → exact dedup (md5 text groups, min-id keeps) →
@@ -418,3 +449,15 @@ SELECT part, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
 ORDER BY n_triangles DESC, part ASC
 LIMIT {_TRI_TOP}
 """
+
+
+# Registrations for the five queries whose oracle constants are
+# defined above (after their functions); docs_curation_pipeline is
+# decorator-registered at its definition.
+register("events_mad_anomalies", oracle=EVENTS_MAD_ORACLE)(events_mad_anomalies)
+register("customer_mktseg_gini", oracle=CUSTOMER_GINI_ORACLE)(customer_mktseg_gini)
+register("orders_compacted_scan", oracle=ORDERS_COMPACTED_ORACLE)(orders_compacted_scan)
+register("orders_schema_evolution_stats", oracle=ORDERS_EVOLUTION_ORACLE)(
+    orders_schema_evolution_stats
+)
+register("part_copurchase_triangles", oracle=PART_TRIANGLES_ORACLE)(part_copurchase_triangles)

@@ -251,12 +251,12 @@ def _duck_rows(con, sql):
 
 
 def test_events_mad_anomalies_oracle_parity_preview(spark, sf_dir):
-    # Round-7 registration preview (queued_r7.py): lower-median rank
+    # Round-7 registration preview (pipeline_ops4.py): lower-median rank
     # selections over exact integer counts — cell-exact now so the
     # r7 @register is a verified copy-paste.
     import duckdb
 
-    from lakehouse_architecture_transaction_spark.plans.queued_r7 import (
+    from lakehouse_architecture_transaction_spark.plans.pipeline_ops4 import (
         EVENTS_MAD_ORACLE,
         events_mad_anomalies,
     )
@@ -275,7 +275,7 @@ def test_customer_gini_oracle_parity_preview(spark, sf_dir):
     # double chain, replayed cell-exact by DuckDB.
     import duckdb
 
-    from lakehouse_architecture_transaction_spark.plans.queued_r7 import (
+    from lakehouse_architecture_transaction_spark.plans.pipeline_ops4 import (
         CUSTOMER_GINI_ORACLE,
         customer_mktseg_gini,
     )
@@ -297,7 +297,7 @@ def test_curation_pipeline_oracle_parity_preview(spark, sf_dir):
     # registered stage queries use.
     import duckdb
 
-    from lakehouse_architecture_transaction_spark.plans.queued_r7 import (
+    from lakehouse_architecture_transaction_spark.plans.pipeline_ops4 import (
         _CUR_FOLDS,
         docs_curation_pipeline,
     )
@@ -346,7 +346,7 @@ def test_compacted_scan_oracle_parity_preview(spark, sf_dir):
     # the compacted snapshot aggregates exactly like the plain table.
     import duckdb
 
-    from lakehouse_architecture_transaction_spark.plans.queued_r7 import (
+    from lakehouse_architecture_transaction_spark.plans.pipeline_ops4 import (
         ORDERS_COMPACTED_ORACLE,
         orders_compacted_scan,
     )
@@ -364,7 +364,7 @@ def test_schema_evolution_oracle_parity_preview(spark, sf_dir):
     # deterministically merged subset.
     import duckdb
 
-    from lakehouse_architecture_transaction_spark.plans.queued_r7 import (
+    from lakehouse_architecture_transaction_spark.plans.pipeline_ops4 import (
         ORDERS_EVOLUTION_ORACLE,
         orders_schema_evolution_stats,
     )
@@ -382,7 +382,7 @@ def test_part_triangles_oracle_parity_preview(spark, sf_dir):
     # both formulations must agree on the total.
     import duckdb
 
-    from lakehouse_architecture_transaction_spark.plans.queued_r7 import (
+    from lakehouse_architecture_transaction_spark.plans.pipeline_ops4 import (
         PART_TRIANGLES_ORACLE,
         part_copurchase_triangles,
     )
