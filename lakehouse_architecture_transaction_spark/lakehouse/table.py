@@ -243,11 +243,28 @@ class LakeTable:
         between overwrite commits yields the replacement delta). The
         refresh primitive for derived tables (e.g. the persisted ANN
         index, lakehouse/ann_index.py) where merge-on-key semantics
-        would never delete rows that fell out of the new build."""
+        would never delete rows that fell out of the new build.
+
+        Safe for read-then-overwrite: on a non-versioned table,
+        ``df`` may lazily derive from reading this very table, so the
+        replacement is staged to a sibling temp dir and atomically
+        swapped in (same discipline as the non-versioned upsert) —
+        never an in-place truncating write that would corrupt the
+        plan's own source mid-read."""
         self._check_constraints(df)
         if self.versioned:
             return self._commit(df, operation=operation)
-        self._write(df, self.path)
+        if not self.exists():
+            self._write(df, self.path)
+            return 0
+        parent = os.path.dirname(os.path.abspath(self.path))
+        tmp = tempfile.mkdtemp(prefix=".overwrite-", dir=parent)
+        staging = os.path.join(tmp, "data")
+        self._write(df, staging)
+        old = os.path.join(tmp, "old")
+        os.rename(self.path, old)
+        os.rename(staging, self.path)
+        shutil.rmtree(tmp, ignore_errors=True)
         return 0
 
     def upsert(self, source: DataFrame, evolve_schema: bool = False) -> None:

@@ -1024,25 +1024,45 @@ _LSH_INDEX_MEMO: dict[tuple[str, str], DataFrame] = {}
 _IVF_INDEX_MEMO: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
+def _train_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the variance-bit sign-LSH index from the CURRENT corpus —
+    no store consultation, no memo: this is the build path
+    build_persisted_ann_index calls so a refresh always retrains
+    instead of re-committing a loaded (possibly stale) index."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    return S.lsh_var_build(
+        emb, id_col="vec_id", vec_col="embedding", bits=_LSHV_BITS
+    ).localCheckpoint(eager=True)
+
+
 def _lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     got = _LSH_INDEX_MEMO.get(key)
     if got is not None:
         return got
     # Persisted index first — same contract as _ivf_index below.
-    from lakehouse_architecture_transaction_spark.lakehouse.ann_index import default_store
+    from lakehouse_architecture_transaction_spark.lakehouse.ann_index import (
+        corpus_fingerprint,
+        default_store,
+    )
 
     store = default_store(spark, sf_dir)
     if store is not None and store.has_lsh():
-        built = store.load_lsh(bits=_LSHV_BITS)
+        built = store.load_lsh(bits=_LSHV_BITS, fingerprint=corpus_fingerprint(sf_dir))
         _LSH_INDEX_MEMO[key] = built
         return built
+    built = _train_lsh(spark, sf_dir)
+    _LSH_INDEX_MEMO[key] = built
+    return built
+
+
+def _train_ivf(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Train the IVF index from the CURRENT corpus (see _train_lsh)."""
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    bucketed = S.lsh_var_build(
-        emb, id_col="vec_id", vec_col="embedding", bits=_LSHV_BITS
-    ).localCheckpoint(eager=True)
-    _LSH_INDEX_MEMO[key] = bucketed
-    return bucketed
+    cent, corpus = S.ivf_build(
+        emb, id_col="vec_id", vec_col="embedding", n_cells=_IVF_CELLS, iters=_IVF_ITERS
+    )
+    return (cent.localCheckpoint(eager=True), corpus.localCheckpoint(eager=True))
 
 
 def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -1055,19 +1075,22 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     # centroids + clustered corpus instead of re-training — at scale
     # the build is iters × corpus-scans that should be paid once per
     # refresh, not once per session. Results are bit-identical either
-    # way (round-trip pinned by test_ann_index_store).
-    from lakehouse_architecture_transaction_spark.lakehouse.ann_index import default_store
+    # way (round-trip pinned by test_ann_index_store). The live corpus
+    # fingerprint travels with the load so a regenerated corpus
+    # refuses the stale index instead of serving old neighbors.
+    from lakehouse_architecture_transaction_spark.lakehouse.ann_index import (
+        corpus_fingerprint,
+        default_store,
+    )
 
     store = default_store(spark, sf_dir)
     if store is not None and store.has_ivf():
-        built = store.load_ivf(n_cells=_IVF_CELLS, iters=_IVF_ITERS)
+        built = store.load_ivf(
+            n_cells=_IVF_CELLS, iters=_IVF_ITERS, fingerprint=corpus_fingerprint(sf_dir)
+        )
         _IVF_INDEX_MEMO[key] = built
         return built
-    emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    cent, corpus = S.ivf_build(
-        emb, id_col="vec_id", vec_col="embedding", n_cells=_IVF_CELLS, iters=_IVF_ITERS
-    )
-    built = (cent.localCheckpoint(eager=True), corpus.localCheckpoint(eager=True))
+    built = _train_ivf(spark, sf_dir)
     _IVF_INDEX_MEMO[key] = built
     return built
 

@@ -803,57 +803,83 @@ def _pq_oracle() -> str:
 _PQ_INDEX_MEMO: dict[tuple[str, str], tuple] = {}
 
 
-def _pq_index(spark: SparkSession, sf_dir: str):
+def _train_pq(spark: SparkSession, sf_dir: str):
+    """Train the PQ index from the CURRENT corpus — no store, no memo
+    (the build path build_persisted_ann_index uses, so a refresh
+    always retrains; see pipeline_ops._train_ivf)."""
     from lakehouse_architecture_transaction_spark.operators.similarity import product_quantize
 
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    codes, cent = product_quantize(
+        emb, id_col="vec_id", vec_col="embedding",
+        m=_PQ_M, dsub=_PQ_DSUB, k=_PQ_K, iters=_PQ_ITERS, return_codebook=True,
+    )
+    return (codes.localCheckpoint(eager=True), cent.localCheckpoint(eager=True))
+
+
+def _pq_index(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
     got = _PQ_INDEX_MEMO.get(key)
     if got is not None:
         return got
     # Persisted index first — same contract as pipeline_ops._ivf_index
     # (load the committed codes/codebooks instead of re-training; the
-    # manifest check refuses a hyperparameter mismatch).
-    from lakehouse_architecture_transaction_spark.lakehouse.ann_index import default_store
+    # manifest check refuses a hyperparameter mismatch, the corpus
+    # fingerprint refuses a stale index after data regeneration).
+    from lakehouse_architecture_transaction_spark.lakehouse.ann_index import (
+        corpus_fingerprint,
+        default_store,
+    )
 
     store = default_store(spark, sf_dir)
     if store is not None and store.has_pq():
-        built = store.load_pq(m=_PQ_M, dsub=_PQ_DSUB, k=_PQ_K, iters=_PQ_ITERS)
+        built = store.load_pq(
+            m=_PQ_M, dsub=_PQ_DSUB, k=_PQ_K, iters=_PQ_ITERS,
+            fingerprint=corpus_fingerprint(sf_dir),
+        )
         _PQ_INDEX_MEMO[key] = built
         return built
-    emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    codes, cent = product_quantize(
-        emb, id_col="vec_id", vec_col="embedding",
-        m=_PQ_M, dsub=_PQ_DSUB, k=_PQ_K, iters=_PQ_ITERS, return_codebook=True,
-    )
-    built = (codes.localCheckpoint(eager=True), cent.localCheckpoint(eager=True))
+    built = _train_pq(spark, sf_dir)
     _PQ_INDEX_MEMO[key] = built
     return built
 
 
 def build_persisted_ann_index(spark: SparkSession, sf_dir: str, base_path: str) -> dict[str, int]:
-    """Train (or reuse the session memo of) the IVF and PQ indexes for
-    ``sf_dir`` and COMMIT them to an AnnIndexStore at
-    ``base_path/<sf basename>`` — the explicit build step of the
-    index lifecycle (build → commit → sessions load → periodic
-    refresh = new commit, with LakeTable.diff() giving the index
-    delta). Returns the committed version per component table."""
-    from lakehouse_architecture_transaction_spark.lakehouse.ann_index import AnnIndexStore
+    """TRAIN the IVF, PQ, and LSH indexes from the current corpus and
+    COMMIT them to an AnnIndexStore at ``base_path/<sf basename>`` —
+    the explicit build step of the index lifecycle (build → commit →
+    sessions load → periodic refresh = new commit, with
+    LakeTable.diff() giving the index delta). Always retrains via the
+    _train_* builders — never the store-consulting _*_index loaders —
+    so a refresh with $SPARK_GRAFT_ANN_INDEX_DIR pointing at the same
+    store picks up corpus changes instead of re-committing the stale
+    persisted index verbatim. Returns the committed version per
+    component table."""
+    from lakehouse_architecture_transaction_spark.lakehouse.ann_index import (
+        AnnIndexStore,
+        corpus_fingerprint,
+    )
     from lakehouse_architecture_transaction_spark.plans.pipeline_ops import (
         _IVF_CELLS,
         _IVF_ITERS,
         _LSHV_BITS,
-        _ivf_index,
-        _lsh_index,
+        _train_ivf,
+        _train_lsh,
     )
 
     store = AnnIndexStore(
         spark, os.path.join(base_path, os.path.basename(os.path.normpath(sf_dir)))
     )
-    cent, corpus = _ivf_index(spark, sf_dir)
-    versions = store.save_ivf(cent, corpus, n_cells=_IVF_CELLS, iters=_IVF_ITERS)
-    codes, books = _pq_index(spark, sf_dir)
-    versions.update(store.save_pq(codes, books, m=_PQ_M, dsub=_PQ_DSUB, k=_PQ_K, iters=_PQ_ITERS))
-    versions.update(store.save_lsh(_lsh_index(spark, sf_dir), bits=_LSHV_BITS))
+    fp = corpus_fingerprint(sf_dir)
+    cent, corpus = _train_ivf(spark, sf_dir)
+    versions = store.save_ivf(cent, corpus, n_cells=_IVF_CELLS, iters=_IVF_ITERS, fingerprint=fp)
+    codes, books = _train_pq(spark, sf_dir)
+    versions.update(
+        store.save_pq(
+            codes, books, m=_PQ_M, dsub=_PQ_DSUB, k=_PQ_K, iters=_PQ_ITERS, fingerprint=fp
+        )
+    )
+    versions.update(store.save_lsh(_train_lsh(spark, sf_dir), bits=_LSHV_BITS, fingerprint=fp))
     return versions
 
 

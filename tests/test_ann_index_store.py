@@ -12,6 +12,7 @@ import subprocess
 import sys
 
 import pytest
+from pyspark.sql import functions as F
 
 
 def _rows(df):
@@ -151,3 +152,97 @@ def test_new_session_loads_persisted_index_bit_identical(spark, sf_dir, index_en
     )
     assert store.ivf_corpus.latest_version() == versions["ivf_corpus"]
     assert store.pq_codes.latest_version() == versions["pq_codes"]
+
+
+def test_ivf_lifecycle_refresh_diff_restore(spark, sf_dir, tmp_path, index_env):
+    """The lifecycle a 100 TB operator actually runs: corpus changes →
+    refresh RETRAINS (even with $SPARK_GRAFT_ANN_INDEX_DIR pointing at
+    the very store being rebuilt — the stale-reload bug), →
+    ivf_corpus.diff(v0, v1) is exactly the vectors whose (cell,
+    embedding) changed, → restore_pins(v0) + restored corpus returns
+    search to the bit-identical old top-k via the manifest pointer."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from lakehouse_architecture_transaction_spark.lakehouse.ann_index import (
+        AnnIndexStore,
+        corpus_fingerprint,
+    )
+    from lakehouse_architecture_transaction_spark.plans import REGISTRY
+    from lakehouse_architecture_transaction_spark.plans.pipeline_ops2 import (
+        build_persisted_ann_index,
+    )
+
+    # Private corpus copy (only embeddings is read by the emb_* plans).
+    sf_copy = tmp_path / "sf"
+    sf_copy.mkdir()
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    dst = str(sf_copy / "embeddings.parquet")
+    shutil.copy2(src, dst)
+    backup = str(tmp_path / "embeddings.orig.parquet")
+    shutil.copy2(src, backup)
+    sfc = str(sf_copy)
+
+    v0 = build_persisted_ann_index(spark, sfc, index_env)
+    fp0 = corpus_fingerprint(sfc)
+    _clear_memos()
+    topk0 = _rows(REGISTRY["emb_ann_ivf"].fn(spark, sfc))
+
+    store = AnnIndexStore(spark, os.path.join(index_env, "sf"))
+    corpus_v0 = store.ivf_corpus.read(v0["ivf_corpus"]).select("vec_id", "__cell").collect()
+    cell_by_id = {r["vec_id"]: r["__cell"] for r in corpus_v0}
+    cells = {}
+    for vid, cell in sorted(cell_by_id.items()):
+        if vid >= 8:  # keep the query set (vec_id < 8) untouched
+            cells.setdefault(cell, vid)
+        if len(cells) >= 2:
+            break
+    a, b = sorted(cells.values())[:2]
+
+    # Corpus change: swap the embeddings of two vectors from different
+    # cells — both must re-assign on retrain.
+    tbl = pq.read_table(dst)
+    df = tbl.to_pandas()
+    ia = df.index[df["vec_id"] == a][0]
+    ib = df.index[df["vec_id"] == b][0]
+    ea, eb = df.at[ia, "embedding"], df.at[ib, "embedding"]
+    df.at[ia, "embedding"], df.at[ib, "embedding"] = eb, ea
+    import pyarrow as pa
+
+    pq.write_table(pa.Table.from_pandas(df, schema=tbl.schema, preserve_index=False), dst)
+
+    # The stale-corpus guard must now refuse the old index...
+    _clear_memos()
+    with pytest.raises(ValueError, match="different corpus"):
+        REGISTRY["emb_ann_ivf"].fn(spark, sfc)
+
+    # ...and a refresh must RETRAIN from the changed corpus, not
+    # re-commit the loaded stale index (the ADVICE stale-reload bug).
+    _clear_memos()
+    v1 = build_persisted_ann_index(spark, sfc, index_env)
+    assert all(v1[t] == v0[t] + 1 for t in v0)
+
+    old = store.ivf_corpus.read(v0["ivf_corpus"]).select(
+        "vec_id", F.col("__cell").alias("oc"), F.col("embedding").alias("oe")
+    )
+    new = store.ivf_corpus.read(v1["ivf_corpus"]).select(
+        "vec_id", F.col("__cell").alias("nc"), F.col("embedding").alias("ne")
+    )
+    changed = {
+        r["vec_id"]
+        for r in old.join(new, "vec_id")
+        .filter((F.col("oc") != F.col("nc")) | (F.col("oe") != F.col("ne")))
+        .collect()
+    }
+    assert {a, b} <= changed
+    d = store.ivf_corpus.diff(v0["ivf_corpus"], v1["ivf_corpus"]).collect()
+    assert all(r["_change_type"] == "update_postimage" for r in d)  # no inserts/deletes
+    assert {r["vec_id"] for r in d} == changed
+
+    # Restore: corpus files back + manifest pointer back → the SAME
+    # bit-identical top-k as before the bad build, no data rewrite.
+    shutil.copy2(backup, dst)
+    store.restore_pins("ivf", v0, fingerprint=fp0)
+    _clear_memos()
+    assert _rows(REGISTRY["emb_ann_ivf"].fn(spark, sfc)) == topk0

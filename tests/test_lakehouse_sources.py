@@ -482,3 +482,17 @@ def test_cdc_registered_table_has_two_versions(spark, sf_dir):
     # diff is empty between identical versions and non-empty v0->v1
     assert t.diff(1, 1).count() == 0
     assert t.diff(0, 1).count() > 0
+
+
+def test_nonversioned_overwrite_from_own_read_is_safe(spark, tmp_path):
+    """Read-then-overwrite on a NON-versioned table: the replacement
+    df lazily derives from reading the same table, so an in-place
+    overwrite would truncate the source mid-read and lose data. The
+    stage-and-swap overwrite must produce the derived result."""
+    from pyspark.sql import functions as F
+
+    t = LakeTable(spark, str(tmp_path / "nv"), keys=["k"])
+    t.create(spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k int, v int"))
+    derived = t.read().withColumn("v", F.col("v") + 1)  # lazy: reads t's files
+    t.overwrite(derived)
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == {(1, 11), (2, 21), (3, 31)}
