@@ -1415,3 +1415,100 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_lower_dups"), F.max("cosine").alias("max_cosine"))
         .orderBy("vec_id")
     )
+
+
+def _pq_recon_oracle() -> str:
+    """Replay PQ training (the _pq_oracle parts), then score each
+    (vector, subspace) slice against its assigned centroid: squared
+    error folded in dim order, quantized to BIGINT ninths
+    (floor(err·1e9 + 0.5) — err ≥ 0), summed exactly per subspace."""
+    parts = [
+        f"""sub AS (
+        SELECT vec_id, ss.s,
+               list_transform(embedding[ss.s * {_PQ_DSUB} + 1 : (ss.s + 1) * {_PQ_DSUB}],
+                              x -> CAST(x AS DOUBLE)) AS sv
+        FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s) ss)""",
+        f"""c0 AS (
+        SELECT s, CAST(vec_id AS INTEGER) AS cluster, sv AS cvec
+        FROM sub WHERE vec_id < {_PQ_K})""",
+    ]
+    for i in range(_PQ_ITERS):
+        parts.append(f"a{i + 1} AS {_pq_assign_sql(f'c{i}')}")
+        parts.append(f"c{i + 1} AS {_pq_update_sql(f'a{i + 1}')}")
+    parts.append(f"fin AS {_pq_assign_sql(f'c{_PQ_ITERS}')}")
+    parts.append(
+        f"""err AS (
+        SELECT e.s,
+               CAST(floor(({_PQ_SQDIST.replace("c.cvec", "b.cvec")}) * 1e9 + 0.5) AS BIGINT) AS eq
+        FROM sub e
+        JOIN fin a ON a.vec_id = e.vec_id AND a.s = e.s
+        JOIN c{_PQ_ITERS} b ON b.s = e.s AND b.cluster = a.cluster)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT CAST(s AS INTEGER) AS subspace, CAST(COUNT(*) AS BIGINT) AS n_vectors, "
+        "CAST(CAST(SUM(eq) AS BIGINT) AS DOUBLE) / 1e9 / COUNT(*) AS mse "
+        "FROM err GROUP BY 1 ORDER BY subspace ASC"
+    )
+
+
+@register("emb_pq_reconstruction_error", oracle=_pq_recon_oracle())
+def emb_pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ index quality audit: per-subspace mean squared
+    reconstruction error ‖slice − assigned centroid‖² — the FAISS
+    imbalance/quantization-error metric that tells an index operator
+    when codebooks need retraining (rising MSE = corpus drift away
+    from the trained cells). Consumes the SAME trained index as
+    emb_product_quantize / emb_ann_pq_adc (session memo or the
+    persisted store when $SPARK_GRAFT_ANN_INDEX_DIR is set), so the
+    audit measures the index actually being served. Per-row error
+    folds in dim order, quantizes to BIGINT ninths, and sums exactly
+    (the quantized-exact discipline), so the one double division per
+    subspace is cross-engine bit-stable.
+
+    Scale shape: codes join at (vector × subspace) cardinality against
+    the corpus slices, codebook broadcast (m·k rows), one
+    subspace-cardinality aggregate — no shuffle wider than the codes
+    frame itself."""
+    codes, books = _pq_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    subs = F.expr(
+        f"transform(sequence(0, {_PQ_M - 1}), s -> struct(s AS s, "
+        f"transform(slice(embedding, s * {_PQ_DSUB} + 1, {_PQ_DSUB}), x -> CAST(x AS DOUBLE)) AS sv))"
+    )
+    sub = emb.select(F.col("vec_id"), F.explode(subs).alias("u")).select(
+        "vec_id", F.col("u.s").alias("s"), F.col("u.sv").alias("sv")
+    )
+    j = sub.join(
+        codes.select(
+            "vec_id", F.col("subspace").cast("int").alias("s"), F.col("code").cast("int").alias("code")
+        ),
+        ["vec_id", "s"],
+    ).join(
+        F.broadcast(
+            books.select(
+                F.col("s").cast("int").alias("s"),
+                F.col("cluster").cast("int").alias("code"),
+                F.col("__cvec"),
+            )
+        ),
+        ["s", "code"],
+    )
+    eq = F.floor(
+        F.expr(
+            "aggregate(zip_with(sv, __cvec, (x, y) -> (x - y) * (x - y)), "
+            "CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+        )
+        * 1e9
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        j.select(F.col("s").alias("subspace"), eq.alias("eq"))
+        .groupBy("subspace")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            (F.sum("eq").cast("bigint").cast("double") / F.lit(1e9) / F.count("*")).alias("mse"),
+        )
+        .orderBy("subspace")
+    )

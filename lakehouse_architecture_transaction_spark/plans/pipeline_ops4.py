@@ -461,3 +461,251 @@ register("orders_schema_evolution_stats", oracle=ORDERS_EVOLUTION_ORACLE)(
     orders_schema_evolution_stats
 )
 register("part_copurchase_triangles", oracle=PART_TRIANGLES_ORACLE)(part_copurchase_triangles)
+
+
+_JAC_TOP = 20
+_JAC_MIN_SUPPORT = 3
+
+PART_JACCARD_ORACLE = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+deg AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM li GROUP BY 1),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, CAST(COUNT(*) AS BIGINT) AS w
+    FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_JAC_MIN_SUPPORT}
+)
+SELECT part_a, part_b, w AS n_both, da.n AS n_a, db.n AS n_b,
+       CAST(w AS DOUBLE) / CAST(da.n + db.n - w AS BIGINT) AS jaccard
+FROM pairs
+JOIN deg da ON da.l_partkey = part_a
+JOIN deg db ON db.l_partkey = part_b
+ORDER BY jaccard DESC, part_a ASC, part_b ASC
+LIMIT {_JAC_TOP}
+"""
+
+
+@register("part_copurchase_jaccard", oracle=PART_JACCARD_ORACLE)
+def part_copurchase_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item Jaccard similarity on the co-purchase graph — the
+    classic collaborative-filtering similarity (J = |A∩B| / |A∪B| over
+    the sets of orders containing each part), on the SAME shared edge
+    set part_pagerank and part_copurchase_triangles consume. Support
+    floor w ≥ {sup} keeps coincidence pairs (1 shared order, J=1) out
+    of the top-k. Jaccard is ONE double division of exact BIGINTs, so
+    cross-engine hashing is exact; top-k has full (part_a, part_b)
+    tiebreaks.
+
+    Scale shape: distinct at (order, part), the orderkey-co-partitioned
+    pair self-join (shared, memo-free plan from behavior.py), degree
+    joins at pair cardinality, and a TakeOrdered top-k — no global
+    sort materialization anywhere.""".format(sup=_JAC_MIN_SUPPORT)
+    from lakehouse_architecture_transaction_spark.plans.behavior import _copurchase_pairs
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    deg = li.groupBy("l_partkey").agg(F.count("*").cast("bigint").alias("n"))
+    pairs = _copurchase_pairs(spark, sf_dir).filter(F.col("w") >= _JAC_MIN_SUPPORT)
+    j = pairs.join(
+        deg.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a")), "part_a"
+    ).join(deg.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b")), "part_b")
+    return (
+        j.select(
+            "part_a",
+            "part_b",
+            F.col("w").cast("bigint").alias("n_both"),
+            "n_a",
+            "n_b",
+            (
+                F.col("w").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("w")).cast("bigint")
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), F.col("part_a").asc(), F.col("part_b").asc())
+        .limit(_JAC_TOP)
+    )
+
+
+_TEMP_FRACTION = 0.5  # corpus-wide target keep fraction
+_TEMP_RES = 1_000_000  # hash-threshold resolution (millionths)
+_TEMP_NULL = "\x00null"
+
+TEMPERATURE_MIXTURE_ORACLE = f"""
+WITH counts AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_source FROM documents GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(n_source) AS BIGINT) AS n_total,
+           list_reduce(list_sort(list(sqrt(CAST(n_source AS DOUBLE)))), (a, b) -> a + b) AS wsum
+    FROM counts
+),
+rates AS (
+    SELECT source, n_source,
+           CAST(floor(least(1.0,
+               (CAST(CAST(ceil({_TEMP_FRACTION} * n_total) AS BIGINT) AS DOUBLE)
+                * sqrt(CAST(n_source AS DOUBLE)) / wsum)
+               / CAST(n_source AS DOUBLE)) * {_TEMP_RES}) AS BIGINT) AS thr
+    FROM counts CROSS JOIN tot
+),
+sel AS (
+    SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_selected,
+           CAST(SUM(length(d.text)) AS BIGINT) AS selected_chars
+    FROM documents d JOIN rates r ON r.source IS NOT DISTINCT FROM d.source
+    WHERE (('0x' || substr(md5('temp-v1:' ||
+               coalesce(CAST(d.source AS VARCHAR), chr(0) || 'null') || ':' ||
+               CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT) % {_TEMP_RES} < r.thr
+    GROUP BY 1
+)
+SELECT r.source, r.n_source,
+       coalesce(s.n_selected, 0) AS n_selected,
+       coalesce(s.selected_chars, 0) AS selected_chars,
+       CAST(r.thr AS DOUBLE) / {_TEMP_RES} AS rate
+FROM rates r LEFT JOIN sel s ON s.source IS NOT DISTINCT FROM r.source
+ORDER BY r.source ASC NULLS FIRST
+"""
+
+
+@register("docs_temperature_mixture", oracle=TEMPERATURE_MIXTURE_ORACLE)
+def docs_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based (α = 0.5) source mixture sampling — the
+    multilingual/multi-domain rebalancing primitive (XLM-R-style
+    α-sampling): keep-probability per source ∝ n^α / Σ n^α scaled to a
+    corpus-wide target fraction and capped at 1, so dominant sources
+    are downsampled and rare sources kept whole, with the WEIGHTS
+    DERIVED FROM THE CORPUS COUNTS inside the query (unlike
+    docs_source_mixture_sample's fixed weight map). Membership is the
+    deterministic md5-threshold rule (same id-identity guarantees as
+    operators/sampling.py); Σ√n folds over a SORTED list so the one
+    cross-source double sum is order-stable; every other boundary
+    value is an exact BIGINT or a fixed double chain.
+
+    Scale shape: one source-cardinality aggregate, a broadcast 1-row
+    total, a broadcast rates join, and one map-side filtered
+    source-cardinality aggregate — the selection itself never
+    shuffles."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    counts = docs.groupBy("source").agg(F.count("*").cast("bigint").alias("n_source"))
+    tot = counts.agg(
+        F.sum("n_source").cast("bigint").alias("n_total"),
+        F.expr(
+            "aggregate(array_sort(collect_list(sqrt(CAST(n_source AS DOUBLE)))), "
+            "CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+        ).alias("wsum"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_source",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                (
+                    F.ceil(F.lit(_TEMP_FRACTION) * F.col("n_total")).cast("double")
+                    * F.sqrt(F.col("n_source").cast("double"))
+                    / F.col("wsum")
+                )
+                / F.col("n_source").cast("double"),
+            )
+            * _TEMP_RES
+        )
+        .cast("bigint")
+        .alias("thr"),
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("temp-v1:"),
+                        F.coalesce(F.col("source"), F.lit(_TEMP_NULL)),
+                        F.lit(":"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _TEMP_RES
+    )
+    sel = (
+        docs.join(F.broadcast(rates.select("source", "thr")), ["source"])
+        .filter(h < F.col("thr"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_selected"),
+            F.sum(F.length("text")).cast("bigint").alias("selected_chars"),
+        )
+    )
+    return (
+        rates.join(sel, ["source"], "left")
+        .select(
+            "source",
+            "n_source",
+            F.coalesce(F.col("n_selected"), F.lit(0)).cast("bigint").alias("n_selected"),
+            F.coalesce(F.col("selected_chars"), F.lit(0)).cast("bigint").alias("selected_chars"),
+            (F.col("thr").cast("double") / _TEMP_RES).alias("rate"),
+        )
+        .orderBy(F.col("source").asc_nulls_first())
+    )
+
+
+CHAR_DIVERSITY_ORACLE = """
+WITH ch AS (
+    SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+),
+hist AS (
+    SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS cnt FROM ch GROUP BY 1, 2
+),
+agg AS (
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_chars,
+           CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+           CAST(SUM(cnt * cnt) AS BIGINT) AS sq
+    FROM hist GROUP BY 1
+)
+SELECT doc_id, n_chars, distinct_chars,
+       1.0 - CAST(sq AS DOUBLE) / (CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE))
+           AS simpson_diversity,
+       (CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)) / CAST(sq AS DOUBLE)
+           AS effective_alphabet
+FROM agg
+ORDER BY doc_id ASC
+"""
+
+
+@register("docs_char_diversity", oracle=CHAR_DIVERSITY_ORACLE)
+def docs_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character diversity: Simpson index 1 − Σp² and the
+    effective alphabet size 1/Σp² (inverse Simpson) — the log-free
+    entropy surrogate (ln() is a libm call with no cross-engine bit
+    guarantee — same reasoning as text.py's rational idf), so both
+    stats are single fixed chains over exact BIGINT counts. Low
+    effective alphabet flags key-mash/repetition docs the
+    length-based filters miss.
+
+    Scale shape: char explode is row-local (shuffle carries only the
+    (doc, char) histogram, ≤ alphabet-size rows per doc — two
+    map-side-combined aggregates at histogram then doc cardinality).
+    Char split is UTF-16/UTF-8-agnostic on this corpus (BMP-only; the
+    plan asserts nothing about supplementary planes)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    hist = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("c"))
+        .filter(F.col("c") != "")  # Java split keeps a trailing empty match; DuckDB doesn't
+        .groupBy("doc_id", "c")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    agg = hist.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_chars"),
+        F.count("*").cast("bigint").alias("distinct_chars"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("sq"),
+    )
+    n2 = F.col("n_chars").cast("double") * F.col("n_chars").cast("double")
+    return agg.select(
+        "doc_id",
+        "n_chars",
+        "distinct_chars",
+        (F.lit(1.0) - F.col("sq").cast("double") / n2).alias("simpson_diversity"),
+        (n2 / F.col("sq").cast("double")).alias("effective_alphabet"),
+    ).orderBy("doc_id")

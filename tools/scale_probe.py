@@ -96,6 +96,10 @@ PROBES = [
     "docs_hash_embed",
     "docs_shingle_novelty",
     "docs_gopher_quality",
+    # round-7 addition: the wedge join is the one potentially
+    # super-linear stage — the degree-ordered orientation should show
+    # as near-linear time/shuffle growth (hubs never fan out)
+    "part_copurchase_triangles",
 ]
 
 
