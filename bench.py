@@ -125,6 +125,18 @@ HEADLINE_FAMILIES: dict[str, str] = {
     "emb_nearest_centroid_confusion": "emb",
     # multimodal plumbing
     "mm_features": "mm",
+    # round-7 additions: curation composition, robust stats, graph
+    # similarity/triangles (the wedge join is the one deliberately
+    # data-proportional heavy shape in the headline), PQ audit
+    "docs_curation_pipeline": "text",
+    "docs_char_diversity": "text",
+    "docs_temperature_mixture": "sampling",
+    "events_mad_anomalies": "events",
+    "customer_mktseg_gini": "window",
+    "orders_compacted_scan": "etl",
+    "part_copurchase_jaccard": "graph",
+    "part_copurchase_triangles": "graph",
+    "emb_pq_reconstruction_error": "emb",
 }
 
 HEADLINE = list(HEADLINE_FAMILIES)
