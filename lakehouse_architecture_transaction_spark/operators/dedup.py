@@ -408,3 +408,49 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     for j in range(bits):
         val = val + F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return sums.select(F.col(id_col), val.alias("simhash"))
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 100,
+) -> DataFrame:
+    """Exact n-gram-shingle CONTAINMENT pair mining — the asymmetric
+    near-dup signal Jaccard misses: a short doc wholly contained in a
+    long one (quote, excerpt, boilerplate wrapper) has high
+    containment |A∩B|/|A| but low Jaccard, because the union is
+    dominated by the long side. The standard quote/subset detector in
+    web-corpus curation (Broder's containment, as in the original
+    resemblance/containment pair).
+
+    Same capped shingle-join plan as ngram_jaccard_pairs (shingle-
+    keyed join, stop-shingle ``max_df`` cut, sizes over the filtered
+    universe); emits both directions per unordered pair and keeps
+    pairs where the LARGER containment clears ``threshold``. All
+    boundary values are single double divisions of exact counts."""
+    sh = _doc_shingles(df, text_col, id_col, n)
+    if max_df is not None:
+        w = Window.partitionBy("shingle")
+        sh = sh.withColumn("__df", F.count("*").over(w)).filter(F.col("__df") <= max_df).drop("__df")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle", how="inner")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn("containment_a", F.col("inter").cast("double") / F.col("sz_a").cast("double"))
+        .withColumn("containment_b", F.col("inter").cast("double") / F.col("sz_b").cast("double"))
+        .filter(F.greatest(F.col("containment_a"), F.col("containment_b")) >= threshold)
+        .select("id_a", "id_b", "containment_a", "containment_b")
+    )

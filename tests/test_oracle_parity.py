@@ -414,3 +414,80 @@ def test_part_triangles_oracle_parity_preview(spark, sf_dir):
     JOIN o c ON c.src = w1.dst AND c.dst = w2.dst
     """).fetchone()[0]
     assert naive_total == oriented_total
+
+
+# ---------------- Round-8 registration previews (plans/queued_r8.py) --
+
+
+def test_ngram_containment_oracle_parity_preview(spark, sf_dir):
+    from lakehouse_architecture_transaction_spark.plans.queued_r8 import (
+        DOCS_CONTAINMENT_ORACLE,
+        docs_ngram_containment,
+    )
+
+    con = _duck(sf_dir)
+    got = _canon_rows(docs_ngram_containment(spark, sf_dir))
+    want = _duck_rows(con, DOCS_CONTAINMENT_ORACLE)
+    assert got == want
+    # containment dominates Jaccard for every shared pair by identity
+    # (|A∩B|/min side ≥ |A∩B|/union)
+    for r in docs_ngram_containment(spark, sf_dir).collect():
+        assert max(r["containment_a"], r["containment_b"]) >= 0.5
+
+
+def test_events_cusum_drift_oracle_parity_preview(spark, sf_dir):
+    from lakehouse_architecture_transaction_spark.plans.queued_r8 import (
+        EVENTS_CUSUM_ORACLE,
+        events_cusum_drift,
+    )
+
+    con = _duck(sf_dir)
+    got = _canon_rows(events_cusum_drift(spark, sf_dir))
+    want = _duck_rows(con, EVENTS_CUSUM_ORACLE)
+    assert got == want
+
+
+def test_part_supplier_hhi_oracle_parity_preview(spark, sf_dir):
+    from lakehouse_architecture_transaction_spark.plans.queued_r8 import (
+        PART_HHI_ORACLE,
+        part_supplier_hhi,
+    )
+
+    con = _duck(sf_dir)
+    got = _canon_rows(part_supplier_hhi(spark, sf_dir))
+    want = _duck_rows(con, PART_HHI_ORACLE)
+    assert got == want
+    for r in part_supplier_hhi(spark, sf_dir).collect():
+        # HHI of k ≥ 2 suppliers lives in [1/k, 1)
+        assert 1.0 / r["n_suppliers"] <= r["hhi"] < 1.0
+
+
+def test_emb_ivf_cell_balance_oracle_parity_preview(spark, sf_dir):
+    from lakehouse_architecture_transaction_spark.plans.queued_r8 import (
+        EMB_IVF_BALANCE_ORACLE,
+        emb_ivf_cell_balance,
+    )
+
+    con = _duck(sf_dir)
+    got = _canon_rows(emb_ivf_cell_balance(spark, sf_dir))
+    want = _duck_rows(con, EMB_IVF_BALANCE_ORACLE)
+    assert got == want
+    rows = emb_ivf_cell_balance(spark, sf_dir).collect()
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+
+
+def test_orders_backlog_oracle_parity_preview(spark, sf_dir):
+    from lakehouse_architecture_transaction_spark.plans.queued_r8 import (
+        ORDERS_BACKLOG_ORACLE,
+        orders_backlog_daily,
+    )
+
+    con = _duck(sf_dir)
+    got = _canon_rows(orders_backlog_daily(spark, sf_dir))
+    want = _duck_rows(con, ORDERS_BACKLOG_ORACLE)
+    assert got == want
+    rows = orders_backlog_daily(spark, sf_dir).orderBy("day").collect()
+    # sweep-line sanity: backlog never negative, ends at zero (every
+    # order eventually ships), and equals the running delta sum
+    assert all(r["backlog"] >= 0 for r in rows)
+    assert rows[-1]["backlog"] == 0
