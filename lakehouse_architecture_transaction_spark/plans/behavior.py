@@ -144,12 +144,16 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _copurchase_pairs(spark: SparkSession, sf_dir: str, li: DataFrame | None = None) -> DataFrame:
     """ONE definition of the co-purchase pair build shared by
-    orders_market_basket and part_pagerank: distinct (order, part),
-    orderkey-co-partitioned self-join with part_a < part_b, support
-    count ``w`` per unordered pair."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    orders_market_basket, part_pagerank, and the r7 Jaccard/triangle
+    queries: distinct (order, part), orderkey-co-partitioned
+    self-join with part_a < part_b, support count ``w`` per unordered
+    pair. Callers that also consume the distinct (order, part) frame
+    elsewhere (degree tables) pass a materialized ``li`` so the
+    distinct shuffle is paid once, not once per plan branch."""
+    if li is None:
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a = li.alias("a")
     b = li.alias("b")
     return (

@@ -380,7 +380,15 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     function of exact degrees and ids).""".format(top=_TRI_TOP)
     from lakehouse_architecture_transaction_spark.plans.behavior import _copurchase_pairs
 
-    edges = _copurchase_pairs(spark, sf_dir).select("part_a", "part_b")
+    # Materialize the edge set once: the degree table AND the oriented
+    # join both consume it, and Spark replicates unshared subtrees —
+    # without the checkpoint the whole pair-mining stage (distinct +
+    # self-join + aggregate) runs twice.
+    edges = (
+        _copurchase_pairs(spark, sf_dir)
+        .select("part_a", "part_b")
+        .localCheckpoint(eager=True)
+    )
     deg = (
         edges.select(F.explode(F.array("part_a", "part_b")).alias("p"))
         .groupBy("p")
@@ -496,15 +504,24 @@ def part_copurchase_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine hashing is exact; top-k has full (part_a, part_b)
     tiebreaks.
 
-    Scale shape: distinct at (order, part), the orderkey-co-partitioned
-    pair self-join (shared, memo-free plan from behavior.py), degree
-    joins at pair cardinality, and a TakeOrdered top-k — no global
-    sort materialization anywhere.""".format(sup=_JAC_MIN_SUPPORT)
+    Scale shape: distinct at (order, part) — materialized ONCE
+    (localCheckpoint) because three plan branches consume it (degree
+    table + both self-join sides; Spark replicates unshared subtrees,
+    so without the checkpoint the fact scans and the distinct shuffle
+    run 3×) — then the orderkey-co-partitioned pair self-join (shared
+    plan from behavior.py), degree joins at pair cardinality, and a
+    TakeOrdered top-k — no global sort materialization
+    anywhere.""".format(sup=_JAC_MIN_SUPPORT)
     from lakehouse_architecture_transaction_spark.plans.behavior import _copurchase_pairs
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     deg = li.groupBy("l_partkey").agg(F.count("*").cast("bigint").alias("n"))
-    pairs = _copurchase_pairs(spark, sf_dir).filter(F.col("w") >= _JAC_MIN_SUPPORT)
+    pairs = _copurchase_pairs(spark, sf_dir, li=li).filter(F.col("w") >= _JAC_MIN_SUPPORT)
     j = pairs.join(
         deg.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a")), "part_a"
     ).join(deg.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b")), "part_b")
@@ -578,12 +595,20 @@ def docs_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-source double sum is order-stable; every other boundary
     value is an exact BIGINT or a fixed double chain.
 
-    Scale shape: one source-cardinality aggregate, a broadcast 1-row
-    total, a broadcast rates join, and one map-side filtered
-    source-cardinality aggregate — the selection itself never
-    shuffles."""
+    Scale shape: one source-cardinality aggregate — materialized
+    (localCheckpoint) because four plan branches consume it (total,
+    Σ√n, rates, final join) and Spark replicates unshared subtrees,
+    which would re-scan the corpus per branch — then a broadcast
+    1-row total, a broadcast rates join, and one map-side filtered
+    source-cardinality aggregate over the corpus' second (and last)
+    scan. Two corpus passes total is the floor: the rates are derived
+    from the same corpus the selection filters."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    counts = docs.groupBy("source").agg(F.count("*").cast("bigint").alias("n_source"))
+    counts = (
+        docs.groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_source"))
+        .localCheckpoint(eager=True)
+    )
     tot = counts.agg(
         F.sum("n_source").cast("bigint").alias("n_total"),
         F.expr(
@@ -638,7 +663,7 @@ def docs_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        rates.join(sel, ["source"], "left")
+        rates.join(F.broadcast(sel), ["source"], "left")
         .select(
             "source",
             "n_source",
