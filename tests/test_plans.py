@@ -131,3 +131,30 @@ def test_sketch_accuracy_window_is_partitioned(spark, sf_dir):
     plan = _formatted_plan(REGISTRY["events_sketch_accuracy"].fn(spark, sf_dir))
     assert "Window" in plan
     assert "SinglePartition" not in plan, "rank selection collapsed to one partition"
+
+
+def test_temperature_mixture_two_pass_floor(spark, sf_dir):
+    """docs_temperature_mixture: the final plan reads the corpus
+    exactly ONCE (the rates side is served from the materialized
+    counts frame; the first pass already ran inside the checkpoint)
+    and every join is broadcast — the shape that holds when the
+    corpus is 100 TB and the source list is a few hundred rows."""
+    plan = _formatted_plan(REGISTRY["docs_temperature_mixture"].fn(spark, sf_dir))
+    # formatted plans print each node in the tree AND the detail
+    # section, so count ReadSchema (detail-only, one per scan)
+    assert len(re.findall(r"ReadSchema", plan)) == 1, "corpus must be scanned once per pass"
+    assert "SortMergeJoin" not in plan, "source-cardinality joins must broadcast"
+
+
+def test_copurchase_graph_queries_materialize_shared_frames(spark, sf_dir):
+    """part_copurchase_jaccard / part_copurchase_triangles: the
+    distinct (order, part) frame / edge set is consumed by several
+    plan branches; without materialization Spark re-runs the whole
+    pair-mining stage per branch (re-scanning the fact). The final
+    plans must contain NO parquet scan — every branch reads the
+    checkpointed frame."""
+    plan = _formatted_plan(REGISTRY["part_copurchase_jaccard"].fn(spark, sf_dir))
+    assert len(re.findall(r"ReadSchema", plan)) == 0
+    assert "SortMergeJoin" not in plan, "degree joins must broadcast from the materialized frame"
+    plan = _formatted_plan(REGISTRY["part_copurchase_triangles"].fn(spark, sf_dir))
+    assert len(re.findall(r"ReadSchema", plan)) == 0
