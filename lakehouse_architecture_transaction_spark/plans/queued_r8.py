@@ -379,3 +379,79 @@ def orders_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ------------------------------------------------------------------
+# 6. events_stream_hourly — the STREAMING pipeline, driver-checkable
+# ------------------------------------------------------------------
+
+_STREAM_SRC_MEMO: dict[tuple[str, str], str] = {}
+
+EVENTS_STREAM_HOURLY_ORACLE = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour_start ASC, event_type ASC
+"""
+
+
+def events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL Structured Streaming pipeline (streaming/pipeline.py
+    read_event_stream → hourly_stream_agg), executed as a bounded
+    availableNow run and returned as a DataFrame — which makes the
+    streaming path itself a driver-checkable, oracle-hashed query
+    surface instead of a tests-only component. Complete output mode
+    makes the bounded run batch-equivalent BY SEMANTICS: the memory
+    sink holds every (window, type) group at stream end, and in
+    complete mode the watermark neither evicts state nor drops late
+    rows — so the staged files' arbitrary event-time order (8-way
+    repartitioned landing zone, maxFilesPerTrigger=4 → multiple
+    micro-batches with heavy cross-batch 'lateness') cannot change
+    the result. The oracle states the plain batch aggregate.
+
+    Scale shape: identical to the batch twin (map-side-combined
+    (window, type) aggregate); state is (windows × types), bounded in
+    production by the watermark (append mode) — complete mode here is
+    the bounded-run harness, not the 100 TB deployment mode."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    from lakehouse_architecture_transaction_spark.streaming.pipeline import (
+        hourly_stream_agg,
+        read_event_stream,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    src = _STREAM_SRC_MEMO.get(key)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="lakehouse_architecture_transaction_stream_events_")
+        atexit.register(shutil.rmtree, src, ignore_errors=True)
+        load_table(spark, sf_dir, "events").repartition(8).write.mode("overwrite").parquet(src)
+        _STREAM_SRC_MEMO[key] = src
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    q = (
+        hourly_stream_agg(read_event_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        spark.table(name)
+        .select(
+            F.col("hour_start").cast("timestamp_ntz").alias("hour_start"),
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("total_value").cast("decimal(18,2)").cast("double").alias("total_value"),
+        )
+        .orderBy("hour_start", "event_type")
+        .localCheckpoint(eager=True)
+    )
+    spark.catalog.dropTempView(name)
+    return out

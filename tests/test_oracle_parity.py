@@ -491,3 +491,19 @@ def test_orders_backlog_oracle_parity_preview(spark, sf_dir):
     # order eventually ships), and equals the running delta sum
     assert all(r["backlog"] >= 0 for r in rows)
     assert rows[-1]["backlog"] == 0
+
+
+def test_events_stream_hourly_oracle_parity_preview(spark, sf_dir):
+    # Round-8 preview: the REAL streaming pipeline (availableNow,
+    # complete mode) must reproduce the batch aggregate bit-exactly —
+    # and repeatably (fresh stream per call).
+    from lakehouse_architecture_transaction_spark.plans.queued_r8 import (
+        EVENTS_STREAM_HOURLY_ORACLE,
+        events_stream_hourly,
+    )
+
+    con = _duck(sf_dir)
+    got = _canon_rows(events_stream_hourly(spark, sf_dir))
+    want = _duck_rows(con, EVENTS_STREAM_HOURLY_ORACLE)
+    assert got == want
+    assert _canon_rows(events_stream_hourly(spark, sf_dir)) == got
