@@ -653,7 +653,9 @@ GOPHER_BOUNDS = {
 }
 
 
-def gopher_quality_flags(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def gopher_quality_flags(
+    docs: DataFrame, id_col: str, text_col: str, keep: list[str] | None = None
+) -> DataFrame:
     """Gopher-style rule-based quality filter (Rae et al. 2021): the
     classic pre-model curation gate — word-count bounds, mean word
     length bounds, symbol-to-word ratio, bullet-line fraction,
@@ -665,16 +667,25 @@ def gopher_quality_flags(docs: DataFrame, id_col: str, text_col: str) -> DataFra
     BIGINT count; each ratio is ONE double division; bound comparisons
     then see identical doubles in both engines. Row-local, zero
     shuffles — at 100 TB this is a map-only pass over the corpus.
+
+    ``keep`` passes extra input columns through to the output, so a
+    caller that needs the flags NEXT TO the document (the curation
+    pipeline) stays a single map-only pass instead of a join-back on
+    the id — Spark replicates unshared subtrees, so the join-back
+    form scans the corpus twice.
     """
     b = GOPHER_BOUNDS
+    extra = [c for c in (keep or []) if c not in (id_col, text_col)]
     staged = docs.select(
         F.col(id_col),
         F.col(text_col),
+        *[F.col(c) for c in extra],
         tokens_expr(text_col).alias("__tk"),
         F.split(F.col(text_col), "\n").alias("__ln"),
     ).select(
         F.col(id_col),
         F.col(text_col),
+        *[F.col(c) for c in extra],
         "__tk",
         "__ln",
         F.expr("transform(__tk, t -> lower(t))").alias("__lt"),
@@ -706,6 +717,7 @@ def gopher_quality_flags(docs: DataFrame, id_col: str, text_col: str) -> DataFra
     )
     m = staged.select(
         F.col(id_col),
+        *[F.col(c) for c in (keep or [])],
         "n_words",
         mean_wl.alias("mean_word_len"),
         symbol_ratio.alias("symbol_ratio"),

@@ -66,8 +66,14 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the final (fold, source) aggregate; everything else is
     map-only over the corpus."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    flags = T.gopher_quality_flags(docs, "doc_id", "text").select("doc_id", "passes_gopher")
-    kept = docs.join(flags, "doc_id").filter(F.col("passes_gopher") == 1)
+    # keep= passthrough: flags computed NEXT TO the document columns in
+    # one map-only pass — the join-back form re-scanned the corpus per
+    # plan branch (Spark replicates unshared subtrees)
+    kept = (
+        T.gopher_quality_flags(docs, "doc_id", "text", keep=["source", "text"])
+        .filter(F.col("passes_gopher") == 1)
+        .select("doc_id", "source", "text")
+    )
     w = Window.partitionBy(F.md5("text")).orderBy(F.col("doc_id").asc())
     deduped = kept.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
     folded = SA.grouped_fold_assign(deduped, "source", k=_CUR_FOLDS)

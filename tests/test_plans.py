@@ -158,3 +158,13 @@ def test_copurchase_graph_queries_materialize_shared_frames(spark, sf_dir):
     assert "SortMergeJoin" not in plan, "degree joins must broadcast from the materialized frame"
     plan = _formatted_plan(REGISTRY["part_copurchase_triangles"].fn(spark, sf_dir))
     assert len(re.findall(r"ReadSchema", plan)) == 0
+
+
+def test_curation_pipeline_single_corpus_scan(spark, sf_dir):
+    """docs_curation_pipeline: gopher flags are computed NEXT TO the
+    document columns (gopher_quality_flags keep=), so the whole
+    filter→dedup→fold→aggregate chain reads the corpus exactly once —
+    no join-back on doc_id, no replicated scan."""
+    plan = _formatted_plan(REGISTRY["docs_curation_pipeline"].fn(spark, sf_dir))
+    assert len(re.findall(r"ReadSchema", plan)) == 1
+    assert "SortMergeJoin" not in plan
