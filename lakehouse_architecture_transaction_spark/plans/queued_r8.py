@@ -387,6 +387,23 @@ def orders_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAM_SRC_MEMO: dict[tuple[str, str], str] = {}
 
+
+def _stream_events_src(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once per app+sf_dir) the events table as an 8-file
+    parquet landing zone for the file-source streams."""
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    src = _STREAM_SRC_MEMO.get(key)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="lakehouse_architecture_transaction_stream_events_")
+        atexit.register(shutil.rmtree, src, ignore_errors=True)
+        load_table(spark, sf_dir, "events").repartition(8).write.mode("overwrite").parquet(src)
+        _STREAM_SRC_MEMO[key] = src
+    return src
+
 EVENTS_STREAM_HOURLY_ORACLE = """
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -415,9 +432,6 @@ def events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (window, type) aggregate); state is (windows × types), bounded in
     production by the watermark (append mode) — complete mode here is
     the bounded-run harness, not the 100 TB deployment mode."""
-    import atexit
-    import shutil
-    import tempfile
     import uuid
 
     from lakehouse_architecture_transaction_spark.streaming.pipeline import (
@@ -425,13 +439,7 @@ def events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_event_stream,
     )
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    src = _STREAM_SRC_MEMO.get(key)
-    if src is None:
-        src = tempfile.mkdtemp(prefix="lakehouse_architecture_transaction_stream_events_")
-        atexit.register(shutil.rmtree, src, ignore_errors=True)
-        load_table(spark, sf_dir, "events").repartition(8).write.mode("overwrite").parquet(src)
-        _STREAM_SRC_MEMO[key] = src
+    src = _stream_events_src(spark, sf_dir)
     name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
     q = (
         hourly_stream_agg(read_event_stream(spark, src))
@@ -455,3 +463,143 @@ def events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.catalog.dropTempView(name)
     return out
+
+
+# ------------------------------------------------------------------
+# 7. events_stream_trending — sliding-window streaming top-k
+# ------------------------------------------------------------------
+
+_TREND_K = 3
+
+EVENTS_STREAM_TRENDING_ORACLE = f"""
+WITH w AS (
+    SELECT time_bucket(INTERVAL '30 minutes', ts) AS t30, event_type FROM events
+),
+e AS (
+    SELECT t30 AS window_start, event_type FROM w
+    UNION ALL
+    SELECT t30 - INTERVAL '30 minutes' AS window_start, event_type FROM w
+),
+c AS (
+    SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM e GROUP BY 1, 2
+),
+r AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                  ORDER BY n_events DESC, event_type ASC) AS rank
+    FROM c
+)
+SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+       CAST(rank AS INTEGER) AS rank, event_type, n_events
+FROM r WHERE rank <= {_TREND_K}
+ORDER BY window_start ASC, rank ASC
+"""
+
+
+def events_stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trending-feed STREAMING pipeline (streaming/pipeline.py
+    sliding_stream_counts → top_k_per_window): 1-hour windows sliding
+    every 30 minutes over the bounded availableNow stream (complete
+    mode — batch-equivalent, see events_stream_hourly), then the
+    deterministic per-window top-k rank applied to the drained sink
+    exactly as the foreachBatch serving layer would. The oracle
+    derives the same sliding windows arithmetically (each event lands
+    in exactly window/slide = 2 windows, starts aligned to the
+    30-minute epoch grid — Spark's F.window origin).
+
+    Scale shape: the stream aggregate is (windows × types) with
+    map-side combine (each event expands to 2 window rows); the rank
+    window runs at that aggregate cardinality."""
+    import uuid
+
+    from lakehouse_architecture_transaction_spark.streaming.pipeline import (
+        read_event_stream,
+        sliding_stream_counts,
+        top_k_per_window,
+    )
+
+    src = _stream_events_src(spark, sf_dir)
+    name = f"stream_trending_{uuid.uuid4().hex[:8]}"
+    q = (
+        sliding_stream_counts(read_event_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        top_k_per_window(spark.table(name), k=_TREND_K)
+        .select(
+            F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+            "rank",
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+        .orderBy("window_start", "rank")
+        .localCheckpoint(eager=True)
+    )
+    spark.catalog.dropTempView(name)
+    return out
+
+
+# ------------------------------------------------------------------
+# 8. nation_flow_matrix — full bilateral trade matrix (Q7 generalized)
+# ------------------------------------------------------------------
+
+_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+_SUM_REV = f"CAST(CAST(SUM({_REV}) AS DECIMAL(18,4)) AS DOUBLE)"
+
+NATION_FLOW_ORACLE = f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       {_SUM_REV} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+GROUP BY 1, 2
+ORDER BY supp_nation ASC, cust_nation ASC
+"""
+
+
+def nation_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL bilateral trade matrix — TPC-H Q7 generalized from one
+    nation pair to all 25×25 (supp_nation, cust_nation) flows: revenue
+    and lineitem count per ordered pair, the origin-destination table
+    every logistics/market dashboard draws. Exact-decimal money
+    discipline (same _REV/_SUM_REV constants as the Q7/YoY plans).
+
+    Scale shape: fact-fact join on orderkey, then THREE broadcast
+    dims (customer is the only non-broadcast side at real scale —
+    its join shuffles on custkey at order cardinality); the final
+    aggregate is 625 rows with map-side combine."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lineitems"),
+            F.expr(f"SUM({_REV})").cast("decimal(18,4)").cast("double").alias("revenue"),
+        )
+        .orderBy("supp_nation", "cust_nation")
+    )

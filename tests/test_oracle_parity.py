@@ -507,3 +507,27 @@ def test_events_stream_hourly_oracle_parity_preview(spark, sf_dir):
     want = _duck_rows(con, EVENTS_STREAM_HOURLY_ORACLE)
     assert got == want
     assert _canon_rows(events_stream_hourly(spark, sf_dir)) == got
+
+
+def test_events_stream_trending_oracle_parity_preview(spark, sf_dir):
+    from lakehouse_architecture_transaction_spark.plans.queued_r8 import (
+        EVENTS_STREAM_TRENDING_ORACLE,
+        events_stream_trending,
+    )
+
+    con = _duck(sf_dir)
+    got = _canon_rows(events_stream_trending(spark, sf_dir))
+    want = _duck_rows(con, EVENTS_STREAM_TRENDING_ORACLE)
+    assert got == want
+
+
+def test_nation_flow_matrix_oracle_parity_preview(spark, sf_dir):
+    from lakehouse_architecture_transaction_spark.plans.queued_r8 import (
+        NATION_FLOW_ORACLE,
+        nation_flow_matrix,
+    )
+
+    con = _duck(sf_dir)
+    got = _canon_rows(nation_flow_matrix(spark, sf_dir))
+    want = _duck_rows(con, NATION_FLOW_ORACLE)
+    assert got == want
