@@ -53,6 +53,11 @@ PROBES = [
     "q18_large_volume_customers",      # groupBy orderkey + join custkey
     "orders_pctrank_in_segment",       # grouped exact rank (bucketed)
     "docs_top_quality_per_source",     # salted two-phase top-k
+    # r7: hot l_partkey = a hub in the co-purchase graph — the exact
+    # case degree-ordered orientation exists for (the hub's edges all
+    # point TOWARD it, so it enumerates no wedges)
+    "part_copurchase_jaccard",
+    "part_copurchase_triangles",
 ]
 
 
