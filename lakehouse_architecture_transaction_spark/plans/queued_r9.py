@@ -1,0 +1,372 @@
+"""Queued round-9 registrations: registered companions for the
+remaining tests-only lakehouse/ingest rows — the same pattern that
+flipped E14/E16/E17/E18/E20/E23/E25 to oracle-checked end-to-end.
+Each builds its scenario in a memoized temp LakeTable/landing zone and
+returns a content audit whose oracle derives the SAME expectation from
+the base tables arithmetically.
+
+- E24 RESTORE/CLONE  → orders_restore_clone_audit
+- E9  partitioned versioned write + time travel → orders_snapshot_timetravel_stats
+- E19 CHECK constraints → orders_constraint_audit
+- E7  CSV ingest + corrupt routing → orders_csv_roundtrip_stats
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_transaction_spark.catalog import load_table
+from lakehouse_architecture_transaction_spark.lakehouse.table import LakeTable
+
+_TOTAL = (
+    'CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)'
+)
+
+
+def _total_col():
+    return (
+        F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)))")
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("total_price")
+    )
+
+
+# ------------------------------------------------------------------
+# E24: RESTORE / CLONE
+# ------------------------------------------------------------------
+
+_RC_MEMO: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def _restore_clone_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """v0 = base orders; v1 = deterministic merge (keys ≡ 0 mod 9 get
+    o_totalprice + 1.00); clone = deep copy of v1; then RESTORE the
+    source table to v0 (a NEW commit — history moves forward)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _RC_MEMO.get(key)
+    if got is None:
+        root = tempfile.mkdtemp(prefix="lakehouse_architecture_transaction_restore_clone_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        src_path, clone_path = f"{root}/src", f"{root}/clone"
+        orders = load_table(spark, sf_dir, "orders")
+        t = LakeTable(spark, src_path, keys=["o_orderkey"], versioned=True)
+        t.create(orders)  # v0
+        update = orders.filter(F.col("o_orderkey") % 9 == 0).withColumn(
+            "o_totalprice",
+            (F.col("o_totalprice").cast("decimal(18,2)") + F.lit(1.00).cast("decimal(18,2)"))
+            .cast("double"),
+        )
+        t.upsert(update)  # v1
+        t.clone(clone_path)  # snapshot of v1
+        t.restore(0)  # v2 = v0 content, history intact
+        _RC_MEMO[key] = (src_path, clone_path)
+        got = _RC_MEMO[key]
+    return got
+
+
+ORDERS_RESTORE_CLONE_ORACLE = f"""
+WITH base AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders, {_TOTAL} AS total_price FROM orders
+),
+merged AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                     + CASE WHEN o_orderkey % 9 = 0 THEN CAST(1.00 AS DECIMAL(18,2))
+                            ELSE CAST(0.00 AS DECIMAL(18,2)) END)
+                 AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+    FROM orders
+)
+SELECT 'clone_of_v1' AS snapshot, n_orders, total_price FROM merged
+UNION ALL
+SELECT 'restored_current' AS snapshot, n_orders, total_price FROM base
+UNION ALL
+SELECT 'v1_history' AS snapshot, n_orders, total_price FROM merged
+ORDER BY snapshot ASC
+"""
+
+
+def orders_restore_clone_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E24 end-to-end: content audit across the RESTORE/CLONE
+    lifecycle (lakehouse/table.py restore/clone — Delta RESTORE TABLE
+    / deep CLONE). After create(v0) → merge(v1) → clone → restore(v0):
+    the CURRENT table must read as the base again, version 1 must stay
+    queryable in history (restore moves forward, never erases), and
+    the clone must still hold the merged snapshot it was taken from.
+    The oracle derives all three expectations from the base table and
+    the deterministic merge rule.
+
+    Scale shape: three aggregate scans at table cardinality; the
+    lifecycle operations themselves are the copy-on-write commits the
+    versioned table is built on."""
+    src_path, clone_path = _restore_clone_tables(spark, sf_dir)
+    t = LakeTable(spark, src_path, keys=["o_orderkey"], versioned=True)
+    clone = LakeTable(spark, clone_path, keys=["o_orderkey"], versioned=True)
+
+    def stats(df: DataFrame, label: str) -> DataFrame:
+        return df.groupBy().agg(
+            F.count("*").cast("bigint").alias("n_orders"), _total_col()
+        ).select(F.lit(label).alias("snapshot"), "n_orders", "total_price")
+
+    return (
+        stats(clone.read(), "clone_of_v1")
+        .unionByName(stats(t.read(), "restored_current"))
+        .unionByName(stats(t.read(version=1), "v1_history"))
+        .orderBy("snapshot")
+    )
+
+
+# ------------------------------------------------------------------
+# E9: partitioned versioned write + time travel
+# ------------------------------------------------------------------
+
+_TT_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _timetravel_table(spark: SparkSession, sf_dir: str) -> str:
+    """v0 = orders WITHOUT the deterministic late batch (keys ≡ 0
+    mod 11), partitioned by o_orderstatus; v1 = append of that batch."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _TT_MEMO.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="lakehouse_architecture_transaction_timetravel_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+        t = LakeTable(
+            spark, path, keys=["o_orderkey"], partition_by="o_orderstatus", versioned=True
+        )
+        t.create(orders.filter(F.col("o_orderkey") % 11 != 0))  # v0
+        t.append(orders.filter(F.col("o_orderkey") % 11 == 0))  # v1
+        _TT_MEMO[key] = path
+    return path
+
+
+ORDERS_TIMETRAVEL_ORACLE = f"""
+WITH v0 AS (
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders, {_TOTAL} AS total_price
+    FROM orders WHERE o_orderkey % 11 != 0 GROUP BY 1
+),
+v1 AS (
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders, {_TOTAL} AS total_price
+    FROM orders GROUP BY 1
+)
+SELECT 0 AS version, * FROM v0
+UNION ALL
+SELECT 1 AS version, * FROM v1
+ORDER BY version ASC, o_orderstatus ASC
+"""
+
+
+def orders_snapshot_timetravel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 end-to-end: partitioned versioned write + time travel
+    (lakehouse/table.py versioned=True, partition_by) — per-status
+    stats read from snapshot v0 AND from the current version after a
+    deterministic append commit. The oracle derives both snapshots
+    from the base table and the append predicate, so the immutability
+    of v0 under the later commit is value-checked (a mutated or
+    partially-visible snapshot changes the hash).
+
+    Scale shape: two partition-pruned-capable scans of the versioned
+    table at aggregate cardinality."""
+    path = _timetravel_table(spark, sf_dir)
+    t = LakeTable(
+        spark, path, keys=["o_orderkey"], partition_by="o_orderstatus", versioned=True
+    )
+
+    def stats(df: DataFrame, v: int) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").cast("bigint").alias("n_orders"), _total_col()
+        ).select(F.lit(v).alias("version"), "o_orderstatus", "n_orders", "total_price")
+
+    return (
+        stats(t.read(version=0), 0)
+        .unionByName(stats(t.read(), 1))
+        .orderBy("version", "o_orderstatus")
+    )
+
+
+# ------------------------------------------------------------------
+# E19: CHECK constraints + commit log
+# ------------------------------------------------------------------
+
+_CK_MEMO: dict[tuple[str, str], tuple[str, int]] = {}
+
+
+def _constrained_table(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """A constrained table (CHECK o_totalprice > 0): the valid commit
+    lands; the violating commit (prices negated on keys ≡ 0 mod 13)
+    must be REFUSED atomically — nothing from it becomes visible."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _CK_MEMO.get(key)
+    if got is None:
+        path = tempfile.mkdtemp(prefix="lakehouse_architecture_transaction_constraint_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+        t = LakeTable(
+            spark,
+            path,
+            keys=["o_orderkey"],
+            versioned=True,
+            constraints={"positive_price": "o_totalprice > 0"},
+        )
+        t.create(orders)  # valid commit
+        bad = orders.withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 13 == 0, -F.col("o_totalprice")).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        refused = 0
+        try:
+            t.upsert(bad)
+        except ValueError:
+            refused = 1
+        _CK_MEMO[key] = (path, refused)
+        got = _CK_MEMO[key]
+    return got
+
+
+ORDERS_CONSTRAINT_ORACLE = f"""
+SELECT CAST(1 AS BIGINT) AS violating_commit_refused,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rows_in_refused_update,
+       {_TOTAL} AS total_price
+FROM orders
+"""
+
+
+def orders_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19 end-to-end: CHECK-constraint enforcement
+    (lakehouse/table.py constraints=) — a violating merge (negated
+    prices on a deterministic key subset) must be refused ATOMICALLY:
+    the audit reads the table afterwards and hashes (refusal happened,
+    row count, how many rows the refused update carried, exact total).
+    A constraint engine that half-applies the bad commit, or one that
+    silently accepts it, changes the value hash. The oracle states
+    the base-table expectation.
+
+    Scale shape: constraint check = one filtered limit-1 scan of the
+    incoming commit; audit = one aggregate scan."""
+    path, refused = _constrained_table(spark, sf_dir)
+    t = LakeTable(
+        spark,
+        path,
+        keys=["o_orderkey"],
+        versioned=True,
+        constraints={"positive_price": "o_totalprice > 0"},
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    n_bad = orders.filter(F.col("o_orderkey") % 13 == 0)
+    return (
+        t.read()
+        .groupBy()
+        .agg(F.count("*").cast("bigint").alias("n_orders"), _total_col())
+        .crossJoin(
+            F.broadcast(
+                n_bad.groupBy().agg(
+                    F.count("*").cast("bigint").alias("n_rows_in_refused_update")
+                )
+            )
+        )
+        .select(
+            F.lit(refused).cast("bigint").alias("violating_commit_refused"),
+            "n_orders",
+            "n_rows_in_refused_update",
+            "total_price",
+        )
+    )
+
+
+# ------------------------------------------------------------------
+# E7: CSV ingest + corrupt routing
+# ------------------------------------------------------------------
+
+_CSV_MEMO: dict[tuple[str, str], str] = {}
+_CSV_BAD_LINES = [
+    '999999991,"unclosed quote,F,123.45,1995-01-01',
+    '999999992,BAD"QUOTE"MID,O,99.99,1995-01-02,extra,fields,beyond,schema',
+]
+
+
+def _csv_landing_zone(spark: SparkSession, sf_dir: str) -> str:
+    """Stage orders as a CSV landing zone (one header-bearing part)
+    plus a file of structurally corrupt lines (bad quoting) that the
+    PERMISSIVE reader must route to the corrupt channel."""
+    import os
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    src = _CSV_MEMO.get(key)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="lakehouse_architecture_transaction_csv_zone_")
+        atexit.register(shutil.rmtree, src, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("o_totalprice"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        staged = os.path.join(src, "csv")
+        orders.coalesce(1).write.option("header", "true").csv(staged)
+        # header=true skips the FIRST line of EVERY file, so the
+        # corrupt part carries a header line too
+        header = "o_orderkey,o_custkey,o_orderstatus,o_totalprice,o_orderdate"
+        with open(os.path.join(staged, "part-corrupt.csv"), "w") as f:
+            f.write(header + "\n" + "\n".join(_CSV_BAD_LINES) + "\n")
+        _CSV_MEMO[key] = staged
+        src = staged
+    return src
+
+
+ORDERS_CSV_ROUNDTRIP_ORACLE = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_parsed,
+       CAST({len(_CSV_BAD_LINES)} AS BIGINT) AS n_corrupt,
+       {_TOTAL} AS total_price,
+       CAST(CAST(SUM(CAST(o_custkey AS BIGINT)) AS BIGINT) AS BIGINT) AS custkey_sum
+FROM orders
+"""
+
+
+def orders_csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 end-to-end: CSV ingest with enforced schema + corrupt-line
+    routing (sources/csv.py read_csv_enforced — the reference's
+    PERMISSIVE read + cast-all-fields semantics, reference
+    scripts/glue/script.py schema apply). Orders round-trip through a
+    CSV landing zone that also contains structurally corrupt lines
+    (unterminated quote, token overflow); the parsed channel must
+    reproduce the base table's exact aggregate and the corrupt
+    channel must hold exactly the bad lines. The oracle states both
+    from the base table and the staged corruption.
+
+    Scale shape: one CSV scan; parsed/corrupt split is a map-side
+    filter on the PERMISSIVE reader's corrupt-record column."""
+    from pyspark.sql import types as T
+
+    from lakehouse_architecture_transaction_spark.sources.csv import read_csv_enforced
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.DateType()),
+        ]
+    )
+    src = _csv_landing_zone(spark, sf_dir)
+    parsed, corrupt = read_csv_enforced(spark, src, schema)
+    agg = parsed.groupBy().agg(
+        F.count("*").cast("bigint").alias("n_parsed"),
+        _total_col(),
+        F.sum("o_custkey").cast("bigint").alias("custkey_sum"),
+    )
+    n_corrupt = corrupt.groupBy().agg(F.count("*").cast("bigint").alias("n_corrupt"))
+    return agg.crossJoin(F.broadcast(n_corrupt)).select(
+        "n_parsed", "n_corrupt", "total_price", "custkey_sum"
+    )

@@ -531,3 +531,24 @@ def test_nation_flow_matrix_oracle_parity_preview(spark, sf_dir):
     got = _canon_rows(nation_flow_matrix(spark, sf_dir))
     want = _duck_rows(con, NATION_FLOW_ORACLE)
     assert got == want
+
+
+# ---------------- Round-9 registration previews (plans/queued_r9.py) --
+
+
+@pytest.mark.parametrize(
+    "fn_name,oracle_name",
+    [
+        ("orders_restore_clone_audit", "ORDERS_RESTORE_CLONE_ORACLE"),
+        ("orders_snapshot_timetravel_stats", "ORDERS_TIMETRAVEL_ORACLE"),
+        ("orders_constraint_audit", "ORDERS_CONSTRAINT_ORACLE"),
+        ("orders_csv_roundtrip_stats", "ORDERS_CSV_ROUNDTRIP_ORACLE"),
+    ],
+)
+def test_r9_lakehouse_companion_oracle_parity_preview(spark, sf_dir, fn_name, oracle_name):
+    from lakehouse_architecture_transaction_spark.plans import queued_r9 as Q
+
+    con = _duck(sf_dir)
+    got = _canon_rows(getattr(Q, fn_name)(spark, sf_dir))
+    want = _duck_rows(con, getattr(Q, oracle_name))
+    assert got == want
