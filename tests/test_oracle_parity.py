@@ -543,6 +543,7 @@ def test_nation_flow_matrix_oracle_parity_preview(spark, sf_dir):
         ("orders_snapshot_timetravel_stats", "ORDERS_TIMETRAVEL_ORACLE"),
         ("orders_constraint_audit", "ORDERS_CONSTRAINT_ORACLE"),
         ("orders_csv_roundtrip_stats", "ORDERS_CSV_ROUNDTRIP_ORACLE"),
+        ("pipeline_three_dataset_summary", "PIPELINE_SUMMARY_ORACLE"),
     ],
 )
 def test_r9_lakehouse_companion_oracle_parity_preview(spark, sf_dir, fn_name, oracle_name):
