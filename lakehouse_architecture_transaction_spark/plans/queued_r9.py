@@ -486,3 +486,102 @@ def pipeline_three_dataset_summary(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("rejected_rows").cast("bigint").alias("rejected_rows"),
         F.col("table_rows").cast("bigint").alias("table_rows"),
     )
+
+
+# ------------------------------------------------------------------
+# E21: event-driven orchestration (landing-zone watcher cycle)
+# ------------------------------------------------------------------
+
+_ORCH_MEMO: dict[tuple[str, str], tuple[str, str, str, str]] = {}
+
+
+def _orchestrated_zone(spark: SparkSession, sf_dir: str) -> tuple[str, str, str, str]:
+    """Stage a landing zone (products/orders/order_items parquet drops
+    + ONE structurally corrupt orders drop) and run ONE watcher cycle
+    (orchestration.process_landing): good drops ingest in dependency
+    order and archive; the corrupt drop quarantines WITHOUT killing
+    the cycle."""
+    import os
+
+    from lakehouse_architecture_transaction_spark.orchestration import process_landing
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _ORCH_MEMO.get(key)
+    if got is None:
+        root = tempfile.mkdtemp(prefix="lakehouse_architecture_transaction_orch_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        landing = os.path.join(root, "landing")
+        archive = os.path.join(root, "archive")
+        errors = os.path.join(root, "errors")
+        lake = os.path.join(root, "lake")
+        os.makedirs(landing, exist_ok=True)
+        load_table(spark, sf_dir, "part").write.parquet(
+            os.path.join(landing, "products_1.parquet")
+        )
+        load_table(spark, sf_dir, "orders").write.parquet(
+            os.path.join(landing, "orders_1.parquet")
+        )
+        load_table(spark, sf_dir, "lineitem").write.parquet(
+            os.path.join(landing, "order_items_1.parquet")
+        )
+        with open(os.path.join(landing, "orders_corrupt_2.parquet"), "wb") as f:
+            f.write(b"this is not a parquet file\n")
+        process_landing(spark, landing, archive, errors, lake)
+        _ORCH_MEMO[key] = (landing, archive, errors, lake)
+        got = _ORCH_MEMO[key]
+    return got
+
+
+ORCHESTRATION_AUDIT_ORACLE = """
+SELECT 'files' AS kind, 'archived' AS name, CAST(3 AS BIGINT) AS value
+UNION ALL SELECT 'files', 'landing_left', CAST(0 AS BIGINT)
+UNION ALL SELECT 'files', 'quarantined', CAST(1 AS BIGINT)
+UNION ALL SELECT 'table_rows', 'order_items',
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+UNION ALL SELECT 'table_rows', 'orders', (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+UNION ALL SELECT 'table_rows', 'products', (SELECT CAST(COUNT(*) AS BIGINT) FROM part)
+ORDER BY kind ASC, name ASC
+"""
+
+
+def orchestration_landing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E21 end-to-end: the event-driven orchestration cycle
+    (orchestration.py process_landing — the reference's S3-event →
+    Step Function → Glue → archive-on-success flow, reference
+    scripts/lambda/trigger_sfn.py + archive_on_success.py) audited on
+    REAL filesystem + lake state: after one cycle over three good
+    drops and one corrupt drop, the archive must hold exactly the
+    ingested files, the quarantine exactly the corrupt one, the
+    landing zone must be empty, and the curated tables must carry the
+    full (PK-deduped) content — so per-file failure isolation,
+    dependency ordering (order_items FK-validates against the curated
+    dims committed earlier in the SAME cycle), and archive-on-success
+    are all value-checked. The oracle states every count from the
+    base tables and the staged zone.
+
+    Scale shape: each ingest is the standard validate+dedup+merge
+    plan; the audit is three counts + three directory listings."""
+    import os
+
+    landing, archive, errors, lake = _orchestrated_zone(spark, sf_dir)
+    from lakehouse_architecture_transaction_spark.lakehouse.table import LakeTable as LT
+
+    files = [
+        ("files", "archived", len(os.listdir(archive))),
+        ("files", "landing_left", len(os.listdir(landing))),
+        ("files", "quarantined", len(os.listdir(errors))),
+    ]
+    fdf = spark.createDataFrame(files, "kind string, name string, value long")
+    tables = None
+    for ds, keys in (
+        ("order_items", ["l_orderkey", "l_linenumber"]),
+        ("orders", ["o_orderkey"]),
+        ("products", ["p_partkey"]),
+    ):
+        t = LT(spark, f"{lake}/curated/{ds}", keys=keys)
+        row = t.read().groupBy().agg(F.count("*").cast("bigint").alias("value")).select(
+            F.lit("table_rows").alias("kind"), F.lit(ds).alias("name"), "value"
+        )
+        tables = row if tables is None else tables.unionByName(row)
+    return fdf.unionByName(tables).orderBy("kind", "name")

@@ -544,6 +544,7 @@ def test_nation_flow_matrix_oracle_parity_preview(spark, sf_dir):
         ("orders_constraint_audit", "ORDERS_CONSTRAINT_ORACLE"),
         ("orders_csv_roundtrip_stats", "ORDERS_CSV_ROUNDTRIP_ORACLE"),
         ("pipeline_three_dataset_summary", "PIPELINE_SUMMARY_ORACLE"),
+        ("orchestration_landing_audit", "ORCHESTRATION_AUDIT_ORACLE"),
     ],
 )
 def test_r9_lakehouse_companion_oracle_parity_preview(spark, sf_dir, fn_name, oracle_name):
