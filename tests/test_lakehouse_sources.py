@@ -496,3 +496,153 @@ def test_nonversioned_overwrite_from_own_read_is_safe(spark, tmp_path):
     derived = t.read().withColumn("v", F.col("v") + 1)  # lazy: reads t's files
     t.overwrite(derived)
     assert {(r["k"], r["v"]) for r in t.read().collect()} == {(1, 11), (2, 21), (3, 31)}
+
+
+def _write_minimal_xlsx(path, sheets):
+    """Minimal ECMA-376 SpreadsheetML writer (stdlib): shared strings
+    for str cells, inline numbers/bools, A1 refs with gap cells
+    preserved — the structure Excel itself emits, so the stdlib
+    reader is exercised against the real container format."""
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    shared: list[str] = []
+    sindex: dict[str, int] = {}
+
+    def col_letters(i):
+        s = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            s = chr(65 + r) + s
+        return s
+
+    sheet_xml = {}
+    for snum, (name, rows) in enumerate(sheets.items(), start=1):
+        out_rows = []
+        for rnum, row in enumerate(rows, start=1):
+            cells = []
+            for cnum, v in enumerate(row):
+                if v is None:  # gap cell: omitted entirely
+                    continue
+                ref = f"{col_letters(cnum)}{rnum}"
+                if isinstance(v, bool):
+                    cells.append(f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>')
+                elif isinstance(v, (int, float)):
+                    cells.append(f'<c r="{ref}"><v>{v}</v></c>')
+                elif isinstance(v, tuple) and v[0] == "inline":
+                    cells.append(f'<c r="{ref}" t="inlineStr"><is><t>{escape(v[1])}</t></is></c>')
+                else:
+                    if v not in sindex:
+                        sindex[v] = len(shared)
+                        shared.append(v)
+                    cells.append(f'<c r="{ref}" t="s"><v>{sindex[v]}</v></c>')
+            out_rows.append(f'<row r="{rnum}">{"".join(cells)}</row>')
+        sheet_xml[snum] = (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            f'<sheetData>{"".join(out_rows)}</sheetData></worksheet>'
+        )
+
+    ns_main = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    ns_rel = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    ns_pkg = "http://schemas.openxmlformats.org/package/2006/relationships"
+    wb_sheets = "".join(
+        f'<sheet name="{escape(n)}" sheetId="{i}" r:id="rId{i}"/>'
+        for i, n in enumerate(sheets, start=1)
+    )
+    workbook = (
+        f'<workbook xmlns="{ns_main}" xmlns:r="{ns_rel}"><sheets>{wb_sheets}</sheets></workbook>'
+    )
+    wb_rels = (
+        f'<Relationships xmlns="{ns_pkg}">'
+        + "".join(
+            f'<Relationship Id="rId{i}" Type="{ns_rel}/worksheet" '
+            f'Target="worksheets/sheet{i}.xml"/>'
+            for i in range(1, len(sheets) + 1)
+        )
+        + f'<Relationship Id="rId{len(sheets) + 1}" Type="{ns_rel}/sharedStrings" '
+        'Target="sharedStrings.xml"/></Relationships>'
+    )
+    sst = (
+        f'<sst xmlns="{ns_main}" count="{len(shared)}" uniqueCount="{len(shared)}">'
+        + "".join(f"<si><t>{escape(s)}</t></si>" for s in shared)
+        + "</sst>"
+    )
+    types = (
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Default Extension="rels" '
+        'ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.'
+        'openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        + "".join(
+            f'<Override PartName="/xl/worksheets/sheet{i}.xml" ContentType="application/'
+            'vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+            for i in range(1, len(sheets) + 1)
+        )
+        + '<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.'
+        'openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/></Types>'
+    )
+    root_rels = (
+        f'<Relationships xmlns="{ns_pkg}"><Relationship Id="rId1" '
+        f'Type="{ns_rel}/officeDocument" Target="xl/workbook.xml"/></Relationships>'
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", types)
+        z.writestr("_rels/.rels", root_rels)
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/sharedStrings.xml", sst)
+        for snum, xml in sheet_xml.items():
+            z.writestr(f"xl/worksheets/sheet{snum}.xml", xml)
+
+
+def test_excel_stdlib_reader_roundtrip(tmp_path):
+    """E8: the stdlib OOXML-subset reader extracts per-sheet CSVs from
+    a real SpreadsheetML container — shared strings, inline strings,
+    numbers, booleans, gap cells, two sheets, unsafe sheet names."""
+    from lakehouse_architecture_transaction_spark.sources.excel import (
+        excel_to_csv_all_sheets,
+        read_xlsx_stdlib,
+    )
+
+    path = str(tmp_path / "book.xlsx")
+    _write_minimal_xlsx(
+        path,
+        {
+            "Orders 2024": [
+                ["order_id", "customer", "amount", "priority"],
+                [1, "alice, inc", 10.5, ("inline", "HIGH")],
+                [2, "bob \"the builder\"", 20, ("inline", "LOW")],
+                [3, None, 7.25, ("inline", "MID")],  # gap cell
+            ],
+            "Notes": [["note"], [("inline", "multi word note")], [True]],
+        },
+    )
+    sheets = read_xlsx_stdlib(path)
+    assert list(sheets) == ["Orders 2024", "Notes"]
+    rows = sheets["Orders 2024"]
+    assert rows[0] == ["order_id", "customer", "amount", "priority"]
+    assert rows[1] == [1, "alice, inc", 10.5, "HIGH"]
+    assert rows[3] == [3, "", 7.25, "MID"]  # gap preserved positionally
+    assert sheets["Notes"][2][0] is True
+
+    out = excel_to_csv_all_sheets(path, str(tmp_path / "csv"))
+    assert sorted(os.path.basename(p) for p in out) == ["Notes.csv", "Orders_2024.csv"]
+    import csv as _csv
+
+    with open([p for p in out if p.endswith("Orders_2024.csv")][0]) as f:
+        got = list(_csv.reader(f))
+    assert got[0] == ["order_id", "customer", "amount", "priority"]
+    assert got[1] == ["1", "alice, inc", "10.5", "HIGH"]  # comma survives quoting
+    assert got[2][1] == 'bob "the builder"'
+
+
+def test_excel_corrupt_still_fails_loudly(tmp_path):
+    from lakehouse_architecture_transaction_spark.sources.excel import excel_to_csv_all_sheets
+
+    bogus = tmp_path / "x.xlsx"
+    bogus.write_bytes(b"not an xlsx")
+    with pytest.raises(Exception):
+        excel_to_csv_all_sheets(str(bogus), str(tmp_path / "out"))
