@@ -560,3 +560,80 @@ def test_grouped_fold_assign_total_coherent_subset_stable(spark, groups, k):
     sub = grouped_fold_assign(df.filter("id % 2 = 0"), "g", k=k).collect()
     folds = {g: next(iter(v)) for g, v in by_group.items()}
     assert all(r["fold"] == folds[r["g"]] for r in sub)
+
+
+@_SETTINGS
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcde fg.\n", min_size=0, max_size=60), min_size=1, max_size=8
+    )
+)
+def test_char_diversity_bounds_and_identities(spark, texts):
+    # Simpson diversity ∈ [0, 1); effective alphabet ∈ [1, distinct];
+    # a one-distinct-char doc has diversity exactly 0 / alphabet 1;
+    # all-distinct chars give effective alphabet == n_chars exactly.
+    from lakehouse_architecture_transaction_spark.plans.pipeline_ops4 import (
+        docs_char_diversity,
+    )
+
+    rows = [(i, t, "s", "en", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string, lang string, n_chars long")
+    import lakehouse_architecture_transaction_spark.catalog as cat
+
+    orig = cat.load_table
+    try:
+        cat.load_table = lambda _s, _d, _n, **k: df
+        import lakehouse_architecture_transaction_spark.plans.pipeline_ops4 as p4
+
+        p4.load_table = cat.load_table
+        out = {r["doc_id"]: r for r in docs_char_diversity(spark, "ignored").collect()}
+    finally:
+        cat.load_table = orig
+        import lakehouse_architecture_transaction_spark.plans.pipeline_ops4 as p4
+
+        p4.load_table = orig
+    for i, t in enumerate(texts):
+        if not t:
+            assert i not in out  # empty text has no char rows
+            continue
+        r = out[i]
+        distinct = len(set(t))
+        assert r["n_chars"] == len(t)
+        assert r["distinct_chars"] == distinct
+        assert 0.0 <= r["simpson_diversity"] < 1.0
+        assert 1.0 - 1e-12 <= r["effective_alphabet"] <= distinct + 1e-9
+        if distinct == 1:
+            assert r["simpson_diversity"] == 0.0
+            assert r["effective_alphabet"] == 1.0
+        if distinct == len(t):
+            assert abs(r["effective_alphabet"] - len(t)) < 1e-9
+
+
+def test_containment_dominates_jaccard_on_corpus(spark, sf_dir):
+    # Algebraic identity on the real corpus: for every pair both
+    # miners emit, max-containment ≥ jaccard (|A∩B|/min-side ≥
+    # |A∩B|/union) — and both sides derive from the SAME shingle
+    # universe (same max_df cut), so the comparison is exact.
+    from lakehouse_architecture_transaction_spark.catalog import load_table
+    from lakehouse_architecture_transaction_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, text_col="text", id_col="doc_id", n=3, threshold=0.1, max_df=100
+        ).collect()
+    }
+    cont = {
+        (r["id_a"], r["id_b"]): max(r["containment_a"], r["containment_b"])
+        for r in ngram_containment_pairs(
+            docs, text_col="text", id_col="doc_id", n=3, threshold=0.0, max_df=100
+        ).collect()
+    }
+    assert jac, "expected at least one jaccard pair in the corpus"
+    for pair, j in jac.items():
+        assert pair in cont
+        assert cont[pair] >= j - 1e-12
