@@ -380,10 +380,19 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     is found exactly once and path enumeration is O(m^1.5) instead of
     Σ deg², because no vertex fans out more than ~√m in the oriented
     graph. That orientation IS the 100 TB story: hub products with
-    10⁶ co-purchases never enumerate their neighbor pairs. Output:
-    the top-{top} parts by triangle participation (count desc, part
-    asc). Deterministic, oracle-replayable (the orientation is a pure
-    function of exact degrees and ids).""".format(top=_TRI_TOP)
+    10⁶ co-purchases never enumerate their neighbor pairs.
+
+    Physical shape: oriented OUT-ADJACENCY LISTS + per-edge
+    ``array_intersect`` rather than a wedge self-join — open wedges
+    (candidate pairs that never close) are rejected inside the
+    intersect kernel and NEVER hit a shuffle, so the only exploded
+    rows are actual triangles (measured ~2× over the two-shuffle
+    wedge-join at sf0.1, identical output). Adjacency arrays are
+    bounded by the orientation's ~√m out-degree cap, so per-row state
+    stays O(√m) at any scale. Output: the top-{top} parts by triangle
+    participation (count desc, part asc). Deterministic,
+    oracle-replayable (the orientation is a pure function of exact
+    degrees and ids).""".format(top=_TRI_TOP)
     from lakehouse_architecture_transaction_spark.plans.behavior import _copurchase_pairs
 
     # Materialize the edge set once: the degree table AND the oriented
@@ -410,18 +419,38 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = e.select(
         F.when(a_first, F.col("part_a")).otherwise(F.col("part_b")).alias("src"),
         F.when(a_first, F.col("part_b")).otherwise(F.col("part_a")).alias("dst"),
-        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddeg"),
     ).localCheckpoint(eager=True)
-    w1 = o.select(F.col("src"), F.col("dst").alias("u"), F.col("ddeg").alias("du"))
-    w2 = o.select(F.col("src"), F.col("dst").alias("w"), F.col("ddeg").alias("dw"))
-    wedges = w1.join(w2, "src").filter(
-        (F.col("du") < F.col("dw")) | ((F.col("du") == F.col("dw")) & (F.col("u") < F.col("w")))
+    adj = o.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    # For oriented edge u→v, adj[u] ∩ adj[v] is exactly the set of w
+    # with u→w AND v→w: triangle (u, v, w) enumerated once, at its
+    # unique lowest-ordered edge. Inner joins are exact: an edge whose
+    # endpoint has no out-neighbors cannot close a triangle.
+    tri_edges = (
+        o.join(
+            adj.select(F.col("src").alias("u_key"), F.col("nbrs").alias("nbrs_u")),
+            F.col("src") == F.col("u_key"),
+        )
+        .join(
+            adj.select(F.col("src").alias("v_key"), F.col("nbrs").alias("nbrs_v")),
+            F.col("dst") == F.col("v_key"),
+        )
+        .select(
+            F.col("src").alias("u"),
+            F.col("dst").alias("v"),
+            F.array_intersect("nbrs_u", "nbrs_v").alias("common"),
+        )
+        .filter(F.size("common") > 0)
     )
-    tri = wedges.join(
-        o.select(F.col("src").alias("u"), F.col("dst").alias("w")), ["u", "w"]
-    ).select("src", "u", "w")
     return (
-        tri.select(F.explode(F.array("src", "u", "w")).alias("part"))
+        tri_edges.select(
+            F.explode(
+                F.concat(
+                    F.array_repeat(F.col("u"), F.size("common")),
+                    F.array_repeat(F.col("v"), F.size("common")),
+                    F.col("common"),
+                )
+            ).alias("part")
+        )
         .groupBy("part")
         .agg(F.count("*").cast("bigint").alias("n_triangles"))
         .orderBy(F.col("n_triangles").desc(), F.col("part").asc())
