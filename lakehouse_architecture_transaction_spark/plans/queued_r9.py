@@ -9,6 +9,18 @@ the base tables arithmetically.
 - E9  partitioned versioned write + time travel → orders_snapshot_timetravel_stats
 - E19 CHECK constraints → orders_constraint_audit
 - E7  CSV ingest + corrupt routing → orders_csv_roundtrip_stats
+- E15 three-dataset pipeline → pipeline_three_dataset_summary
+- E21 event-driven orchestration → orchestration_landing_audit
+
+Plus the remaining tests-only STREAMING rows as bounded availableNow
+runs of the real pipelines (the queued_r8 events_stream_hourly
+pattern — complete mode / no-eviction horizon makes each
+batch-equivalent by semantics, so the oracle is first-principles SQL):
+
+- S8 native session_window sessionization → events_stream_sessions
+- S4 streaming exact dedup (re-delivering source) → events_stream_dedup
+- S5 stream-stream interval join → events_stream_clicks
+- S6a stream-static broadcast enrichment → events_stream_enriched
 """
 
 from __future__ import annotations
@@ -585,3 +597,349 @@ def orchestration_landing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         tables = row if tables is None else tables.unionByName(row)
     return fdf.unionByName(tables).orderBy("kind", "name")
+
+# ------------------------------------------------------------------
+# S8: native session_window streaming sessionization, driver-checkable
+# ------------------------------------------------------------------
+#
+# Pattern (see queued_r8.events_stream_hourly): the REAL streaming
+# pipeline run as a bounded availableNow stream against a staged
+# multi-file landing zone, drained from the memory sink, and reduced
+# to a compact, oracle-replayable audit. Complete mode makes the
+# bounded run batch-equivalent BY SEMANTICS (no state eviction, no
+# late-row drops), so the staged files' arbitrary event-time order
+# cannot change the result.
+
+
+def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 as a driver-checkable query: Spark-native streaming
+    sessionization (streaming/pipeline.py sessionize_native —
+    watermarked ``session_window`` aggregate, the declarative
+    alternative to applyInPandasWithState) executed as a bounded
+    availableNow run in complete mode, then reduced to the
+    session-size distribution: per session size (n_events), how many
+    sessions closed and their exact total duration. The oracle replays
+    30-minute-gap sessionization with the lag+cumsum gaps-and-islands
+    formulation — so the streaming engine's merge-on-overlap session
+    state is value-checked against first-principles SQL, duration to
+    the microsecond (exact BIGINT micros; the only division is one
+    exact-double /1e6 both sides compute identically).
+
+    Scale shape: one exchange on user_id with in-aggregate session
+    merge (same as the batch twin events_session_window); production
+    runs append mode where the watermark bounds state — complete mode
+    here is the bounded-run harness, not the deployment mode."""
+    import uuid
+
+    from lakehouse_architecture_transaction_spark.plans.queued_r8 import _stream_events_src
+    from lakehouse_architecture_transaction_spark.streaming.pipeline import (
+        read_event_stream,
+        sessionize_native,
+    )
+
+    src = _stream_events_src(spark, sf_dir)
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize_native(read_event_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        spark.table(name)
+        .groupBy(F.col("n_events").cast("int").alias("session_size"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.sum(F.unix_micros("session_end") - F.unix_micros("session_start"))
+            .cast("bigint")
+            .alias("total_duration_us"),
+        )
+        .select(
+            "session_size",
+            "n_sessions",
+            (F.col("total_duration_us").cast("double") / F.lit(1000000.0)).alias(
+                "total_duration_s"
+            ),
+        )
+        .orderBy("session_size")
+        .localCheckpoint(eager=True)
+    )
+    spark.catalog.dropTempView(name)
+    return out
+
+
+EVENTS_STREAM_SESSIONS_ORACLE = """
+WITH ordered AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                     > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+), sess AS (
+    SELECT user_id, ts,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM ordered
+), s AS (
+    SELECT user_id, session_id,
+           CAST(COUNT(*) AS INTEGER) AS session_size,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+    FROM sess GROUP BY user_id, session_id
+)
+SELECT session_size,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(CAST(SUM(dur_us) AS BIGINT) AS DOUBLE) / 1000000.0 AS total_duration_s
+FROM s GROUP BY session_size
+ORDER BY session_size ASC
+"""
+
+
+# ------------------------------------------------------------------
+# S4: streaming exact dedup against a re-delivering source
+# ------------------------------------------------------------------
+
+_DUP_SRC_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _redelivered_events_src(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once per app+sf_dir) a landing zone where every fifth
+    event (event_id % 5 == 0) is DELIVERED TWICE — the at-least-once
+    feed the streaming dedup exists for. The copies are byte-exact
+    re-deliveries, so whichever arrives first is the keeper and the
+    deduped stream equals the original table regardless of file/batch
+    order."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    src = _DUP_SRC_MEMO.get(key)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="lakehouse_architecture_transaction_stream_dups_")
+        atexit.register(shutil.rmtree, src, ignore_errors=True)
+        ev = load_table(spark, sf_dir, "events")
+        ev.unionByName(ev.filter(F.col("event_id") % 5 == 0)).repartition(
+            8
+        ).write.mode("overwrite").parquet(src)
+        _DUP_SRC_MEMO[key] = src
+    return src
+
+
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 as a driver-checkable query: the streaming exact-dedup
+    operator (streaming/pipeline.py dedup_stream →
+    dropDuplicatesWithinWatermark, the reference's dropDuplicates made
+    incremental — reference scripts/glue/script.py:196) run as a
+    bounded availableNow stream over a landing zone where 20% of
+    events are delivered twice, then audited per event_type. The
+    bounded run passes a lateness horizon longer than the data's time
+    span so no dedup state is evicted mid-replay: the surviving rows
+    are then EXACTLY the original events table (the oracle), however
+    the files batch. Production uses a small horizon (state bounded by
+    the watermark); the within-horizon eviction semantics are pinned
+    separately by tests/test_streaming.py.
+
+    Scale shape: dedup state is one key per event inside the horizon
+    (hash-partitioned on event_id); the audit aggregate is map-side
+    combinable at event_type cardinality."""
+    import uuid
+
+    from lakehouse_architecture_transaction_spark.streaming.pipeline import (
+        dedup_stream,
+        read_event_stream,
+    )
+
+    src = _redelivered_events_src(spark, sf_dir)
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup_stream(read_event_stream(spark, src), keys=["event_id"], within="3650 days")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.expr("SUM(CAST(value AS DECIMAL(18,2)))")
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+        .localCheckpoint(eager=True)
+    )
+    spark.catalog.dropTempView(name)
+    return out
+
+
+EVENTS_STREAM_DEDUP_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type ASC
+"""
+
+
+# ------------------------------------------------------------------
+# S5: stream-stream interval join (click → purchase attribution feed)
+# ------------------------------------------------------------------
+
+
+def events_stream_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 as a driver-checkable query: the stream-stream interval join
+    (streaming/pipeline.py click_purchase_join — purchases matched to
+    every preceding click by the same user within 1 hour, both sides
+    watermarked) run as a bounded availableNow stream, then reduced to
+    the click-to-purchase LATENCY PROFILE: per 10-minute latency
+    bucket, pair count, distinct converting users, and exact attributed
+    value. The bounded run passes a lateness horizon longer than the
+    data's span so no join state is evicted mid-replay — the emitted
+    pairs are exactly the batch interval join (the oracle's self-join),
+    however the files batch. This is the ALL-PAIRS interval join (the
+    attribution-candidate feed); first-touch selection on top is the
+    batch L28 events_click_attribution.
+
+    Scale shape: the join state is per-user clicks inside the horizon,
+    hash-partitioned on user_id; the audit aggregate has 6 rows."""
+    import uuid
+
+    from lakehouse_architecture_transaction_spark.plans.queued_r8 import _stream_events_src
+    from lakehouse_architecture_transaction_spark.streaming.pipeline import (
+        click_purchase_join,
+        read_event_stream,
+    )
+
+    src = _stream_events_src(spark, sf_dir)
+    name = f"stream_clicks_{uuid.uuid4().hex[:8]}"
+    q = (
+        click_purchase_join(read_event_stream(spark, src), watermark="3650 days")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        spark.table(name)
+        .select(
+            F.floor(
+                (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+                / F.lit(600_000_000)
+            )
+            .cast("int")
+            .alias("latency_bucket_10m"),
+            "user_id",
+            "value",
+        )
+        .groupBy("latency_bucket_10m")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.expr("SUM(CAST(value AS DECIMAL(18,2)))")
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("attributed_value"),
+        )
+        .orderBy("latency_bucket_10m")
+        .localCheckpoint(eager=True)
+    )
+    spark.catalog.dropTempView(name)
+    return out
+
+
+EVENTS_STREAM_CLICKS_ORACLE = """
+WITH pairs AS (
+    SELECT p.user_id, p.value,
+           CAST(FLOOR((epoch_us(p.ts) - epoch_us(c.ts)) / 600000000) AS INTEGER)
+               AS latency_bucket_10m
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 3600 SECONDS
+)
+SELECT latency_bucket_10m,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS attributed_value
+FROM pairs
+GROUP BY latency_bucket_10m
+ORDER BY latency_bucket_10m ASC
+"""
+
+
+# ------------------------------------------------------------------
+# S6a: stream-static broadcast enrichment
+# ------------------------------------------------------------------
+
+
+def events_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6a as a driver-checkable query: stream-static enrichment
+    (streaming/pipeline.py enrich_stream_static — each micro-batch
+    broadcast-joins the BATCH customer dimension, the streaming
+    analogue of the reference's curated-dimension lookups) run as a
+    bounded availableNow stream, audited per enriched market segment.
+    Enrichment is stateless (no watermark, no streaming state), so the
+    bounded append-mode run is trivially batch-equivalent: the oracle
+    is the plain events⋈customer aggregate.
+
+    Scale shape: per-batch broadcast hash join (dim ≪ stream);
+    the audit aggregate is map-side combinable at segment
+    cardinality."""
+    import uuid
+
+    from lakehouse_architecture_transaction_spark.plans.queued_r8 import _stream_events_src
+    from lakehouse_architecture_transaction_spark.streaming.pipeline import (
+        enrich_stream_static,
+        read_event_stream,
+    )
+
+    src = _stream_events_src(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    name = f"stream_enriched_{uuid.uuid4().hex[:8]}"
+    q = (
+        enrich_stream_static(read_event_stream(spark, src), dim, on="user_id")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        spark.table(name)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.expr("SUM(CAST(value AS DECIMAL(18,2)))")
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("mktsegment")
+        .localCheckpoint(eager=True)
+    )
+    spark.catalog.dropTempView(name)
+    return out
+
+
+EVENTS_STREAM_ENRICHED_ORACLE = """
+SELECT c.c_mktsegment AS mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+ORDER BY mktsegment ASC
+"""

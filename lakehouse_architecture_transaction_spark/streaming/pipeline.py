@@ -230,12 +230,17 @@ def dedup_stream(events: DataFrame, keys: list[str] | None = None, within: str =
     return events.withWatermark("ts", within).dropDuplicatesWithinWatermark(keys or ["event_id"])
 
 
-def click_purchase_join(events: DataFrame, within_seconds: int = 3600) -> DataFrame:
+def click_purchase_join(
+    events: DataFrame, within_seconds: int = 3600, watermark: str = "2 hours"
+) -> DataFrame:
     """Stream-stream inner join: purchases matched to a preceding
     click by the same user within ``within_seconds``. Both sides are
     watermarked so the join state is bounded; the time-interval
     condition lets Spark evict clicks once no future purchase can
-    match them."""
+    match them. ``watermark`` is the lateness horizon on both sides —
+    production uses a small one (bounded state); bounded availableNow
+    replays pass one larger than the data's time span so no state is
+    evicted mid-replay and the result is exactly the batch join."""
     clicks = (
         events.filter(F.col("event_type") == "click")
         .select(
@@ -243,7 +248,7 @@ def click_purchase_join(events: DataFrame, within_seconds: int = 3600) -> DataFr
             F.col("ts").alias("click_ts"),
             F.col("event_id").alias("click_id"),
         )
-        .withWatermark("click_ts", "2 hours")
+        .withWatermark("click_ts", watermark)
     )
     purchases = (
         events.filter(F.col("event_type") == "purchase")
@@ -253,7 +258,7 @@ def click_purchase_join(events: DataFrame, within_seconds: int = 3600) -> DataFr
             F.col("event_id").alias("purchase_id"),
             F.col("value"),
         )
-        .withWatermark("purchase_ts", "2 hours")
+        .withWatermark("purchase_ts", watermark)
     )
     cond = (
         (F.col("c_user") == F.col("p_user"))

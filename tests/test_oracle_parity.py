@@ -545,6 +545,13 @@ def test_nation_flow_matrix_oracle_parity_preview(spark, sf_dir):
         ("orders_csv_roundtrip_stats", "ORDERS_CSV_ROUNDTRIP_ORACLE"),
         ("pipeline_three_dataset_summary", "PIPELINE_SUMMARY_ORACLE"),
         ("orchestration_landing_audit", "ORCHESTRATION_AUDIT_ORACLE"),
+        # S-row streaming companions: bounded availableNow runs of the
+        # REAL streaming pipelines, batch-equivalent by construction
+        # (complete mode / no-eviction horizon — see each docstring)
+        ("events_stream_sessions", "EVENTS_STREAM_SESSIONS_ORACLE"),
+        ("events_stream_dedup", "EVENTS_STREAM_DEDUP_ORACLE"),
+        ("events_stream_clicks", "EVENTS_STREAM_CLICKS_ORACLE"),
+        ("events_stream_enriched", "EVENTS_STREAM_ENRICHED_ORACLE"),
     ],
 )
 def test_r9_lakehouse_companion_oracle_parity_preview(spark, sf_dir, fn_name, oracle_name):
