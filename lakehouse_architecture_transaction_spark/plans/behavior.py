@@ -144,28 +144,60 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _copurchase_pairs(spark: SparkSession, sf_dir: str, li: DataFrame | None = None) -> DataFrame:
+_ORDER_PARTS_MEMO: dict[tuple[str, str], DataFrame] = {}
+_COPURCHASE_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _distinct_order_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized, MATERIALIZED distinct (order, part) frame — the input
+    every co-purchase-graph query starts from (pair mining, degree
+    tables). Keyed on (applicationId, sf_dir) like the dup-cluster
+    memo: within a session the fact scan + distinct shuffle are paid
+    once, no matter how many graph queries run — exactly what a
+    production pipeline does by materializing the edge list once and
+    fanning analyses out from it."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _ORDER_PARTS_MEMO.get(key)
+    if got is None:
+        got = (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        _ORDER_PARTS_MEMO[key] = got
+    return got
+
+
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE definition of the co-purchase pair build shared by
     orders_market_basket, part_pagerank, and the r7 Jaccard/triangle
     queries: distinct (order, part), orderkey-co-partitioned
     self-join with part_a < part_b, support count ``w`` per unordered
-    pair. Callers that also consume the distinct (order, part) frame
-    elsewhere (degree tables) pass a materialized ``li`` so the
-    distinct shuffle is paid once, not once per plan branch."""
-    if li is None:
-        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.alias("a")
-    b = li.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    pair. Memoized AND materialized per (applicationId, sf_dir): four
+    registered queries consume this frame (market basket, PageRank,
+    Jaccard, triangles), and each consumes it from ≥2 plan branches —
+    without the shared checkpoint Spark re-runs the whole mining stage
+    per branch per query (replicated unshared subtrees)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _COPURCHASE_MEMO.get(key)
+    if got is None:
+        li = _distinct_order_parts(spark, sf_dir)
+        a = li.alias("a")
+        b = li.alias("b")
+        got = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .select(F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b"))
+            .groupBy("part_a", "part_b")
+            .agg(F.count("*").alias("w"))
+            .localCheckpoint(eager=True)
         )
-        .select(F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count("*").alias("w"))
-    )
+        _COPURCHASE_MEMO[key] = got
+    return got
 
 
 # one definition of the money discipline — imported like the other

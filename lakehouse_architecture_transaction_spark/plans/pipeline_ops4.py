@@ -395,15 +395,10 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     degrees and ids).""".format(top=_TRI_TOP)
     from lakehouse_architecture_transaction_spark.plans.behavior import _copurchase_pairs
 
-    # Materialize the edge set once: the degree table AND the oriented
-    # join both consume it, and Spark replicates unshared subtrees —
-    # without the checkpoint the whole pair-mining stage (distinct +
-    # self-join + aggregate) runs twice.
-    edges = (
-        _copurchase_pairs(spark, sf_dir)
-        .select("part_a", "part_b")
-        .localCheckpoint(eager=True)
-    )
+    # The pair frame arrives materialized (session memo in behavior.py)
+    # — the degree table and the oriented join both branch off the
+    # same checkpoint, so the mining stage never replays.
+    edges = _copurchase_pairs(spark, sf_dir).select("part_a", "part_b")
     deg = (
         edges.select(F.explode(F.array("part_a", "part_b")).alias("p"))
         .groupBy("p")
@@ -539,24 +534,22 @@ def part_copurchase_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine hashing is exact; top-k has full (part_a, part_b)
     tiebreaks.
 
-    Scale shape: distinct at (order, part) — materialized ONCE
-    (localCheckpoint) because three plan branches consume it (degree
-    table + both self-join sides; Spark replicates unshared subtrees,
-    so without the checkpoint the fact scans and the distinct shuffle
-    run 3×) — then the orderkey-co-partitioned pair self-join (shared
-    plan from behavior.py), degree joins at pair cardinality, and a
-    TakeOrdered top-k — no global sort materialization
+    Scale shape: the distinct (order, part) frame and the weighted
+    pair frame both arrive MATERIALIZED from the shared session memo
+    (behavior.py — one fact scan + one mining stage per session across
+    all four graph queries; Spark replicates unshared subtrees, so the
+    memoized checkpoints are what keep every branch from replaying
+    them), then degree joins at pair cardinality and a TakeOrdered
+    top-k — no global sort materialization
     anywhere.""".format(sup=_JAC_MIN_SUPPORT)
-    from lakehouse_architecture_transaction_spark.plans.behavior import _copurchase_pairs
-
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        .localCheckpoint(eager=True)
+    from lakehouse_architecture_transaction_spark.plans.behavior import (
+        _copurchase_pairs,
+        _distinct_order_parts,
     )
+
+    li = _distinct_order_parts(spark, sf_dir)
     deg = li.groupBy("l_partkey").agg(F.count("*").cast("bigint").alias("n"))
-    pairs = _copurchase_pairs(spark, sf_dir, li=li).filter(F.col("w") >= _JAC_MIN_SUPPORT)
+    pairs = _copurchase_pairs(spark, sf_dir).filter(F.col("w") >= _JAC_MIN_SUPPORT)
     j = pairs.join(
         deg.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a")), "part_a"
     ).join(deg.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b")), "part_b")
