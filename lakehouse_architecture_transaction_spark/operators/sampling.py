@@ -256,3 +256,51 @@ def grouped_fold_assign(
         10,
     ).cast("long")
     return df.withColumn("fold", F.pmod(h, F.lit(k)).cast("int"))
+
+
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "priority-v1",
+) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup, JACM 54(6) 2007):
+    weighted sampling WITHOUT replacement with an unbiased subset-sum
+    estimator. Each row gets priority q = w / u with u =
+    (h32(salt||id) + 1) / 2^32 ∈ (0, 1]; the k highest-priority rows
+    are kept, and with τ = the (k+1)-th priority, ``est_weight`` =
+    max(w, τ) estimates any subset-sum of the original weights
+    unbiasedly (rows with w ≥ τ are certainties carrying their own
+    weight; the rest represent the tail).
+
+    Chosen over Efraimidis–Spirakis (u^(1/w) keys) DELIBERATELY: the
+    priority is one IEEE division of exactly-representable doubles —
+    no pow/log/exp — so an external SQL engine replays the exact
+    ranking and estimates bit-for-bit (the same transcendental-free
+    discipline as the algebraic-sigmoid quality score).
+
+    Scale shape: TakeOrderedAndProject top-(k+1) (per-partition heaps,
+    one (k+1)-row driver merge — no global sort); the (k+1)-row frame
+    is checkpointed because two branches consume it (the kept rows and
+    the τ scalar), and τ broadcasts.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("-", F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(4294967296.0)
+    scored = df.withColumn("priority", F.col(weight_col).cast("double") / u)
+    topk1 = (
+        scored.orderBy(F.col("priority").desc(), F.col(id_col).asc())
+        .limit(k + 1)
+        .localCheckpoint(eager=True)
+    )
+    tau = topk1.agg(
+        F.when(F.count("*") > k, F.min("priority")).otherwise(F.lit(0.0)).alias("tau")
+    )
+    kept = topk1.orderBy(F.col("priority").desc(), F.col(id_col).asc()).limit(k)
+    return kept.crossJoin(F.broadcast(tau)).withColumn(
+        "est_weight", F.greatest(F.col(weight_col).cast("double"), F.col("tau"))
+    )

@@ -561,3 +561,56 @@ def test_r9_lakehouse_companion_oracle_parity_preview(spark, sf_dir, fn_name, or
     got = _canon_rows(getattr(Q, fn_name)(spark, sf_dir))
     want = _duck_rows(con, getattr(Q, oracle_name))
     assert got == want
+
+
+# ---------------- Round-10 registration previews (plans/queued_r10.py) --
+
+
+@pytest.mark.parametrize(
+    "fn_name,oracle_name",
+    [
+        ("docs_priority_sample", "DOCS_PRIORITY_SAMPLE_ORACLE"),
+        ("docs_dup_spans", "DOCS_DUP_SPANS_ORACLE"),
+    ],
+)
+def test_r10_training_ops_oracle_parity_preview(spark, sf_dir, fn_name, oracle_name):
+    from lakehouse_architecture_transaction_spark.plans import queued_r10 as Q
+
+    con = _duck(sf_dir)
+    got = _canon_rows(getattr(Q, fn_name)(spark, sf_dir))
+    want = _duck_rows(con, getattr(Q, oracle_name))
+    assert got == want
+
+
+def test_priority_sample_estimator_invariants(spark, sf_dir):
+    # Duffield-Lund-Thorup invariants: exactly k rows, every kept
+    # priority >= tau (= every kept est_weight >= its weight), and the
+    # estimator reproduces the EXACT total weight for the certainty
+    # set (w >= tau rows carry their own weight).
+    from lakehouse_architecture_transaction_spark.plans.queued_r10 import (
+        _PS_K,
+        docs_priority_sample,
+    )
+
+    rows = docs_priority_sample(spark, sf_dir).collect()
+    assert len(rows) == _PS_K
+    for r in rows:
+        assert r["est_weight"] >= float(r["n_chars"])
+        assert r["priority"] > 0.0
+
+
+def test_dup_spans_coverage_invariants(spark, sf_dir):
+    # Interval-union invariants: covered chars never exceed the doc
+    # (dup_frac <= 1), every covered span is at least window chars, and
+    # coverage >= position count (windows are 50 wide, positions step 1).
+    from lakehouse_architecture_transaction_spark.plans.queued_r10 import (
+        _SPAN_W,
+        docs_dup_spans,
+    )
+
+    rows = docs_dup_spans(spark, sf_dir).collect()
+    assert rows, "synthetic corpus repeats boilerplate; expected some coverage"
+    for r in rows:
+        assert 0.0 < r["dup_frac"] <= 1.0
+        assert r["dup_chars"] >= _SPAN_W
+        assert r["dup_chars"] >= r["n_dup_positions"]
