@@ -173,3 +173,41 @@ def test_laketable_degenerate_lifecycle(spark, tmp_path):
     t.vacuum()
     t2 = t.clone(str(tmp_path / "t2"))
     assert t2.read().count() == 0
+
+
+def _queued_fns():
+    from lakehouse_architecture_transaction_spark.plans import (
+        queued_r8 as Q8,
+        queued_r9 as Q9,
+        queued_r10 as Q10,
+    )
+
+    return [
+        # the r9 streaming companions (bounded availableNow runs: an
+        # EMPTY landing zone must drain to an empty frame, not crash)
+        ("events_stream_sessions", Q9.events_stream_sessions),
+        ("events_stream_dedup", Q9.events_stream_dedup),
+        ("events_stream_clicks", Q9.events_stream_clicks),
+        ("events_stream_enriched", Q9.events_stream_enriched),
+        ("events_stream_hourly", Q8.events_stream_hourly),
+        ("events_stream_trending", Q8.events_stream_trending),
+        # the r10 training ops (k > n path, window > text length path)
+        ("docs_priority_sample", Q10.docs_priority_sample),
+        ("docs_dup_spans", Q10.docs_dup_spans),
+    ]
+
+
+@pytest.mark.parametrize("variant", ["empty", "one_row", "null_heavy"])
+def test_queued_queries_survive_degenerate_inputs(spark, degenerate_dirs, variant):
+    # Queued (not-yet-registered) queries don't ride the registry
+    # sweeps above until registration — pre-pin them here so the
+    # future @register can't detonate the sweep.
+    failures = []
+    for name, fn in _queued_fns():
+        try:
+            fn(spark, degenerate_dirs[variant]).count()
+        except Exception as e:  # noqa: BLE001 — collecting the full list
+            failures.append(f"{name}: {type(e).__name__}: {str(e)[:120]}")
+        finally:
+            release_persisted()
+    assert not failures, f"queued queries crashed on {variant} input:\n" + "\n".join(failures)
