@@ -766,3 +766,145 @@ def paragraph_dups(docs: DataFrame, id_col: str, text_col: str, min_chars: int =
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+def vocab_growth(
+    docs: DataFrame, id_col: str, text_col: str, n_checkpoints: int = 8
+) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: at ``n_checkpoints`` evenly
+    spaced doc-id cuts t_i = (max_id · i) // n, report how many total
+    tokens and how many DISTINCT (lowercased) tokens the corpus prefix
+    doc_id ≤ t_i contains, plus the type-token ratio. Sub-linear
+    distinct growth (Heaps' law) is the expected healthy shape; a
+    near-linear curve means unbounded novel vocabulary (OCR noise,
+    serial numbers), a flat one means heavy repetition — the corpus
+    triage chart before tokenizer training.
+
+    Distinct-token counting never rescans per checkpoint: a token is
+    in V(t) iff its FIRST occurrence (min doc_id over the corpus) is
+    ≤ t, so one vocab-cardinality aggregate serves every cut. Totals
+    come from row-local size() — no explode. Both tiny per-cut frames
+    join a broadcast 8-row checkpoint frame.
+
+    Scale shape: one explode→min aggregate at vocabulary cardinality
+    (map-side combined), one map-only pass for per-doc counts, and
+    ``n_checkpoints``-way fan-out only on those aggregates. The
+    checkpoint frame is localCheckpoint-ed: it is consumed by three
+    branches and must not re-run the max() scan per branch.
+    """
+    lower_tok = F.transform(tokens_expr(text_col), lambda t: F.lower(t))
+    cuts = (
+        docs.agg(F.max(F.col(id_col)).alias("__max_id"))
+        .select(
+            F.explode(F.sequence(F.lit(1), F.lit(n_checkpoints))).alias("ckpt"),
+            F.col("__max_id"),
+        )
+        .select(
+            "ckpt",
+            F.expr(f"(__max_id * ckpt) div {int(n_checkpoints)}").alias("cut_doc_id"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    per_doc = docs.select(
+        F.col(id_col).alias("__id"), F.size(lower_tok).cast("long").alias("__n_tok")
+    )
+    first_occ = (
+        docs.select(F.col(id_col).alias("__id"), F.explode(lower_tok).alias("__tok"))
+        .groupBy("__tok")
+        .agg(F.min("__id").alias("__first"))
+    )
+    n_and_docs = (
+        per_doc.join(F.broadcast(cuts), per_doc["__id"] <= cuts["cut_doc_id"])
+        .groupBy("ckpt", "cut_doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("__n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+    v = (
+        first_occ.join(F.broadcast(cuts), first_occ["__first"] <= cuts["cut_doc_id"])
+        .groupBy("ckpt")
+        .agg(F.count("*").cast("bigint").alias("n_distinct_tokens"))
+    )
+    return (
+        n_and_docs.join(v, "ckpt", "left")
+        .select(
+            F.col("ckpt").cast("bigint").alias("ckpt"),
+            "cut_doc_id",
+            "n_docs",
+            "n_tokens",
+            F.coalesce(F.col("n_distinct_tokens"), F.lit(0)).cast("bigint").alias(
+                "n_distinct_tokens"
+            ),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.coalesce(F.col("n_distinct_tokens"), F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("type_token_ratio"),
+        )
+    )
+
+
+def source_distinctive_terms(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    k: int = 10,
+    min_corpus_count: int = 5,
+) -> DataFrame:
+    """Per-source distinctive vocabulary by exact lift:
+
+        lift(token, s) = (c_s / t_s) / (c_corpus / T)
+                       = (c_s · T) / (t_s · c_corpus)
+
+    — the over-representation ratio of the token in source s vs the
+    whole corpus, computed as ONE double division of two exact BIGINT
+    products (no logs: log-odds ranks identically but drags in libm).
+    Tokens below ``min_corpus_count`` global occurrences are dropped
+    (hapax noise would otherwise own every top list). Top-``k`` per
+    source, ties broken token-ascending. This is the corpus-mixture
+    drift report: what vocabulary each source contributes that the
+    others don't.
+
+    Scale shape: one explode into a (source, token) aggregate with
+    map-side combine; global token counts and per-source totals are
+    RE-aggregations of that frame (no second corpus scan — the frame
+    is localCheckpoint-ed because three branches consume it); the
+    rank window runs per source at per-source vocabulary cardinality.
+    """
+    lower_tok = F.transform(tokens_expr(text_col), lambda t: F.lower(t))
+    st = (
+        docs.select(F.col(group_col).alias("source"), F.explode(lower_tok).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").cast("long").alias("n_in_source"))
+        .localCheckpoint(eager=True)
+    )
+    tok_global = st.groupBy("token").agg(F.sum("n_in_source").alias("n_in_corpus"))
+    src_total = st.groupBy("source").agg(F.sum("n_in_source").alias("__t_s"))
+    corpus_total = st.agg(F.sum("n_in_source").alias("__T"))
+    lifted = (
+        st.join(tok_global.filter(F.col("n_in_corpus") >= min_corpus_count), "token")
+        .join(F.broadcast(src_total), "source")
+        .crossJoin(F.broadcast(corpus_total))
+        .withColumn(
+            "lift",
+            (F.col("n_in_source") * F.col("__T")).cast("double")
+            / (F.col("__t_s") * F.col("n_in_corpus")).cast("double"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("lift").desc(), F.col("token").asc())
+    return (
+        lifted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "source",
+            F.col("rank").cast("bigint").alias("rank"),
+            "token",
+            F.col("n_in_source").cast("bigint").alias("n_in_source"),
+            F.col("n_in_corpus").cast("bigint").alias("n_in_corpus"),
+            "lift",
+        )
+    )

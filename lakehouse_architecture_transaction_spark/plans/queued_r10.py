@@ -1,4 +1,4 @@
-"""Queued round-10 registrations: two new training-data operators.
+"""Queued round-10 registrations: training-data + diagnostics operators.
 
 - docs_priority_sample — priority sampling (Duffield–Lund–Thorup):
   weighted sampling without replacement with an unbiased subset-sum
@@ -8,6 +8,25 @@
   window-granular dedup signal): per-doc interval-union coverage of
   50-char windows that occur elsewhere in the corpus
   (operators/dedup.py dup_span_coverage).
+- docs_split_leakage — near-dup pairs classified by the train/val/test
+  splits of their endpoints: the eval-contamination audit (composes
+  the memoized LSH pair frame with hash_split).
+- catalog_inclusion_profile — inclusion-dependency (FK) discovery:
+  distinct counts + containment coefficients per candidate edge, with
+  a negative control (the data-discovery crawler's join-key proposer).
+- events_seasonal_decompose — classical additive trend/seasonal/
+  residual on daily event volume (operators/timeseries.py).
+- orders_revenue_autocorr — Pearson autocorrelation of daily revenue
+  at lags 1..7, exact hundred-dollar-unit moments
+  (operators/timeseries.py lagged_autocorr).
+- docs_vocab_growth — Heaps-law vocabulary growth at 8 doc-id cuts
+  (operators/text.py vocab_growth).
+- docs_source_distinctive_terms — per-source top-10 tokens by exact
+  lift (operators/text.py source_distinctive_terms).
+
+All eight are oracle-previewed cell-exact at sf0.001/0.01/0.1
+(tests/test_oracle_parity.py) and degenerate-input pinned
+(tests/test_empty_inputs.py).
 """
 
 from __future__ import annotations
@@ -153,3 +172,494 @@ def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------------------------
+# 3. docs_split_leakage — near-dup pairs straddling the train/val split
+# ------------------------------------------------------------------
+
+def _split_leakage_oracle() -> str:
+    from lakehouse_architecture_transaction_spark.plans.pipeline_ops import (
+        _BUCKET_CAP,
+        _minhash_oracle,
+    )
+
+    pairs_sql = _minhash_oracle().format(cap=_BUCKET_CAP)
+    return f"""
+    WITH pairs AS ({pairs_sql}),
+    spl AS (
+        SELECT doc_id,
+               CASE WHEN bucket < 9000 THEN 'train'
+                    WHEN bucket < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id,
+                   (('0x' || substr(md5('split-v1' || '-' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 10000 AS bucket
+            FROM documents
+        )
+    ),
+    cl AS (
+        SELECT p.id_a, p.id_b,
+               least(a.split, b.split) AS split_a,
+               greatest(a.split, b.split) AS split_b
+        FROM pairs p
+        JOIN spl a ON p.id_a = a.doc_id
+        JOIN spl b ON p.id_b = b.doc_id
+    ),
+    np AS (SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM cl GROUP BY 1, 2),
+    lg AS (
+        SELECT split_a, split_b, id_a AS doc FROM cl
+        UNION ALL
+        SELECT split_a, split_b, id_b FROM cl
+    ),
+    nd AS (SELECT split_a, split_b, CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs FROM lg GROUP BY 1, 2)
+    SELECT np.split_a, np.split_b, np.n_pairs, nd.n_docs
+    FROM np JOIN nd USING (split_a, split_b)
+    ORDER BY split_a ASC, split_b ASC
+    """
+
+
+DOCS_SPLIT_LEAKAGE_ORACLE = _split_leakage_oracle()
+
+
+def docs_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-contamination audit: MinHash-LSH near-dup candidate pairs
+    classified by which train/val/test splits their endpoints landed
+    in (hash_split, salt 'split-v1' — the SAME split every training
+    query uses). A ('train','val') or ('train','test') row means the
+    held-out set contains near-copies of training documents — the
+    leakage that silently inflates eval scores; the n_docs column is
+    how many distinct documents sit in each class. Composes the two
+    session-memoized frames (candidate pairs, split assignment), so a
+    session that already ran the dedup or split queries pays nothing
+    new for the audit.
+
+    Scale shape: the pair frame is the capped LSH miner's output
+    (bucket-capped, never all-pairs); two id-keyed joins against the
+    split frame; both aggregates run at pair/class cardinality. The
+    classed frame is localCheckpoint-ed — two branches (pair counts,
+    distinct-doc counts) must not re-run the join per branch."""
+    from lakehouse_architecture_transaction_spark.operators.sampling import hash_split
+    from lakehouse_architecture_transaction_spark.plans.pipeline_ops import _cand_pairs_frame
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    splits = hash_split(
+        docs.select("doc_id"), id_col="doc_id", weights={"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "split")
+    pairs = _cand_pairs_frame(spark, sf_dir)
+    sa = splits.select(F.col("doc_id").alias("id_a"), F.col("split").alias("__spa"))
+    sb = splits.select(F.col("doc_id").alias("id_b"), F.col("split").alias("__spb"))
+    classed = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.least("__spa", "__spb").alias("split_a"),
+            F.greatest("__spa", "__spb").alias("split_b"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_pairs = classed.groupBy("split_a", "split_b").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+    long_ = classed.select("split_a", "split_b", F.col("id_a").alias("doc")).unionAll(
+        classed.select("split_a", "split_b", F.col("id_b").alias("doc"))
+    )
+    n_docs = long_.groupBy("split_a", "split_b").agg(
+        F.countDistinct("doc").cast("bigint").alias("n_docs")
+    )
+    return n_pairs.join(n_docs, ["split_a", "split_b"]).orderBy("split_a", "split_b")
+
+
+# ------------------------------------------------------------------
+# 4. catalog_inclusion_profile — inclusion-dependency (FK) discovery
+# ------------------------------------------------------------------
+
+#: (child_table, child_col, parent_table, parent_col): the candidate
+#: FK edges a catalog crawler would propose. The last entry is a
+#: deliberate negative control (overlapping integer ranges, no
+#: semantic FK) so the profile demonstrates separation, not just 1.0s.
+_INCLUSION_PAIRS: list[tuple[str, str, str, str]] = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+    ("part", "p_partkey", "orders", "o_orderkey"),
+]
+
+
+def _inclusion_oracle() -> str:
+    parts = []
+    for ct, cc, pt, pc in _INCLUSION_PAIRS:
+        parts.append(f"""
+        SELECT '{ct}' AS child_table, '{cc}' AS child_col,
+               '{pt}' AS parent_table, '{pc}' AS parent_col,
+               CAST((SELECT COUNT(DISTINCT {cc}) FROM {ct} WHERE {cc} IS NOT NULL) AS BIGINT) AS n_child_distinct,
+               CAST((SELECT COUNT(DISTINCT {pc}) FROM {pt} WHERE {pc} IS NOT NULL) AS BIGINT) AS n_parent_distinct,
+               CAST((SELECT COUNT(*) FROM
+                     (SELECT DISTINCT {cc} AS v FROM {ct} WHERE {cc} IS NOT NULL) a
+                     JOIN (SELECT DISTINCT {pc} AS v FROM {pt} WHERE {pc} IS NOT NULL) b USING (v)
+                    ) AS BIGINT) AS n_common
+        """)
+    union = " UNION ALL ".join(parts)
+    return f"""
+    WITH u AS ({union})
+    SELECT child_table, child_col, parent_table, parent_col,
+           n_child_distinct, n_parent_distinct, n_common,
+           CASE WHEN n_child_distinct = 0 THEN 0.0
+                ELSE CAST(n_common AS DOUBLE) / CAST(n_child_distinct AS DOUBLE) END AS containment_child,
+           CASE WHEN n_parent_distinct = 0 THEN 0.0
+                ELSE CAST(n_common AS DOUBLE) / CAST(n_parent_distinct AS DOUBLE) END AS containment_parent
+    FROM u
+    ORDER BY child_table ASC, child_col ASC, parent_table ASC
+    """
+
+
+CATALOG_INCLUSION_ORACLE = _inclusion_oracle()
+
+
+def catalog_inclusion_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency discovery across the catalog (the
+    join-graph profiler behind FK inference in data-discovery systems
+    — Aurum-style): for each candidate (child_col → parent_col) edge,
+    the distinct-value counts of both sides, the size of their
+    intersection, and the containment coefficients
+    |A∩B|/|A| and |A∩B|/|B|. containment_child == 1.0 recovers every
+    true TPC-H FK; the deliberate negative-control edge
+    (part.p_partkey → orders.o_orderkey) shows range overlap without
+    semantic inclusion. The same profile run on an unknown lake is
+    how a crawler proposes join keys.
+
+    Scale shape: per column ONE distinct aggregate (map-side partial
+    distinct) at distinct-value cardinality, then a full-outer join
+    of the two distinct sets and a single summary row per edge —
+    never a row-level table join. Counts are exact BIGINTs; the
+    containments are single double divisions of exact ints."""
+    from functools import reduce
+
+    frames = []
+    for ct, cc, pt, pc in _INCLUSION_PAIRS:
+        child = (
+            load_table(spark, sf_dir, ct)
+            .select(F.col(cc).cast("long").alias("v"))
+            .filter(F.col("v").isNotNull())
+            .distinct()
+            .withColumn("__c", F.lit(1))
+        )
+        parent = (
+            load_table(spark, sf_dir, pt)
+            .select(F.col(pc).cast("long").alias("v"))
+            .filter(F.col("v").isNotNull())
+            .distinct()
+            .withColumn("__p", F.lit(1))
+        )
+        agg = child.join(parent, "v", "full_outer").agg(
+            F.coalesce(F.sum("__c"), F.lit(0)).cast("bigint").alias("n_child_distinct"),
+            F.coalesce(F.sum("__p"), F.lit(0)).cast("bigint").alias("n_parent_distinct"),
+            F.coalesce(F.sum(F.col("__c") * F.col("__p")), F.lit(0))
+            .cast("bigint")
+            .alias("n_common"),
+        )
+        frames.append(
+            agg.select(
+                F.lit(ct).alias("child_table"),
+                F.lit(cc).alias("child_col"),
+                F.lit(pt).alias("parent_table"),
+                F.lit(pc).alias("parent_col"),
+                "n_child_distinct",
+                "n_parent_distinct",
+                "n_common",
+            )
+        )
+    u = reduce(lambda a, b: a.unionAll(b), frames)
+    return (
+        u.select(
+            "*",
+            F.when(F.col("n_child_distinct") == 0, F.lit(0.0))
+            .otherwise(
+                F.col("n_common").cast("double") / F.col("n_child_distinct").cast("double")
+            )
+            .alias("containment_child"),
+            F.when(F.col("n_parent_distinct") == 0, F.lit(0.0))
+            .otherwise(
+                F.col("n_common").cast("double") / F.col("n_parent_distinct").cast("double")
+            )
+            .alias("containment_parent"),
+        )
+        .orderBy("child_table", "child_col", "parent_table")
+    )
+
+
+# ------------------------------------------------------------------
+# 5. events_seasonal_decompose — trend / weekday seasonal / residual
+# ------------------------------------------------------------------
+
+EVENTS_SEASONAL_DECOMPOSE_ORACLE = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+),
+e AS (
+    SELECT day, n_events,
+           date_diff('day', DATE '1970-01-01', CAST(day AS DATE)) AS ed
+    FROM daily
+),
+w AS (
+    SELECT *, SUM(n_events) OVER win AS trend_num, COUNT(*) OVER win AS n_win
+    FROM e WINDOW win AS (ORDER BY ed RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+c AS (
+    SELECT day, n_events, trend_num,
+           7 * n_events - trend_num AS detr_num,
+           (ed + 3) % 7 AS phase
+    FROM w WHERE n_win = 7
+),
+s AS (SELECT phase, SUM(detr_num) AS s_num, COUNT(*) AS n_phase FROM c GROUP BY 1)
+SELECT c.day AS day, c.n_events AS n_events, CAST(c.phase AS BIGINT) AS phase,
+       CAST(trend_num AS DOUBLE) / 7.0 AS trend,
+       CAST(s_num AS DOUBLE) / (7.0 * CAST(n_phase AS DOUBLE)) AS seasonal,
+       CAST(detr_num AS DOUBLE) / 7.0
+           - CAST(s_num AS DOUBLE) / (7.0 * CAST(n_phase AS DOUBLE)) AS residual
+FROM c JOIN s USING (phase)
+ORDER BY day ASC
+"""
+
+
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily event volume
+    (operators/timeseries.py seasonal_decompose): centered 7-day
+    moving-average trend (RANGE window on epoch days — calendar gaps
+    do not slide neighbours in), per-ISO-weekday seasonal means of the
+    exact detrended numerators, residual as one double subtraction.
+    phase 0..6 = Monday..Sunday. Only days with a full 7-day window
+    appear (the decomposition is undefined at the edges). The
+    is-Monday-traffic-really-higher / was-that-day-actually-anomalous
+    triage every daily series eventually needs — MAD (events_mad_*)
+    flags outliers, this explains them.
+
+    Engine boundary: every aggregate (window sum, per-phase sum) is an
+    exact BIGINT; trend/seasonal/residual are fixed chains of
+    correctly-rounded IEEE ops on those integers — bit-replayable.
+
+    Scale shape: the raw-event groupBy is map-side combined; the
+    ordered window and everything after run at DAY cardinality
+    (bounded by the calendar, not data volume)."""
+    from lakehouse_architecture_transaction_spark.operators.timeseries import seasonal_decompose
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    dec = seasonal_decompose(daily, "day", "n_events", period=7)
+    return dec.select(
+        F.col("day").cast("timestamp_ntz").alias("day"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("phase").cast("bigint").alias("phase"),
+        "trend",
+        "seasonal",
+        "residual",
+    ).orderBy("day")
+
+
+# ------------------------------------------------------------------
+# 6. orders_revenue_autocorr — lag-1..7 revenue autocorrelation
+# ------------------------------------------------------------------
+
+ORDERS_REVENUE_AUTOCORR_ORACLE = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+    FROM orders GROUP BY 1
+),
+h AS (
+    SELECT date_diff('day', DATE '1970-01-01', CAST(day AS DATE)) AS ed,
+           CAST(rev * 100 AS BIGINT) // 10000 AS v
+    FROM daily
+),
+l AS (
+    SELECT k.lag AS lag, h.ed + k.lag AS ed2, h.v AS x
+    FROM h, (SELECT unnest(generate_series(1, 7)) AS lag) k
+),
+p AS (SELECT l.lag, l.x, h2.v AS y FROM l JOIN h h2 ON l.ed2 = h2.ed),
+m AS (
+    SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+           SUM(x*x) AS sxx, SUM(y*y) AS syy
+    FROM p GROUP BY 1
+)
+SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+       CASE WHEN n_pairs >= 3
+                 AND n_pairs * sxx - sx * sx > 0
+                 AND n_pairs * syy - sy * sy > 0
+            THEN CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                        * CAST(n_pairs * syy - sy * sy AS DOUBLE))
+            END AS autocorr
+FROM m
+ORDER BY lag ASC
+"""
+
+
+def orders_revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson autocorrelation of daily order revenue at lags 1..7
+    (operators/timeseries.py lagged_autocorr) — the
+    does-revenue-have-a-weekly-pulse / how-persistent-is-demand
+    detector, and the quantitative cousin of orders_weekday_profile.
+    Pairs match on CALENDAR distance (epoch-day + k), so missing days
+    shrink n_pairs instead of silently pairing non-adjacent rows.
+
+    Engine boundary: daily revenue crosses to the moment sums as
+    exact hundred-dollar BIGINT units (DECIMAL cent sum → ×100 →
+    BIGINT → floor-div 10⁴ — the gini cent discipline, coarsened so
+    every moment Σx², Σxy stays far inside int64 at bench scales),
+    and r is one fixed double chain (two products, sqrt, divide) on
+    exact integers. Constant/short series yield NULL, not 0/0.
+
+    Scale shape: groupBy day (map-side combined), then a ×7 explode
+    and one equi-join + aggregate at CALENDAR cardinality."""
+    from lakehouse_architecture_transaction_spark.operators.timeseries import lagged_autocorr
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day")).agg(
+        F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)))").alias("__rev")
+    )
+    daily = daily.select(
+        "day", F.expr("CAST(__rev * 100 AS BIGINT) div 10000").alias("rev_h")
+    )
+    return (
+        lagged_autocorr(daily, "day", "rev_h", max_lag=7)
+        .select(F.col("lag").cast("bigint").alias("lag"), "n_pairs", "autocorr")
+        .orderBy("lag")
+    )
+
+
+# ------------------------------------------------------------------
+# 7. docs_vocab_growth — Heaps-law vocabulary growth curve
+# ------------------------------------------------------------------
+
+_LOWER_TOKENS_SQL = (
+    "list_transform(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''),"
+    " t -> lower(t))"
+)
+
+DOCS_VOCAB_GROWTH_ORACLE = f"""
+WITH mx AS (SELECT MAX(doc_id) AS max_id FROM documents),
+cuts AS (
+    SELECT i AS ckpt, (max_id * i) // 8 AS cut_doc_id
+    FROM mx, (SELECT unnest(generate_series(1, 8)) AS i)
+),
+pd AS (SELECT doc_id, len({_LOWER_TOKENS_SQL}) AS n_tok FROM documents),
+nd AS (
+    SELECT c.ckpt, c.cut_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM pd JOIN cuts c ON pd.doc_id <= c.cut_doc_id
+    GROUP BY 1, 2
+),
+fo AS (
+    SELECT tok, MIN(doc_id) AS first_doc
+    FROM (SELECT doc_id, unnest({_LOWER_TOKENS_SQL}) AS tok FROM documents)
+    GROUP BY 1
+),
+vd AS (
+    SELECT c.ckpt, CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens
+    FROM fo JOIN cuts c ON fo.first_doc <= c.cut_doc_id
+    GROUP BY 1
+)
+SELECT CAST(nd.ckpt AS BIGINT) AS ckpt, nd.cut_doc_id AS cut_doc_id,
+       n_docs, n_tokens,
+       CAST(COALESCE(vd.n_distinct_tokens, 0) AS BIGINT) AS n_distinct_tokens,
+       CASE WHEN n_tokens > 0
+            THEN CAST(COALESCE(vd.n_distinct_tokens, 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+            ELSE 0.0 END AS type_token_ratio
+FROM nd LEFT JOIN vd ON nd.ckpt = vd.ckpt
+ORDER BY ckpt ASC
+"""
+
+
+def docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve (operators/text.py
+    vocab_growth): total vs DISTINCT lowercased tokens in the corpus
+    prefix doc_id ≤ tᵢ at 8 evenly spaced cuts, with the type-token
+    ratio. Sub-linear distinct growth is the healthy Heaps shape;
+    near-linear growth flags unbounded novel vocabulary (OCR noise,
+    IDs) and a flat curve flags heavy repetition — the triage chart
+    read before training a tokenizer on a new corpus.
+
+    Scale shape: distinct counting never rescans per cut — a token is
+    in V(t) iff its min doc_id ≤ t, so ONE vocab-cardinality
+    aggregate (map-side combined) serves all 8 cuts; totals are
+    row-local size(); the 8-row cut frame broadcasts (and is
+    localCheckpoint-ed: three branches must not re-run the max scan)."""
+    from lakehouse_architecture_transaction_spark.operators.text import vocab_growth
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return vocab_growth(docs, id_col="doc_id", text_col="text", n_checkpoints=8).orderBy(
+        "ckpt"
+    )
+
+
+# ------------------------------------------------------------------
+# 8. docs_source_distinctive_terms — per-source lift keywords
+# ------------------------------------------------------------------
+
+DOCS_DISTINCTIVE_TERMS_ORACLE = f"""
+WITH st AS (
+    SELECT source, tok AS token, CAST(COUNT(*) AS BIGINT) AS n_in_source
+    FROM (SELECT source, unnest({_LOWER_TOKENS_SQL}) AS tok FROM documents)
+    GROUP BY 1, 2
+),
+tg AS (SELECT token, SUM(n_in_source) AS n_in_corpus FROM st GROUP BY 1),
+stt AS (SELECT source, SUM(n_in_source) AS t_s FROM st GROUP BY 1),
+tot AS (SELECT SUM(n_in_source) AS big_t FROM st),
+lf AS (
+    SELECT st.source, st.token, st.n_in_source, tg.n_in_corpus,
+           CAST(st.n_in_source * tot.big_t AS DOUBLE)
+               / CAST(stt.t_s * tg.n_in_corpus AS DOUBLE) AS lift
+    FROM st
+    JOIN tg USING (token)
+    JOIN stt USING (source)
+    CROSS JOIN tot
+    WHERE tg.n_in_corpus >= 5
+),
+r AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY lift DESC, token ASC) AS rank
+    FROM lf
+)
+SELECT source, CAST(rank AS BIGINT) AS rank, token,
+       CAST(n_in_source AS BIGINT) AS n_in_source,
+       CAST(n_in_corpus AS BIGINT) AS n_in_corpus, lift
+FROM r WHERE rank <= 10
+ORDER BY source ASC, rank ASC
+"""
+
+
+def docs_source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive vocabulary (operators/text.py
+    source_distinctive_terms): top-10 tokens per source by exact lift
+    (c_s·T)/(t_s·c_corpus) — the over-representation ratio, one double
+    division of exact BIGINT products (log-odds would rank identically
+    but drags libm across the engine boundary). Global count < 5
+    tokens are dropped so hapax noise can't own the lists. This is
+    the corpus-mixture drift report: what each source contributes
+    that the others don't — read next to docs_temperature_mixture
+    when rebalancing a training mix.
+
+    Scale shape: one explode into a (source, token) aggregate with
+    map-side combine; the global/per-source/corpus totals are
+    re-aggregations of that frame (localCheckpoint-ed — three
+    consuming branches); the rank window runs per source at
+    per-source vocabulary cardinality."""
+    from lakehouse_architecture_transaction_spark.operators.text import (
+        source_distinctive_terms,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return source_distinctive_terms(
+        docs, id_col="doc_id", text_col="text", group_col="source", k=10, min_corpus_count=5
+    ).orderBy("source", "rank")

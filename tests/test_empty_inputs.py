@@ -194,6 +194,14 @@ def _queued_fns():
         # the r10 training ops (k > n path, window > text length path)
         ("docs_priority_sample", Q10.docs_priority_sample),
         ("docs_dup_spans", Q10.docs_dup_spans),
+        # the r10 diagnostics batch (empty pair frame, all-NULL keys,
+        # series shorter than the window/lag horizon, empty vocabulary)
+        ("docs_split_leakage", Q10.docs_split_leakage),
+        ("catalog_inclusion_profile", Q10.catalog_inclusion_profile),
+        ("events_seasonal_decompose", Q10.events_seasonal_decompose),
+        ("orders_revenue_autocorr", Q10.orders_revenue_autocorr),
+        ("docs_vocab_growth", Q10.docs_vocab_growth),
+        ("docs_source_distinctive_terms", Q10.docs_source_distinctive_terms),
     ]
 
 

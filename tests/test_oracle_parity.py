@@ -571,6 +571,12 @@ def test_r9_lakehouse_companion_oracle_parity_preview(spark, sf_dir, fn_name, or
     [
         ("docs_priority_sample", "DOCS_PRIORITY_SAMPLE_ORACLE"),
         ("docs_dup_spans", "DOCS_DUP_SPANS_ORACLE"),
+        ("docs_split_leakage", "DOCS_SPLIT_LEAKAGE_ORACLE"),
+        ("catalog_inclusion_profile", "CATALOG_INCLUSION_ORACLE"),
+        ("events_seasonal_decompose", "EVENTS_SEASONAL_DECOMPOSE_ORACLE"),
+        ("orders_revenue_autocorr", "ORDERS_REVENUE_AUTOCORR_ORACLE"),
+        ("docs_vocab_growth", "DOCS_VOCAB_GROWTH_ORACLE"),
+        ("docs_source_distinctive_terms", "DOCS_DISTINCTIVE_TERMS_ORACLE"),
     ],
 )
 def test_r10_training_ops_oracle_parity_preview(spark, sf_dir, fn_name, oracle_name):
