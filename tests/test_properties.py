@@ -637,3 +637,196 @@ def test_containment_dominates_jaccard_on_corpus(spark, sf_dir):
     for pair, j in jac.items():
         assert pair in cont
         assert cont[pair] >= j - 1e-12
+
+
+# ---------------- timeseries kernels (operators/timeseries.py) --------
+
+
+def _ts_daily_df(spark, day_vals):
+    import datetime
+
+    rows = [
+        (datetime.datetime(2024, 1, 1) + datetime.timedelta(days=int(d)), int(v))
+        for d, v in day_vals
+    ]
+    return spark.createDataFrame(rows, "day timestamp, v long")
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    day_vals=st.dictionaries(
+        st.integers(0, 24), st.integers(0, 1000), min_size=0, max_size=20
+    ).map(lambda d: sorted(d.items()))
+)
+def test_seasonal_decompose_matches_exact_python_chain(spark, day_vals):
+    # The kernel's claim is BIT-exact replayability: every output double
+    # is a fixed chain of IEEE ops on exact integers. Replay the chain
+    # in Python (ints, then the same divisions/subtraction) and require
+    # EXACT float equality — a tolerance here would hide engine drift.
+    from lakehouse_architecture_transaction_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    got = {
+        r["day"]: r
+        for r in seasonal_decompose(_ts_daily_df(spark, day_vals), "day", "v").collect()
+    }
+    vals = dict(day_vals)
+    epoch0 = 19723  # 2024-01-01 in epoch days; only offsets matter below
+    # python oracle: RANGE window on calendar days, full windows only
+    full = {}
+    for d, v in vals.items():
+        win = [vals[e] for e in range(d - 3, d + 4) if e in vals]
+        if len(win) == 7:
+            tn = sum(win)
+            full[d] = (v, tn, 7 * v - tn, (epoch0 + d + 3) % 7)
+    import collections
+
+    s_num = collections.Counter()
+    n_ph = collections.Counter()
+    for d, (_, _, detr, ph) in full.items():
+        s_num[ph] += detr
+        n_ph[ph] += 1
+    assert set(got) == {
+        __import__("datetime").datetime(2024, 1, 1)
+        + __import__("datetime").timedelta(days=d)
+        for d in full
+    }
+    for d, (v, tn, detr, ph) in full.items():
+        import datetime
+
+        r = got[datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d)]
+        seasonal = float(s_num[ph]) / (7.0 * float(n_ph[ph]))
+        assert r["phase"] == ph
+        assert r["v"] == v
+        assert r["trend"] == float(tn) / 7.0
+        assert r["seasonal"] == seasonal
+        assert r["residual"] == float(detr) / 7.0 - seasonal
+        # decomposition identity within float rounding of the chain
+        assert abs(r["trend"] + r["seasonal"] + r["residual"] - v) < 1e-6
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    day_vals=st.dictionaries(
+        st.integers(0, 20), st.integers(0, 10_000), min_size=0, max_size=16
+    ).map(lambda d: sorted(d.items()))
+)
+def test_lagged_autocorr_matches_exact_python_chain(spark, day_vals):
+    import math
+
+    from lakehouse_architecture_transaction_spark.operators.timeseries import lagged_autocorr
+
+    got = {
+        r["lag"]: r
+        for r in lagged_autocorr(_ts_daily_df(spark, day_vals), "day", "v", max_lag=5).collect()
+    }
+    vals = dict(day_vals)
+    for lag in range(1, 6):
+        pairs = [(vals[d], vals[d + lag]) for d in vals if d + lag in vals]
+        if not pairs:
+            assert lag not in got
+            continue
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        num = float(n * sxy - sx * sy)
+        d1 = float(n * sxx - sx * sx)
+        d2 = float(n * syy - sy * sy)
+        r = got[lag]
+        assert r["n_pairs"] == n
+        if n >= 3 and d1 > 0 and d2 > 0:
+            want = num / math.sqrt(d1 * d2)
+            assert r["autocorr"] == want
+            assert -1.0 - 1e-12 <= want <= 1.0 + 1e-12
+        else:
+            assert r["autocorr"] is None
+
+
+# ---------------- text kernels (vocab growth, distinctive terms) ------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab X", min_size=0, max_size=16), min_size=1, max_size=10
+    )
+)
+def test_vocab_growth_monotone_and_final_cut_is_full_corpus(spark, texts):
+    from lakehouse_architecture_transaction_spark.operators.text import vocab_growth
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = sorted(
+        vocab_growth(docs, id_col="doc_id", text_col="text", n_checkpoints=4).collect(),
+        key=lambda r: r["ckpt"],
+    )
+    assert [r["ckpt"] for r in rows] == [1, 2, 3, 4]
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_docs"] <= b["n_docs"]
+        assert a["n_tokens"] <= b["n_tokens"]
+        assert a["n_distinct_tokens"] <= b["n_distinct_tokens"]
+    # last cut == max doc_id → the full corpus
+    all_toks = [w.lower() for t in texts for w in t.split() if w != ""]
+    last = rows[-1]
+    assert last["n_docs"] == len(texts)
+    assert last["n_tokens"] == len(all_toks)
+    assert last["n_distinct_tokens"] == len(set(all_toks))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["s0", "s1", "s2"]),
+            st.text(alphabet="ab c", min_size=0, max_size=12),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_source_distinctive_terms_matches_python_lift(spark, docs):
+    import collections
+
+    from lakehouse_architecture_transaction_spark.operators.text import (
+        source_distinctive_terms,
+    )
+
+    sdf = spark.createDataFrame(
+        [(i, s, t) for i, (s, t) in enumerate(docs)],
+        "doc_id long, source string, text string",
+    )
+    got = source_distinctive_terms(
+        sdf, id_col="doc_id", text_col="text", group_col="source", k=3, min_corpus_count=2
+    ).collect()
+    st_counts = collections.Counter()
+    for s, t in docs:
+        for w in t.split():
+            if w != "":
+                st_counts[(s, w.lower())] += 1
+    tg = collections.Counter()
+    ts = collections.Counter()
+    for (s, w), c in st_counts.items():
+        tg[w] += c
+        ts[s] += c
+    total = sum(st_counts.values())
+    want = []
+    for (s, w), c in st_counts.items():
+        if tg[w] >= 2:
+            want.append((s, w, c, tg[w], float(c * total) / float(ts[s] * tg[w])))
+    by_src = collections.defaultdict(list)
+    for s, w, c, g, lift in want:
+        by_src[s].append((-lift, w, c, g))
+    expected = []
+    for s, lst in by_src.items():
+        for rank, (nl, w, c, g) in enumerate(sorted(lst)[:3], start=1):
+            expected.append((s, rank, w, c, g, -nl))
+    got_t = sorted(
+        (r["source"], r["rank"], r["token"], r["n_in_source"], r["n_in_corpus"], r["lift"])
+        for r in got
+    )
+    assert got_t == sorted(expected)
