@@ -138,9 +138,13 @@ def lagged_autocorr(
     cardinality; every aggregate is map-side combinable.
     """
     ed = F.datediff(F.col(day_col).cast("date"), F.to_date(F.lit("1970-01-01")))
+    # Both the exploded left side and the join's right side consume this
+    # frame — cut the shared subtree so the caller's raw-fact scan and
+    # aggregate run once, not once per branch (the frame itself is tiny:
+    # calendar cardinality).
     base = daily.select(
         ed.cast("long").alias("__ed"), F.col(value_col).cast("long").alias("__v")
-    )
+    ).localCheckpoint(eager=True)
     lagged = base.withColumn(
         "lag", F.explode(F.sequence(F.lit(1), F.lit(max_lag)))
     ).select(

@@ -168,3 +168,54 @@ def test_curation_pipeline_single_corpus_scan(spark, sf_dir):
     plan = _formatted_plan(REGISTRY["docs_curation_pipeline"].fn(spark, sf_dir))
     assert len(re.findall(r"ReadSchema", plan)) == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_r10_queued_materialize_shared_frames(spark, sf_dir):
+    # The round-10 queue's shared-subtree contracts (the r7 plan-
+    # materialization lesson): once the shared frame is localCheckpoint-ed,
+    # the FINAL plan must contain ZERO parquet scans — every branch reads
+    # the materialized frame, never re-running the upstream per branch.
+    from lakehouse_architecture_transaction_spark.plans import queued_r10 as Q
+
+    for fn in (Q.docs_split_leakage, Q.docs_source_distinctive_terms,
+               Q.orders_revenue_autocorr):
+        plan = _formatted_plan(fn(spark, sf_dir))
+        n_scans = plan.count("ReadSchema")
+        assert n_scans == 0, f"{fn.__name__}: expected 0 parquet scans after materialization, saw {n_scans}"
+
+
+def test_seasonal_decompose_single_scan_and_broadcast(spark, sf_dir):
+    # events_seasonal_decompose materializes the windowed frame; the
+    # final plan re-reads only that frame and broadcasts the ≤7-row
+    # per-phase seasonal means.
+    from lakehouse_architecture_transaction_spark.plans import queued_r10 as Q
+
+    plan = _formatted_plan(Q.events_seasonal_decompose(spark, sf_dir))
+    assert plan.count("ReadSchema") == 0
+    assert "BroadcastHashJoin" in plan, "phase means must broadcast"
+
+
+def test_inclusion_profile_scans_read_single_columns(spark, sf_dir):
+    # The FK-discovery profile must push column pruning to every scan:
+    # 8 candidate edges × 2 sides = 16 scans, each reading EXACTLY its
+    # one key column (a multi-column ReadSchema means the distinct
+    # aggregate stopped pruning).
+    from lakehouse_architecture_transaction_spark.plans import queued_r10 as Q
+
+    plan = _formatted_plan(Q.catalog_inclusion_profile(spark, sf_dir))
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert len(schemas) == 16, f"expected 16 single-table scans, saw {len(schemas)}"
+    multi = [s for s in schemas if "," in s]
+    assert not multi, f"scans must read exactly one column, saw: {multi[:3]}"
+
+
+def test_vocab_growth_two_scans_and_broadcast_cuts(spark, sf_dir):
+    # vocab_growth reads the corpus exactly twice by design (row-local
+    # size() pass + the explode→min-first-occurrence aggregate); the
+    # 8-row checkpoint frame joins via broadcast (nested-loop on the
+    # <= range predicate is fine — the broadcast side is 8 rows).
+    from lakehouse_architecture_transaction_spark.plans import queued_r10 as Q
+
+    plan = _formatted_plan(Q.docs_vocab_growth(spark, sf_dir))
+    assert plan.count("ReadSchema") == 2
+    assert "BroadcastNestedLoopJoin" in plan
