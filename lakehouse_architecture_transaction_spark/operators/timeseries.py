@@ -10,6 +10,9 @@ Athena; these are the standard next questions asked OF those facts):
   per-phase seasonal means.
 - ``lagged_autocorr`` — Pearson autocorrelation of the series at lags
   1..k, the seasonality/persistence detector.
+- ``grouped_linreg`` — per-group OLS trend lines from exact integer
+  moments (one aggregate, no windows), for drift detection across
+  thousands of groups at once.
 
 Both kernels follow the house exact-engine-boundary rule: every
 aggregate is computed on exact BIGINT inputs (counts, or money floored
@@ -169,3 +172,49 @@ def lagged_autocorr(
         (n >= 3) & (d1 > 0) & (d2 > 0), num / F.sqrt(d1 * d2)
     )
     return m.select("lag", "n_pairs", r.alias("autocorr"))
+
+
+def grouped_linreg(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group ordinary-least-squares line y = slope·x + intercept.
+
+    The grouped trend detector (is this supplier's lead time drifting
+    up? is this source's quality decaying?): both coordinates must be
+    exact integers (days, counts, coarse money units) so the five
+    moments n, Σx, Σy, Σxy, Σx² are exact BIGINT sums, and
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²)
+        intercept = (Σy − slope·Σx) / n
+
+    are fixed double chains on those integers — engine-replayable.
+    Degenerate groups (x constant, or < 2 points) yield NULL slope and
+    intercept rather than 0/0.
+
+    Exactness bound: per-group n·Σx² and Σx·Σy must stay inside int64
+    — keep x small (e.g. days since the dataset epoch, not 1970) for
+    wide groups. Scale shape: ONE map-side-combinable aggregate at
+    group cardinality; no windows, no self-joins.
+    """
+    m = df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count("*").alias("n_points"),
+        F.sum(F.col(x_col).cast("long")).alias("__sx"),
+        F.sum(F.col(y_col).cast("long")).alias("__sy"),
+        F.sum(F.col(x_col).cast("long") * F.col(y_col).cast("long")).alias("__sxy"),
+        F.sum(F.col(x_col).cast("long") * F.col(x_col).cast("long")).alias("__sxx"),
+    )
+    n = F.col("n_points")
+    d = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    num = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    with_slope = m.withColumn("slope", F.when((n >= 2) & (d > 0), num / d))
+    intercept = F.when(
+        F.col("slope").isNotNull(),
+        (F.col("__sy").cast("double") - F.col("slope") * F.col("__sx").cast("double"))
+        / n.cast("double"),
+    )
+    return with_slope.select(
+        *group_cols, "n_points", "slope", intercept.alias("intercept")
+    )

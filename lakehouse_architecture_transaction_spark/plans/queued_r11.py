@@ -1,0 +1,580 @@
+"""Queued round-11 registrations: evaluation, attribution, lifecycle.
+
+- lineitem_shipdelay_trend — per-nation OLS trend of shipping delay
+  over order date (operators/timeseries.py grouped_linreg): the
+  is-fulfilment-degrading drift detector.
+- customer_survival_curve — customer-lifetime survival function (the
+  retention curve every subscription/commerce analyst draws).
+- events_touch_attribution — first/last-touch multi-touch attribution
+  in exact half-credit units over the hour before each purchase.
+- docs_langid_confusion — confusion matrix of the lexicon language-ID
+  prediction vs the labeled lang column: the model-eval op for any
+  classifier-derived corpus column.
+- emb_pair_sim_histogram — cosine-similarity histograms of LSH
+  same-bucket pairs vs a deterministic shifted-pair baseline: the
+  does-my-bucketing-actually-concentrate-similarity QA.
+- orders_gdpr_erasure_audit — right-to-be-forgotten lifecycle on a
+  versioned LakeTable: copy-on-write erasure of the heaviest
+  customer, CDF shows exactly the victim's rows deleted and nothing
+  else (reference parity: the storage layer the reference delegates
+  to Delta MERGE/DELETE, scripts/glue/script.py:204-227).
+
+All six oracle-previewed cell-exact at sf0.001/0.01/0.1
+(tests/test_oracle_parity.py) and degenerate-input pinned
+(tests/test_empty_inputs.py).
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_transaction_spark.catalog import load_table
+from lakehouse_architecture_transaction_spark.lakehouse.table import LakeTable
+
+# ------------------------------------------------------------------
+# 1. lineitem_shipdelay_trend — per-nation OLS delay drift
+# ------------------------------------------------------------------
+
+#: x = days since the dataset's first order year, NOT 1970 — keeps
+#: per-group n·Σx² inside int64 through bench scales (see
+#: grouped_linreg's exactness bound).
+_TREND_EPOCH = "1995-01-01"
+
+LINEITEM_SHIPDELAY_TREND_ORACLE = f"""
+WITH pts AS (
+    SELECT n.n_name,
+           date_diff('day', DATE '{_TREND_EPOCH}', CAST(o.o_orderdate AS DATE)) AS x,
+           date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS y
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+),
+m AS (
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+    FROM pts GROUP BY 1
+),
+sl AS (
+    SELECT *, CASE WHEN n_points >= 2 AND n_points * sxx - sx * sx > 0
+                   THEN CAST(n_points * sxy - sx * sy AS DOUBLE)
+                        / CAST(n_points * sxx - sx * sx AS DOUBLE) END AS slope
+    FROM m
+)
+SELECT n_name, n_points, slope,
+       CASE WHEN slope IS NOT NULL
+            THEN (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n_points AS DOUBLE)
+            END AS intercept
+FROM sl
+ORDER BY n_name ASC
+"""
+
+
+def lineitem_shipdelay_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier-nation shipping-delay trend (operators/timeseries.py
+    grouped_linreg): OLS slope/intercept of delay-in-days (l_shipdate −
+    o_orderdate) against order date, per nation — the fulfilment-drift
+    detector (slope in delay-days per calendar day; a positive slope
+    is a supply chain getting slower). Both coordinates are exact day
+    integers; x counts from {epoch} so per-group moments stay far
+    inside int64; the slope/intercept chain is engine-replayable.
+
+    Scale shape: ONE fact-fact equi-join (lineitem⋈orders on orderkey
+    — the shuffle every delay metric pays), broadcast supplier/nation
+    dims, then a single map-side-combinable moment aggregate at
+    NATION cardinality. No windows, no per-group sorting.""".format(
+        epoch=_TREND_EPOCH
+    )
+    from lakehouse_architecture_transaction_spark.operators.timeseries import grouped_linreg
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pts = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .select(
+            "n_name",
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.to_date(F.lit(_TREND_EPOCH))
+            ).alias("x"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("y"),
+        )
+    )
+    return grouped_linreg(pts, ["n_name"], "x", "y").orderBy("n_name")
+
+
+# ------------------------------------------------------------------
+# 2. customer_survival_curve — lifetime survival function
+# ------------------------------------------------------------------
+
+_SURV_MAX_MONTHS = 12
+
+CUSTOMER_SURVIVAL_ORACLE = f"""
+WITH span AS (
+    SELECT o_custkey,
+           date_diff('day', MIN(CAST(o_orderdate AS DATE)), MAX(CAST(o_orderdate AS DATE))) // 30
+               AS life_months
+    FROM orders GROUP BY 1
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM span),
+k AS (SELECT unnest(generate_series(0, {_SURV_MAX_MONTHS})) AS months),
+surv AS (
+    SELECT k.months, CAST(COUNT(s.o_custkey) AS BIGINT) AS n_surviving
+    FROM k LEFT JOIN span s ON s.life_months >= k.months
+    GROUP BY 1
+)
+SELECT CAST(months AS BIGINT) AS months, n_surviving,
+       CASE WHEN n_total = 0 THEN 0.0
+            ELSE CAST(n_surviving AS DOUBLE) / CAST(n_total AS DOUBLE) END AS survival_frac
+FROM surv, tot
+ORDER BY months ASC
+"""
+
+
+def customer_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime survival curve: for k = 0..{m} months, how
+    many customers' observed lifetime (days between first and last
+    order, floored to 30-day months) reaches k, and the surviving
+    fraction — the retention curve drawn from customer_order_span's
+    raw spans. Exact integer lifetimes, one division per point.
+
+    Scale shape: the span aggregate runs at customer cardinality
+    (map-side combined); the 13-point curve is a broadcast explode of
+    that aggregate — the raw fact is scanned once.""".format(m=_SURV_MAX_MONTHS)
+    orders = load_table(spark, sf_dir, "orders")
+    span = orders.groupBy("o_custkey").agg(
+        (
+            F.datediff(F.max(F.col("o_orderdate").cast("date")), F.min(F.col("o_orderdate").cast("date")))
+            .cast("long")
+            / F.lit(30)
+        )
+        .cast("long")
+        .alias("life_months")
+    )
+    # consumed by the total count AND the per-k counts
+    span = span.localCheckpoint(eager=True)
+    tot = span.agg(F.count("*").cast("bigint").alias("n_total"))
+    ks = spark.range(0, _SURV_MAX_MONTHS + 1).select(F.col("id").cast("long").alias("months"))
+    surv = (
+        ks.join(span, span["life_months"] >= ks["months"], "left")
+        .groupBy("months")
+        .agg(F.count(F.col("life_months")).cast("bigint").alias("n_surviving"))
+    )
+    return (
+        surv.crossJoin(F.broadcast(tot))
+        .select(
+            "months",
+            "n_surviving",
+            F.when(F.col("n_total") == 0, F.lit(0.0))
+            .otherwise(F.col("n_surviving").cast("double") / F.col("n_total").cast("double"))
+            .alias("survival_frac"),
+        )
+        .orderBy("months")
+    )
+
+
+# ------------------------------------------------------------------
+# 3. events_touch_attribution — first/last-touch half-credit units
+# ------------------------------------------------------------------
+
+EVENTS_TOUCH_ATTRIBUTION_ORACLE = """
+WITH p AS (
+    SELECT event_id AS p_id, user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'
+),
+t AS (
+    SELECT user_id, event_id AS t_id, event_type AS t_type, ts AS t_ts
+    FROM events WHERE event_type <> 'purchase'
+),
+w AS (
+    SELECT p.p_id, t.t_id, t.t_type, t.t_ts
+    FROM p JOIN t ON p.user_id = t.user_id
+     AND t.t_ts BETWEEN p.p_ts - INTERVAL 1 HOUR AND p.p_ts
+),
+r AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY t_ts ASC, t_id ASC) AS rf,
+           ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY t_ts DESC, t_id DESC) AS rl
+    FROM w
+),
+credits AS (
+    SELECT t_type, SUM(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS n_first,
+           SUM(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS n_last
+    FROM r GROUP BY 1
+)
+SELECT t_type AS event_type,
+       CAST(n_first AS BIGINT) AS n_first,
+       CAST(n_last AS BIGINT) AS n_last,
+       CAST(n_first + n_last AS DOUBLE) / 2.0 AS credit
+FROM credits
+ORDER BY event_type ASC
+"""
+
+
+def events_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch multi-touch attribution: for each purchase,
+    the non-purchase events of the same user in the preceding hour are
+    its touchpoints; the FIRST touch (position-based "introducer") and
+    the LAST touch ("closer") each earn half a conversion credit —
+    a single-touch window earns both halves. Credits are exact
+    half-units (integer first/last counts, ONE division by 2.0), so
+    the oracle replays them bit-for-bit — the reason this is first/
+    last rather than U-shaped: fractional middle credits 0.2/(n−2)
+    would force order-dependent double sums across the engine
+    boundary. Ties on ts break by event_id in BOTH directions.
+
+    Scale shape: the pair space comes from the bucketed interval join
+    (operators/interval.py — shuffle keyed by (user, time-bucket),
+    never per-user history); the two rank windows run per purchase at
+    window-pair cardinality; the credit aggregate is map-side
+    combinable at event-type cardinality."""
+    from lakehouse_architecture_transaction_spark.operators.interval import (
+        bucketed_interval_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id"), F.col("ts")
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("t_type"),
+        F.col("ts").alias("t_ts"),
+    )
+    pairs = bucketed_interval_join(
+        purchases,
+        touches,
+        left_ts="ts",
+        right_ts="t_ts",
+        lower_seconds=-3600,
+        upper_seconds=0,
+        on=[("user_id", "t_user")],
+    )
+    wf = Window.partitionBy("p_id").orderBy(F.col("t_ts").asc(), F.col("t_id").asc())
+    wl = Window.partitionBy("p_id").orderBy(F.col("t_ts").desc(), F.col("t_id").desc())
+    ranked = pairs.withColumn("rf", F.row_number().over(wf)).withColumn(
+        "rl", F.row_number().over(wl)
+    )
+    credits = ranked.groupBy("t_type").agg(
+        F.sum(F.when(F.col("rf") == 1, 1).otherwise(0)).cast("bigint").alias("n_first"),
+        F.sum(F.when(F.col("rl") == 1, 1).otherwise(0)).cast("bigint").alias("n_last"),
+    )
+    return credits.select(
+        F.col("t_type").alias("event_type"),
+        "n_first",
+        "n_last",
+        ((F.col("n_first") + F.col("n_last")).cast("double") / F.lit(2.0)).alias("credit"),
+    ).orderBy("event_type")
+
+
+# ------------------------------------------------------------------
+# 4. docs_langid_confusion — language-ID confusion matrix
+# ------------------------------------------------------------------
+
+
+def _langid_confusion_oracle() -> str:
+    from lakehouse_architecture_transaction_spark.plans.pipeline_ops import (
+        _TOKENS,
+        _lex_values,
+    )
+
+    return f"""
+    WITH lex(lang_guess, word) AS ({_lex_values()}),
+    tok AS (SELECT doc_id, lower(unnest({_TOKENS})) AS word FROM documents),
+    hits AS (
+        SELECT doc_id, lang_guess, COUNT(*) AS hits
+        FROM tok JOIN lex USING (word) GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT doc_id, lang_guess FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang_guess ASC) AS rn
+            FROM hits
+        ) WHERE rn = 1
+    ),
+    cm AS (
+        SELECT d.lang, COALESCE(b.lang_guess, 'und') AS lang_guess,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT lang, SUM(n_docs) AS n_lang FROM cm GROUP BY 1)
+    SELECT cm.lang AS lang, cm.lang_guess AS lang_guess, cm.n_docs AS n_docs,
+           CAST(cm.n_docs AS DOUBLE) / CAST(t.n_lang AS DOUBLE) AS row_share
+    FROM cm JOIN tot t ON cm.lang = t.lang
+    ORDER BY lang ASC, lang_guess ASC
+    """
+
+
+DOCS_LANGID_CONFUSION_ORACLE = _langid_confusion_oracle()
+
+
+def docs_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the lexicon language-ID prediction (L10,
+    operators/text.py lang_id) against the corpus's labeled ``lang``
+    column: (true lang, predicted lang, doc count, row-normalized
+    share). The model-evaluation surface for ANY classifier-derived
+    corpus column — langid here, quality or toxicity scores by the
+    same pattern — read before trusting the predicted column for
+    filtering decisions. The diagonal shares are per-class recall.
+
+    Scale shape: the prediction reuses the langid plan (broadcast
+    lexicon join + per-doc argmax); the matrix aggregate runs at
+    langs² cardinality; the per-true-lang totals are a re-aggregation
+    of the localCheckpoint-ed matrix frame (2 consuming branches),
+    never a second corpus scan."""
+    from lakehouse_architecture_transaction_spark.operators.text import lang_id
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    pred = lang_id(spark, docs, id_col="doc_id", text_col="text").select(
+        "doc_id", "lang_guess"
+    )
+    cm = (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id", "left")
+        .groupBy("lang", F.coalesce(F.col("lang_guess"), F.lit("und")).alias("lang_guess"))
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .localCheckpoint(eager=True)
+    )
+    tot = cm.groupBy("lang").agg(F.sum("n_docs").alias("__n_lang"))
+    return (
+        cm.join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "lang_guess",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("__n_lang").cast("double")).alias(
+                "row_share"
+            ),
+        )
+        .orderBy("lang", "lang_guess")
+    )
+
+
+# ------------------------------------------------------------------
+# 5. emb_pair_sim_histogram — bucket pairs vs shifted-pair baseline
+# ------------------------------------------------------------------
+
+_HIST_BITS = 4
+_HIST_CAP = 24
+
+
+def _pair_hist_oracle() -> str:
+    from lakehouse_architecture_transaction_spark.plans.pipeline_ops import (
+        _DOT_FOLD,
+        _N2_FOLD,
+    )
+
+    return f"""
+    WITH b0 AS (
+        SELECT vec_id, embedding,
+               array_to_string(list_transform(embedding[1:{_HIST_BITS}],
+                   x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bkt,
+               {_N2_FOLD} AS n2
+        FROM embeddings
+    ),
+    b AS (
+        SELECT vec_id, embedding, bkt, n2 FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY bkt ORDER BY vec_id ASC) AS bn FROM b0
+        ) WHERE bn <= {_HIST_CAP}
+    ),
+    bucket_cos AS (
+        SELECT {_DOT_FOLD} / (sqrt(q.n2) * sqrt(c.n2)) AS cosine
+        FROM b q JOIN b c ON q.bkt = c.bkt AND q.vec_id < c.vec_id
+    ),
+    d AS (SELECT (MAX(vec_id) + 1) // 2 AS shift FROM embeddings),
+    e AS (SELECT vec_id, embedding, {_N2_FOLD} AS n2 FROM embeddings),
+    shifted_cos AS (
+        SELECT {_DOT_FOLD} / (sqrt(q.n2) * sqrt(c.n2)) AS cosine
+        FROM e q JOIN e c ON c.vec_id = q.vec_id + (SELECT shift FROM d)
+    ),
+    u AS (
+        SELECT 'lsh_bucket' AS population, cosine FROM bucket_cos
+        UNION ALL
+        SELECT 'shifted' AS population, cosine FROM shifted_cos
+    )
+    SELECT population, CAST(floor(cosine * 10) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM u GROUP BY 1, 2
+    ORDER BY population ASC, bin ASC
+    """
+
+
+EMB_PAIR_SIM_HISTOGRAM_ORACLE = _pair_hist_oracle()
+
+
+def emb_pair_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-similarity histograms (bin width 0.1) for two pair
+    populations: same-sign-LSH-bucket pairs (the dedup/ANN candidate
+    generator's output, capped per bucket) vs a deterministic
+    structure-free baseline (each vector paired with the one
+    max_id/2 ids away). If bucketing works, the bucket histogram
+    sits visibly right of the baseline — the
+    does-my-candidate-generator-actually-concentrate-similarity QA
+    that should be read before trusting any LSH recall number.
+    Cosines are the shared deterministic double fold, so bin edges
+    cannot flake across engines.
+
+    Scale shape: bucket pairs come from the one shared capped pair
+    miner (never all-pairs); the baseline is an id-shifted self-join
+    (one shuffle at corpus cardinality); histograms aggregate at
+    population×21-bin cardinality with map-side combine."""
+    from lakehouse_architecture_transaction_spark.operators.similarity import (
+        cosine_dup_pairs,
+        dot_expr,
+        norm2_expr,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    bucket = cosine_dup_pairs(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=-1.0,
+        bits=_HIST_BITS,
+        bucket_cap=_HIST_CAP,
+    ).select(F.lit("lsh_bucket").alias("population"), "cosine")
+    shift = emb.agg(F.expr("(MAX(vec_id) + 1) div 2").alias("shift"))
+    q = emb.select(
+        F.col("vec_id"), F.col("embedding").alias("__qe"), norm2_expr("embedding").alias("__qn")
+    ).crossJoin(F.broadcast(shift))
+    c = emb.select(
+        F.col("vec_id").alias("__cid"),
+        F.col("embedding").alias("__ce"),
+        norm2_expr("embedding").alias("__cn"),
+    )
+    shifted = (
+        q.join(c, q["vec_id"] + q["shift"] == c["__cid"])
+        .select(
+            F.lit("shifted").alias("population"),
+            (dot_expr("__qe", "__ce") / (F.sqrt("__qn") * F.sqrt("__cn"))).alias("cosine"),
+        )
+    )
+    return (
+        bucket.unionByName(shifted)
+        .groupBy("population", F.floor(F.col("cosine") * 10).cast("bigint").alias("bin"))
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .orderBy("population", "bin")
+    )
+
+
+# ------------------------------------------------------------------
+# 6. orders_gdpr_erasure_audit — right-to-be-forgotten lifecycle
+# ------------------------------------------------------------------
+
+_GDPR_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _erasure_table(spark: SparkSession, sf_dir: str) -> str:
+    """v0 = base orders; v1 = base minus every order of the single
+    heaviest customer (most orders, min custkey tiebreak), erased via
+    the copy-on-write overwrite commit (stage-and-swap safe against
+    read-then-overwrite)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _GDPR_MEMO.get(key)
+    if got is None:
+        root = tempfile.mkdtemp(prefix="lakehouse_architecture_transaction_gdpr_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        path = f"{root}/orders"
+        orders = load_table(spark, sf_dir, "orders")
+        t = LakeTable(spark, path, keys=["o_orderkey"], versioned=True)
+        t.create(orders)  # v0
+        victim = (
+            orders.groupBy("o_custkey")
+            .agg(F.count("*").alias("__n"))
+            .orderBy(F.col("__n").desc(), F.col("o_custkey").asc())
+            .limit(1)
+            .select("o_custkey")
+        )
+        t.overwrite(t.read().join(F.broadcast(victim), "o_custkey", "left_anti"))  # v1
+        _GDPR_MEMO[key] = path
+        got = path
+    return got
+
+
+ORDERS_GDPR_ERASURE_ORACLE = """
+WITH vc AS (
+    SELECT o_custkey AS victim, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1
+    ORDER BY n DESC, victim ASC LIMIT 1
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM orders)
+SELECT 'cdf_delete_rows' AS metric, n AS n_value FROM vc
+UNION ALL SELECT 'cdf_nonvictim_changes', 0 FROM vc
+UNION ALL SELECT 'post_total_orders', n_total - n FROM vc, tot
+UNION ALL SELECT 'victim_custkey', victim FROM vc
+UNION ALL SELECT 'victim_orders_post', 0 FROM vc
+UNION ALL SELECT 'victim_orders_pre', n FROM vc
+ORDER BY metric ASC
+"""
+
+
+def orders_gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten, end-to-end on the versioned lakehouse
+    (lakehouse/table.py overwrite — the copy-on-write DELETE commit;
+    reference parity: the Delta MERGE/DELETE storage layer at
+    reference scripts/glue/script.py:204-227): erase every order of
+    the single heaviest customer, then audit that (a) the CDF diff
+    v0→v1 reports EXACTLY the victim's rows as deletes, (b) no
+    non-victim row changed, (c) the victim reads back empty while
+    total row count dropped by exactly the victim's count. The oracle
+    derives every expectation from the base table alone — if the
+    erasure under- or over-deletes, the audit frame cannot match.
+
+    Scale shape: the erasure is one broadcast anti-join inside a
+    stage-and-swap commit; the audit is the CDF full-outer join at
+    table cardinality plus count aggregates."""
+    path = _erasure_table(spark, sf_dir)
+    t = LakeTable(spark, path, keys=["o_orderkey"], versioned=True)
+    orders = load_table(spark, sf_dir, "orders")
+    victim = (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("__n"))
+        .orderBy(F.col("__n").desc(), F.col("o_custkey").asc())
+        .limit(1)
+        .select("o_custkey")
+        .localCheckpoint(eager=True)
+    )
+    cdf = t.diff(0).localCheckpoint(eager=True)
+
+    def metric(label: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(F.count("*").cast("bigint").alias("n_value")).select(
+            F.lit(label).alias("metric"), "n_value"
+        )
+
+    victim_key = victim.select(F.col("o_custkey").cast("bigint").alias("n_value")).select(
+        F.lit("victim_custkey").alias("metric"), "n_value"
+    )
+    pre = metric(
+        "victim_orders_pre", t.read(version=0).join(F.broadcast(victim), "o_custkey")
+    )
+    post = metric(
+        "victim_orders_post", t.read().join(F.broadcast(victim), "o_custkey")
+    )
+    deletes = metric(
+        "cdf_delete_rows",
+        cdf.filter(F.col("_change_type") == "delete").join(F.broadcast(victim), "o_custkey"),
+    )
+    nonvictim = metric(
+        "cdf_nonvictim_changes", cdf.join(F.broadcast(victim), "o_custkey", "left_anti")
+    )
+    post_total = metric("post_total_orders", t.read())
+    return (
+        deletes.unionByName(nonvictim)
+        .unionByName(post_total)
+        .unionByName(victim_key)
+        .unionByName(post)
+        .unionByName(pre)
+        .orderBy("metric")
+    )

@@ -180,6 +180,7 @@ def _queued_fns():
         queued_r8 as Q8,
         queued_r9 as Q9,
         queued_r10 as Q10,
+        queued_r11 as Q11,
     )
 
     return [
@@ -202,6 +203,14 @@ def _queued_fns():
         ("orders_revenue_autocorr", Q10.orders_revenue_autocorr),
         ("docs_vocab_growth", Q10.docs_vocab_growth),
         ("docs_source_distinctive_terms", Q10.docs_source_distinctive_terms),
+        # the r11 batch (no purchases, constant-x groups, empty corpus,
+        # single-vector embeddings, empty victim)
+        ("lineitem_shipdelay_trend", Q11.lineitem_shipdelay_trend),
+        ("customer_survival_curve", Q11.customer_survival_curve),
+        ("events_touch_attribution", Q11.events_touch_attribution),
+        ("docs_langid_confusion", Q11.docs_langid_confusion),
+        ("emb_pair_sim_histogram", Q11.emb_pair_sim_histogram),
+        ("orders_gdpr_erasure_audit", Q11.orders_gdpr_erasure_audit),
     ]
 
 

@@ -620,3 +620,26 @@ def test_dup_spans_coverage_invariants(spark, sf_dir):
         assert 0.0 < r["dup_frac"] <= 1.0
         assert r["dup_chars"] >= _SPAN_W
         assert r["dup_chars"] >= r["n_dup_positions"]
+
+
+# ---------------- Round-11 registration previews (plans/queued_r11.py) --
+
+
+@pytest.mark.parametrize(
+    "fn_name,oracle_name",
+    [
+        ("lineitem_shipdelay_trend", "LINEITEM_SHIPDELAY_TREND_ORACLE"),
+        ("customer_survival_curve", "CUSTOMER_SURVIVAL_ORACLE"),
+        ("events_touch_attribution", "EVENTS_TOUCH_ATTRIBUTION_ORACLE"),
+        ("docs_langid_confusion", "DOCS_LANGID_CONFUSION_ORACLE"),
+        ("emb_pair_sim_histogram", "EMB_PAIR_SIM_HISTOGRAM_ORACLE"),
+        ("orders_gdpr_erasure_audit", "ORDERS_GDPR_ERASURE_ORACLE"),
+    ],
+)
+def test_r11_ops_oracle_parity_preview(spark, sf_dir, fn_name, oracle_name):
+    from lakehouse_architecture_transaction_spark.plans import queued_r11 as Q
+
+    con = _duck(sf_dir)
+    got = _canon_rows(getattr(Q, fn_name)(spark, sf_dir))
+    want = _duck_rows(con, getattr(Q, oracle_name))
+    assert got == want
