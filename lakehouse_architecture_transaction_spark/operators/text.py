@@ -908,3 +908,150 @@ def source_distinctive_terms(
             "lift",
         )
     )
+
+
+# ---------------------------------------------------------------- BPE
+
+
+def _merge_fold(acc: str, left: str, right: str, merged: str) -> str:
+    """SQL fragment: greedy left-to-right application of ONE merge
+    (``left``,``right``) → ``merged`` over a symbol array ``{acc}``.
+    The scan consumes its output (after merging, the new token cannot
+    re-pair with the element before it in the same pass) — the classic
+    BPE application order, so a Python reference replays it exactly."""
+    return (
+        f"aggregate({acc}, CAST(array() AS array<string>), (acc, x) -> "
+        f"IF(size(acc) > 0 AND element_at(acc, size(acc)) = {left} AND x = {right}, "
+        f"concat(slice(acc, 1, size(acc) - 1), array({merged})), "
+        f"concat(acc, array(x))))"
+    )
+
+
+def bpe_learn_merges(
+    docs: DataFrame, id_col: str, text_col: str, n_merges: int = 8
+) -> DataFrame:
+    """Learn the top-``n_merges`` byte-pair-encoding merges from the
+    corpus (Sennrich et al. 2016): start from per-character symbols of
+    the lowercased whitespace vocabulary, repeatedly merge the
+    adjacent symbol pair with the highest corpus frequency. Returns
+    (rank, left, right, merged, weight) — the merge table IS the
+    trained tokenizer artifact. Ties break (left asc, right asc), so
+    the learned table is deterministic on any cluster.
+
+    This is the iterative-training shape done Spark-native with NO
+    driver-side collect: each round is (a) one pair-count aggregate at
+    vocabulary cardinality with map-side combine, (b) a 1-row argmax
+    via TakeOrdered, (c) a broadcast of that row into a map-only merge
+    application, with the word-frequency frame
+    localCheckpoint-truncated per round (the graph.py iterative
+    discipline — lineage must not grow with iterations). Word
+    frequencies, not raw occurrences, carry the weights: the loop
+    runs over the VOCABULARY (unique words), so corpus size only
+    affects the initial word count, exactly like a production BPE
+    trainer.
+    """
+    vocab = (
+        docs.select(F.explode(tokens_expr(text_col)).alias("w"))
+        .select(F.lower(F.col("w")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .select(F.expr("transform(split(w, ''), c -> c)").alias("syms"), "freq")
+        .filter(F.size("syms") >= 1)
+        .localCheckpoint(eager=True)
+    )
+    merged_rows = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            vocab.select(
+                F.explode(
+                    F.expr(
+                        "IF(size(syms) < 2, CAST(array() AS array<struct<l:string,r:string>>), "
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r)))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("weight"))
+        )
+        best = (
+            pairs.orderBy(F.col("weight").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .select(
+                F.col("l").alias("__ml"),
+                F.col("r").alias("__mr"),
+                F.concat(F.col("l"), F.col("r")).alias("__mm"),
+                F.col("weight").alias("__mw"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        merged_rows.append(
+            best.select(
+                F.lit(rank).cast("bigint").alias("rank"),
+                F.col("__ml").alias("left"),
+                F.col("__mr").alias("right"),
+                F.col("__mm").alias("merged"),
+                F.col("__mw").cast("bigint").alias("weight"),
+            )
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(best))
+            .select(
+                F.expr(_merge_fold("syms", "__ml", "__mr", "__mm")).alias("syms"),
+                "freq",
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = merged_rows[0]
+    for frame in merged_rows[1:]:
+        out = out.unionByName(frame)
+    return out
+
+
+def bpe_segment(
+    docs: DataFrame, id_col: str, text_col: str, merges: DataFrame
+) -> DataFrame:
+    """Apply a learned merge table to the corpus: per document, the
+    BPE symbol count after replaying every merge in rank order —
+    the trained-tokenizer token count (compare docs_token_stats'
+    whitespace/BPE-regex counts: THIS one changes when the tokenizer
+    is retrained). Returns (id, n_words, n_bpe_tokens).
+
+    The merge table collapses to ONE broadcast row (an array ordered
+    by rank) and applies as a nested fold — outer over merges, inner
+    the same greedy scan used during training — entirely map-side:
+    zero shuffles besides the merges' own tiny collect_list aggregate.
+    """
+    table = merges.groupBy().agg(
+        F.expr(
+            "array_sort(collect_list(struct(rank, left AS l, right AS r, merged AS m)))"
+        ).alias("__merges")
+    )
+    inner = _merge_fold("acc2", "m.l", "m.r", "m.m")
+    apply_all = (
+        f"aggregate(__merges, wsyms, (acc2, m) -> {inner})"
+    )
+    words = docs.select(
+        F.col(id_col),
+        F.explode(tokens_expr(text_col)).alias("w"),
+    ).select(F.col(id_col), F.expr("transform(split(lower(w), ''), c -> c)").alias("wsyms"))
+    segmented = words.crossJoin(F.broadcast(table)).select(
+        F.col(id_col), F.size(F.expr(apply_all)).alias("__n")
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(
+            segmented.groupBy(id_col).agg(
+                F.count("*").cast("bigint").alias("n_words"),
+                F.sum("__n").cast("bigint").alias("n_bpe_tokens"),
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce(F.col("n_words"), F.lit(0)).cast("bigint").alias("n_words"),
+            F.coalesce(F.col("n_bpe_tokens"), F.lit(0)).cast("bigint").alias("n_bpe_tokens"),
+        )
+    )

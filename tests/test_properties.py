@@ -830,3 +830,89 @@ def test_source_distinctive_terms_matches_python_lift(spark, docs):
         for r in got
     )
     assert got_t == sorted(expected)
+
+
+# ---------------- BPE merge learning (operators/text.py) --------------
+
+
+def _py_bpe_learn(texts, n_merges):
+    import collections
+
+    freq = collections.Counter()
+    for t in texts:
+        for w in t.split():
+            if w != "":
+                freq[w.lower()] += 1
+    vocab = collections.Counter()
+    for w, f in freq.items():
+        vocab[tuple(w)] += f
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts = collections.Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        (l, r), wgt = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, l, r, l + r, wgt))
+        new_vocab = collections.Counter()
+        for syms, f in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            new_vocab[tuple(out)] += f
+        vocab = new_vocab
+    return merges
+
+
+def _py_bpe_segment(word, merges):
+    syms = list(word.lower())
+    for _, l, r, m, _ in merges:
+        out = []
+        for x in syms:
+            if out and out[-1] == l and x == r:
+                out[-1] = m
+            else:
+                out.append(x)
+        syms = out
+    return len(syms)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=20), min_size=1, max_size=8
+    )
+)
+def test_bpe_learn_and_segment_match_python_reference(spark, texts):
+    # The whole BPE trainer must replay a from-scratch Python
+    # implementation exactly: same merges in the same order (weight
+    # desc, pair lex asc ties), same greedy left-to-right application
+    # (the scan consumes its output), same final segment counts.
+    from lakehouse_architecture_transaction_spark.operators.text import (
+        bpe_learn_merges,
+        bpe_segment,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe_learn_merges(docs, "doc_id", "text", n_merges=5)
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["weight"])
+        for r in merges.orderBy("rank").collect()
+    ]
+    want = _py_bpe_learn(texts, 5)
+    assert got == want
+    seg = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_segment(docs, "doc_id", "text", merges).collect()
+    }
+    for i, t in enumerate(texts):
+        words = [w for w in t.split() if w != ""]
+        exp_tokens = sum(_py_bpe_segment(w, want) for w in words)
+        assert seg[i] == (len(words), exp_tokens)
