@@ -18,9 +18,13 @@
   customer, CDF shows exactly the victim's rows deleted and nothing
   else (reference parity: the storage layer the reference delegates
   to Delta MERGE/DELETE, scripts/glue/script.py:204-227).
+- orders_benford_audit — first-digit Benford deviation per digit
+  (constants embedded once from Python, no runtime log).
+- docs_bpe_merges — the trained BPE merge table (rows-only: the
+  iterative argmax is not SQL-expressible; python-reference-pinned).
 
-All six oracle-previewed cell-exact at sf0.001/0.01/0.1
-(tests/test_oracle_parity.py) and degenerate-input pinned
+All oracle-backed entries previewed cell-exact at sf0.001/0.01/0.1
+(tests/test_oracle_parity.py) and every entry degenerate-input pinned
 (tests/test_empty_inputs.py).
 """
 
@@ -577,4 +581,115 @@ def orders_gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(post)
         .unionByName(pre)
         .orderBy("metric")
+    )
+
+
+# ------------------------------------------------------------------
+# 7. orders_benford_audit — first-digit law deviation per digit
+# ------------------------------------------------------------------
+
+import math as _math
+
+#: Benford expected share log10(1 + 1/d), computed ONCE here and
+#: embedded as the identical literal in both engines (repr round-trips
+#: the exact double — no runtime log anywhere).
+_BENFORD = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def _benford_oracle() -> str:
+    cases = " ".join(f"WHEN {d} THEN {p!r}" for d, p in _BENFORD.items())
+    return f"""
+    WITH cents AS (
+        SELECT CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR) AS s
+        FROM orders
+    ),
+    obs AS (
+        SELECT CAST(substr(s, 1, 1) AS BIGINT) AS digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM cents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM obs)
+    SELECT digit, n_obs,
+           CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE) AS obs_share,
+           CAST(CASE digit {cases} END AS DOUBLE) AS benford_p,
+           (CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE))
+               / CAST(CASE digit {cases} END AS DOUBLE) AS benford_lift
+    FROM obs, tot
+    ORDER BY digit ASC
+    """
+
+
+ORDERS_BENFORD_ORACLE = _benford_oracle()
+
+
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order amounts — the classic
+    fabricated-numbers / data-quality screen: observed share of each
+    leading digit of the exact cent amount vs the Benford expectation
+    log10(1+1/d), as a per-digit lift. Organic monetary data tracks
+    Benford closely (lift ≈ 1); uniform synthetic generators (this
+    corpus — correctly flagged) and fabricated ledgers don't. The
+    Benford constants are computed once in Python and embedded as the
+    same literal in both engines, so no runtime log crosses the
+    engine boundary; digits come from the exact BIGINT cent string
+    (double formatting never touches the data).
+
+    Scale shape: one scan → 9-group aggregate with map-side combine;
+    the total is a re-aggregation of the localCheckpoint-ed 9-row
+    frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    obs = (
+        orders.select(
+            F.substring(
+                F.expr("CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS STRING)"),
+                1,
+                1,
+            )
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n_obs"))
+        .localCheckpoint(eager=True)
+    )
+    tot = obs.agg(F.sum("n_obs").cast("bigint").alias("n_total"))
+    p = F.create_map(
+        *[x for d, pv in _BENFORD.items() for x in (F.lit(d), F.lit(pv))]
+    )[F.col("digit")]
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            (F.col("n_obs").cast("double") / F.col("n_total").cast("double")).alias(
+                "obs_share"
+            ),
+            p.alias("benford_p"),
+            (
+                (F.col("n_obs").cast("double") / F.col("n_total").cast("double")) / p
+            ).alias("benford_lift"),
+        )
+        .orderBy("digit")
+    )
+
+
+# ------------------------------------------------------------------
+# 8. docs_bpe_merges — the trained tokenizer merge table (rows-only)
+# ------------------------------------------------------------------
+
+
+def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE merge table learned from the corpus (operators/text.py
+    bpe_learn_merges — Sennrich et al. 2016): 8 merges, each row
+    (rank, left, right, merged, weight). Deterministic on any cluster
+    (ties break pair-lexicographic), so the merge table is a stable,
+    hash-checkable artifact — but the LEARNING loop (iterative argmax
+    over a mutating vocabulary) is not SQL-expressible, so this entry
+    registers WITHOUT an oracle (rows-only driver check); the full
+    trainer is pinned against a from-scratch Python reference under
+    hypothesis fuzzing in tests/test_properties.py instead."""
+    from lakehouse_architecture_transaction_spark.operators.text import bpe_learn_merges
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return bpe_learn_merges(docs, id_col="doc_id", text_col="text", n_merges=8).orderBy(
+        "rank"
     )

@@ -211,6 +211,8 @@ def _queued_fns():
         ("docs_langid_confusion", Q11.docs_langid_confusion),
         ("emb_pair_sim_histogram", Q11.emb_pair_sim_histogram),
         ("orders_gdpr_erasure_audit", Q11.orders_gdpr_erasure_audit),
+        ("orders_benford_audit", Q11.orders_benford_audit),
+        ("docs_bpe_merges", Q11.docs_bpe_merges),
     ]
 
 

@@ -634,6 +634,7 @@ def test_dup_spans_coverage_invariants(spark, sf_dir):
         ("docs_langid_confusion", "DOCS_LANGID_CONFUSION_ORACLE"),
         ("emb_pair_sim_histogram", "EMB_PAIR_SIM_HISTOGRAM_ORACLE"),
         ("orders_gdpr_erasure_audit", "ORDERS_GDPR_ERASURE_ORACLE"),
+        ("orders_benford_audit", "ORDERS_BENFORD_ORACLE"),
     ],
 )
 def test_r11_ops_oracle_parity_preview(spark, sf_dir, fn_name, oracle_name):
@@ -643,3 +644,19 @@ def test_r11_ops_oracle_parity_preview(spark, sf_dir, fn_name, oracle_name):
     got = _canon_rows(getattr(Q, fn_name)(spark, sf_dir))
     want = _duck_rows(con, getattr(Q, oracle_name))
     assert got == want
+
+
+def test_bpe_merges_query_deterministic_and_shaped(spark, sf_dir):
+    # docs_bpe_merges registers WITHOUT an oracle (iterative argmax is
+    # not SQL-expressible) — pin what the rows-only driver check can't:
+    # exactly 8 ranked merges, multi-char merges compose from earlier
+    # ones, and a repeat run in the same session is bit-identical.
+    from lakehouse_architecture_transaction_spark.plans.queued_r11 import docs_bpe_merges
+
+    a = docs_bpe_merges(spark, sf_dir).collect()
+    assert [r["rank"] for r in a] == list(range(1, 9))
+    for r in a:
+        assert r["merged"] == r["left"] + r["right"]
+        assert r["weight"] > 0
+    b = docs_bpe_merges(spark, sf_dir).collect()
+    assert a == b

@@ -100,7 +100,30 @@ PROBES = [
     # super-linear stage — the degree-ordered orientation should show
     # as near-linear time/shuffle growth (hubs never fan out)
     "part_copurchase_triangles",
+    # r10-queue additions (queued, resolved via _fn fallback):
+    # distinct-set full-outer joins ×8 edges (the FK-discovery shape —
+    # shuffles at DISTINCT cardinality, which grows with the shifted
+    # key spaces), and the pair-frame × split-frame classification
+    # joins (incremental cost on top of the shared LSH memo)
+    "catalog_inclusion_profile",
+    "docs_split_leakage",
 ]
+
+
+def _fn(name: str):
+    """Resolve a probe name: registered query, else a queued plan fn."""
+    if name in REGISTRY:
+        return REGISTRY[name].fn
+    from lakehouse_architecture_transaction_spark.plans import (
+        queued_r8,
+        queued_r9,
+        queued_r10,
+    )
+
+    for mod in (queued_r10, queued_r9, queued_r8):
+        if hasattr(mod, name):
+            return getattr(mod, name)
+    raise KeyError(name)
 
 
 def build_scaled(spark, factor: int) -> str:
@@ -215,7 +238,7 @@ def main() -> None:
             sh0 = shuffle_write_bytes(spark)
             for _ in range(3):
                 t0 = time.perf_counter()
-                REGISTRY[name].fn(spark, dirs[f_]).count()
+                _fn(name)(spark, dirs[f_]).count()
                 times.append(time.perf_counter() - t0)
                 release_persisted()
             # 3 identical runs → per-run shuffle volume = delta / 3
