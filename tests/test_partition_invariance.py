@@ -89,3 +89,37 @@ def test_executor_count_invariance_smoke(spark, sf_dir):
     assert payload, out.stdout[-2000:]
     got = [tuple(r) for r in json.loads(payload[0][len("ROWS_JSON:"):])]
     assert got == expected, f"{_SMOKE_QUERY}: output depends on executor-thread count"
+
+
+#: Queued (not-yet-registered) queries with real shuffles and NO
+#: session memo (a memoized frame would make the second run trivially
+#: identical): each call rebuilds its plan, so 16 vs 199 genuinely
+#: re-shuffles every stage.
+_QUEUED_SAMPLE = [
+    ("queued_r8", "nation_flow_matrix"),
+    ("queued_r8", "orders_backlog_daily"),
+    ("queued_r10", "catalog_inclusion_profile"),
+    ("queued_r10", "docs_source_distinctive_terms"),
+    ("queued_r11", "lineitem_shipdelay_trend"),
+    ("queued_r11", "events_touch_attribution"),
+    ("queued_r11", "customer_survival_curve"),
+]
+
+
+@pytest.mark.parametrize("mod_name,fn_name", _QUEUED_SAMPLE)
+def test_queued_shuffle_partition_invariance(spark, sf_dir, mod_name, fn_name):
+    import importlib
+
+    mod = importlib.import_module(
+        f"lakehouse_architecture_transaction_spark.plans.{mod_name}"
+    )
+    fn = getattr(mod, fn_name)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        a = _canon(fn(spark, sf_dir))
+        spark.conf.set("spark.sql.shuffle.partitions", "199")
+        b = _canon(fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b, f"{fn_name}: output depends on shuffle partition count"

@@ -58,7 +58,28 @@ PROBES = [
     # point TOWARD it, so it enumerates no wedges)
     "part_copurchase_jaccard",
     "part_copurchase_triangles",
+    # r11 queue: hot user_id → every purchase of the celebrity user
+    # shares its (user, time-bucket) interval-join key — the per-user
+    # pair space is the quadratic risk the bucketing bounds
+    "events_touch_attribution",
 ]
+
+
+def _fn(name: str):
+    """Resolve a probe name: registered query, else a queued plan fn."""
+    if name in REGISTRY:
+        return REGISTRY[name].fn
+    from lakehouse_architecture_transaction_spark.plans import (
+        queued_r8,
+        queued_r9,
+        queued_r10,
+        queued_r11,
+    )
+
+    for mod in (queued_r11, queued_r10, queued_r9, queued_r8):
+        if hasattr(mod, name):
+            return getattr(mod, name)
+    raise KeyError(name)
 
 
 def build(spark, variant: str) -> str:
@@ -138,7 +159,7 @@ def main() -> None:
             s0 = shuffle_write_bytes(spark)
             for _ in range(3):
                 t0 = time.perf_counter()
-                REGISTRY[name].fn(spark, d).count()
+                _fn(name)(spark, d).count()
                 best = min(best, time.perf_counter() - t0)
                 release_persisted()
             s1 = shuffle_write_bytes(spark)
