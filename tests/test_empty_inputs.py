@@ -181,6 +181,7 @@ def _queued_fns():
         queued_r9 as Q9,
         queued_r10 as Q10,
         queued_r11 as Q11,
+        queued_r12 as Q12,
     )
 
     return [
@@ -213,6 +214,11 @@ def _queued_fns():
         ("orders_gdpr_erasure_audit", Q11.orders_gdpr_erasure_audit),
         ("orders_benford_audit", Q11.orders_benford_audit),
         ("docs_bpe_merges", Q11.docs_bpe_merges),
+        # the r12 batch (empty facts, all-null money, single-row dims)
+        ("orders_order_size_histogram", Q12.orders_order_size_histogram),
+        ("supplier_part_degree_profile", Q12.supplier_part_degree_profile),
+        ("customer_order_value_cv", Q12.customer_order_value_cv),
+        ("nation_trade_balance", Q12.nation_trade_balance),
     ]
 
 

@@ -660,3 +660,24 @@ def test_bpe_merges_query_deterministic_and_shaped(spark, sf_dir):
         assert r["weight"] > 0
     b = docs_bpe_merges(spark, sf_dir).collect()
     assert a == b
+
+
+# ---------------- Round-12 registration previews (plans/queued_r12.py) --
+
+
+@pytest.mark.parametrize(
+    "fn_name,oracle_name",
+    [
+        ("orders_order_size_histogram", "ORDERS_SIZE_HISTOGRAM_ORACLE"),
+        ("supplier_part_degree_profile", "SUPPLIER_PART_DEGREE_ORACLE"),
+        ("customer_order_value_cv", "CUSTOMER_ORDER_CV_ORACLE"),
+        ("nation_trade_balance", "NATION_TRADE_BALANCE_ORACLE"),
+    ],
+)
+def test_r12_ops_oracle_parity_preview(spark, sf_dir, fn_name, oracle_name):
+    from lakehouse_architecture_transaction_spark.plans import queued_r12 as Q
+
+    con = _duck(sf_dir)
+    got = _canon_rows(getattr(Q, fn_name)(spark, sf_dir))
+    want = _duck_rows(con, getattr(Q, oracle_name))
+    assert got == want
