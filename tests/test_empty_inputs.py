@@ -222,7 +222,7 @@ def _queued_fns():
     ]
 
 
-@pytest.mark.parametrize("variant", ["empty", "one_row", "null_heavy"])
+@pytest.mark.parametrize("variant", ["empty", "one_row", "null_heavy", "dirty_values"])
 def test_queued_queries_survive_degenerate_inputs(spark, degenerate_dirs, variant):
     # Queued (not-yet-registered) queries don't ride the registry
     # sweeps above until registration — pre-pin them here so the
