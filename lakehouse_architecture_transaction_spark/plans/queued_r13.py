@@ -1,0 +1,287 @@
+"""Queued round-13 registrations: robust stats, overlap, promotion audit.
+
+- part_price_dispersion_by_type — per-type robust dispersion profile
+  (median / MAD / max absolute deviation) of part prices: the
+  outlier-screen SUMMARY (reports the scale of deviation rather than
+  filtering, so it cannot go hollow on well-behaved catalogs).
+- events_usertype_overlap — distinct-user overlap + Jaccard for every
+  event-type pair: the audience co-usage matrix (which behaviors
+  share users) — the set-overlap complement to L57's within-window
+  co-occurrence counts.
+- lineitem_discount_profile — the full discount-band revenue audit:
+  per discount level, volume, gross, given-away and net revenue with
+  exact-decimal money discipline — Q6/Q14 generalized from one band
+  to the whole promotion schedule.
+
+All three oracle-previewed cell-exact at sf0.001/0.01/0.1
+(tests/test_oracle_parity.py) and degenerate-input pinned
+(tests/test_empty_inputs.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_transaction_spark.catalog import load_table
+
+# ------------------------------------------------------------------
+# 1. part_price_dispersion_by_type
+# ------------------------------------------------------------------
+
+PART_PRICE_DISPERSION_ORACLE = """
+WITH cents AS (
+    SELECT p_type, CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+    FROM part
+),
+r AS (
+    SELECT *, COUNT(*) OVER (PARTITION BY p_type) AS nt,
+           ROW_NUMBER() OVER (PARTITION BY p_type ORDER BY x ASC) AS rn
+    FROM cents
+),
+med AS (
+    SELECT p_type, MAX(CASE WHEN rn = (nt + 1) // 2 THEN x END) AS med_cents
+    FROM r GROUP BY 1
+),
+d AS (
+    SELECT c.p_type, c.x, m.med_cents, abs(c.x - m.med_cents) AS ad
+    FROM cents c JOIN med m ON c.p_type = m.p_type
+),
+rd AS (
+    SELECT *, COUNT(*) OVER (PARTITION BY p_type) AS nt,
+           ROW_NUMBER() OVER (PARTITION BY p_type ORDER BY ad ASC) AS rn
+    FROM d
+),
+madt AS (
+    SELECT p_type, MAX(CASE WHEN rn = (nt + 1) // 2 THEN ad END) AS mad_cents,
+           MAX(ad) AS max_ad, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM rd GROUP BY 1
+)
+SELECT m.p_type AS p_type, ma.n_parts,
+       CAST(m.med_cents AS DOUBLE) / 100.0 AS median_price,
+       CAST(ma.mad_cents AS DOUBLE) / 100.0 AS mad_price,
+       CAST(ma.max_ad AS DOUBLE) / 100.0 AS max_abs_dev,
+       CASE WHEN ma.mad_cents = 0 THEN NULL
+            ELSE CAST(ma.max_ad AS DOUBLE) / CAST(ma.mad_cents AS DOUBLE) END AS max_dev_over_mad
+FROM med m JOIN madt ma ON m.p_type = ma.p_type
+ORDER BY p_type ASC
+"""
+
+
+def part_price_dispersion_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type robust price dispersion: lower-median and MAD of part
+    retail price in exact BIGINT cents, plus the maximum absolute
+    deviation and its ratio over the MAD — the robust outlier screen
+    reported as a PROFILE (a clean catalog reads ratio ≈ small; a
+    fat-fingered price reads ratio ≫ 3), so the row set cannot go
+    hollow the way a thresholded filter does on well-behaved data.
+    NULL ratio (not 0/0) when MAD is zero (over half the type at one
+    price). Lower-median convention matches events_mad_anomalies.
+
+    Scale shape: two rank windows partitioned by type at part
+    cardinality (the events-MAD machinery on a new table), final
+    frame at TYPE cardinality."""
+    part = load_table(spark, sf_dir, "part")
+    cents = part.select(
+        "p_type",
+        F.expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("x"),
+    )
+    wr = Window.partitionBy("p_type").orderBy(F.col("x").asc())
+    med = (
+        cents.join(
+            cents.groupBy("p_type").agg(F.count("*").alias("__nt")), "p_type"
+        )
+        .withColumn("__rn", F.row_number().over(wr))
+        .withColumn("__mid", F.expr("(__nt + 1) div 2"))
+        .groupBy("p_type")
+        .agg(F.max(F.when(F.col("__rn") == F.col("__mid"), F.col("x"))).alias("med_cents"))
+    )
+    d = cents.join(med, "p_type").withColumn("__ad", F.abs(F.col("x") - F.col("med_cents")))
+    wa = Window.partitionBy("p_type").orderBy(F.col("__ad").asc())
+    madt = (
+        d.join(d.groupBy("p_type").agg(F.count("*").alias("__nt")), "p_type")
+        .withColumn("__rn", F.row_number().over(wa))
+        .withColumn("__mid", F.expr("(__nt + 1) div 2"))
+        .groupBy("p_type")
+        .agg(
+            F.max(F.when(F.col("__rn") == F.col("__mid"), F.col("__ad"))).alias("mad_cents"),
+            F.max("__ad").alias("max_ad"),
+            F.count("*").cast("bigint").alias("n_parts"),
+        )
+    )
+    return (
+        med.join(madt, "p_type")
+        .select(
+            "p_type",
+            "n_parts",
+            (F.col("med_cents").cast("double") / F.lit(100.0)).alias("median_price"),
+            (F.col("mad_cents").cast("double") / F.lit(100.0)).alias("mad_price"),
+            (F.col("max_ad").cast("double") / F.lit(100.0)).alias("max_abs_dev"),
+            F.when(
+                F.col("mad_cents") == 0, F.lit(None).cast("double")
+            ).otherwise(F.col("max_ad").cast("double") / F.col("mad_cents").cast("double"))
+            .alias("max_dev_over_mad"),
+        )
+        .orderBy("p_type")
+    )
+
+
+# ------------------------------------------------------------------
+# 2. events_usertype_overlap — audience co-usage matrix
+# ------------------------------------------------------------------
+
+EVENTS_USERTYPE_OVERLAP_ORACLE = """
+WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+sizes AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users FROM tu GROUP BY 1),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, sa.n_users AS n_users_a, sb.n_users AS n_users_b,
+       p.n_common,
+       CAST(p.n_common AS DOUBLE)
+           / CAST(sa.n_users + sb.n_users - p.n_common AS DOUBLE) AS jaccard
+FROM pairs p
+JOIN sizes sa ON p.type_a = sa.event_type
+JOIN sizes sb ON p.type_b = sb.event_type
+ORDER BY type_a ASC, type_b ASC
+"""
+
+
+def events_usertype_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types: for every type pair, the
+    distinct-user counts of both types, the overlap, and the Jaccard
+    of their user sets — which behaviors share an audience (the
+    cross-sell / feature-adoption matrix). Set-level complement to
+    events_type_cooccurrence's within-window counts: co-occurrence
+    says "together in time", this says "same people at all".
+
+    Scale shape: ONE distinct aggregate (map-side partial) at
+    (type, user) cardinality, localCheckpoint-ed because the sizes
+    and the pair self-join both consume it; the self-join keys on
+    user_id at distinct-pair cardinality and the matrix is
+    types²/2 rows."""
+    tu = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = tu.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n_users"))
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("n_users_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("n_users_b"))),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_users_a",
+            "n_users_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_users_a") + F.col("n_users_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# ------------------------------------------------------------------
+# 3. lineitem_discount_profile — the promotion schedule audit
+# ------------------------------------------------------------------
+
+LINEITEM_DISCOUNT_PROFILE_ORACLE = """
+WITH b AS (
+    SELECT CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS discount_pct,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS gross_cents,
+           CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4)) * 10000 AS BIGINT)
+               AS disc_e4
+    FROM lineitem
+),
+g AS (
+    SELECT discount_pct, CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           CAST(SUM(gross_cents) AS BIGINT) AS gross_cents,
+           CAST(SUM(disc_e4) AS BIGINT) AS disc_e4
+    FROM b GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(gross_cents) AS BIGINT) AS total_gross FROM g)
+SELECT discount_pct, n_lineitems,
+       CAST(gross_cents AS DOUBLE) / 100.0 AS gross_revenue,
+       CAST(disc_e4 AS DOUBLE) / 10000.0 AS discount_given,
+       CAST(gross_cents * 100 - disc_e4 AS DOUBLE) / 10000.0 AS net_revenue,
+       CAST(gross_cents AS DOUBLE) / CAST(total_gross AS DOUBLE) AS gross_share
+FROM g, tot
+ORDER BY discount_pct ASC
+"""
+
+
+def lineitem_discount_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full promotion-schedule audit — TPC-H Q6/Q14 generalized
+    from one band to every discount level: per discount percentage,
+    lineitem volume, gross revenue, revenue given away to the
+    discount, net revenue, and each band's share of gross. Money
+    stays exact: gross in BIGINT cents, the discount product in
+    BIGINT 1e-4-dollar units (price×discount needs 4 decimals), the
+    net as an exact integer subtraction on the common 1e-4 grid —
+    ONE division per output column.
+
+    Scale shape: one scan, one ~11-group aggregate with map-side
+    combine; the total re-aggregates the localCheckpoint-ed band
+    frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "discount_pct"
+        ),
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "gross_cents"
+        ),
+        F.expr(
+            "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+            " * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+        ).alias("disc_e4"),
+    )
+    g = (
+        b.groupBy("discount_pct")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lineitems"),
+            F.sum("gross_cents").cast("bigint").alias("gross_cents"),
+            F.sum("disc_e4").cast("bigint").alias("disc_e4"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = g.agg(F.sum("gross_cents").cast("bigint").alias("total_gross"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "discount_pct",
+            "n_lineitems",
+            (F.col("gross_cents").cast("double") / F.lit(100.0)).alias("gross_revenue"),
+            (F.col("disc_e4").cast("double") / F.lit(10000.0)).alias("discount_given"),
+            (
+                (F.col("gross_cents") * 100 - F.col("disc_e4")).cast("double")
+                / F.lit(10000.0)
+            ).alias("net_revenue"),
+            (F.col("gross_cents").cast("double") / F.col("total_gross").cast("double")).alias(
+                "gross_share"
+            ),
+        )
+        .orderBy("discount_pct")
+    )

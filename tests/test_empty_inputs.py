@@ -182,6 +182,7 @@ def _queued_fns():
         queued_r10 as Q10,
         queued_r11 as Q11,
         queued_r12 as Q12,
+        queued_r13 as Q13,
     )
 
     return [
@@ -219,6 +220,10 @@ def _queued_fns():
         ("supplier_part_degree_profile", Q12.supplier_part_degree_profile),
         ("customer_order_value_cv", Q12.customer_order_value_cv),
         ("nation_trade_balance", Q12.nation_trade_balance),
+        # the r13 batch (all-null types, empty facts, one-user events)
+        ("part_price_dispersion_by_type", Q13.part_price_dispersion_by_type),
+        ("events_usertype_overlap", Q13.events_usertype_overlap),
+        ("lineitem_discount_profile", Q13.lineitem_discount_profile),
     ]
 
 

@@ -681,3 +681,23 @@ def test_r12_ops_oracle_parity_preview(spark, sf_dir, fn_name, oracle_name):
     got = _canon_rows(getattr(Q, fn_name)(spark, sf_dir))
     want = _duck_rows(con, getattr(Q, oracle_name))
     assert got == want
+
+
+# ---------------- Round-13 registration previews (plans/queued_r13.py) --
+
+
+@pytest.mark.parametrize(
+    "fn_name,oracle_name",
+    [
+        ("part_price_dispersion_by_type", "PART_PRICE_DISPERSION_ORACLE"),
+        ("events_usertype_overlap", "EVENTS_USERTYPE_OVERLAP_ORACLE"),
+        ("lineitem_discount_profile", "LINEITEM_DISCOUNT_PROFILE_ORACLE"),
+    ],
+)
+def test_r13_ops_oracle_parity_preview(spark, sf_dir, fn_name, oracle_name):
+    from lakehouse_architecture_transaction_spark.plans import queued_r13 as Q
+
+    con = _duck(sf_dir)
+    got = _canon_rows(getattr(Q, fn_name)(spark, sf_dir))
+    want = _duck_rows(con, getattr(Q, oracle_name))
+    assert got == want
