@@ -82,10 +82,13 @@ def part_price_dispersion_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
     cardinality (the events-MAD machinery on a new table), final
     frame at TYPE cardinality."""
     part = load_table(spark, sf_dir, "part")
+    # Five downstream branches (median count/join, deviation join, MAD
+    # count/join) consume this frame — materialize it once or the part
+    # scan replays per branch (8 scans measured before the checkpoint).
     cents = part.select(
         "p_type",
         F.expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("x"),
-    )
+    ).localCheckpoint(eager=True)
     wr = Window.partitionBy("p_type").orderBy(F.col("x").asc())
     med = (
         cents.join(
@@ -96,7 +99,11 @@ def part_price_dispersion_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("p_type")
         .agg(F.max(F.when(F.col("__rn") == F.col("__mid"), F.col("x"))).alias("med_cents"))
     )
-    d = cents.join(med, "p_type").withColumn("__ad", F.abs(F.col("x") - F.col("med_cents")))
+    d = (
+        cents.join(med, "p_type")
+        .withColumn("__ad", F.abs(F.col("x") - F.col("med_cents")))
+        .localCheckpoint(eager=True)
+    )
     wa = Window.partitionBy("p_type").orderBy(F.col("__ad").asc())
     madt = (
         d.join(d.groupBy("p_type").agg(F.count("*").alias("__nt")), "p_type")

@@ -219,3 +219,12 @@ def test_vocab_growth_two_scans_and_broadcast_cuts(spark, sf_dir):
     plan = _formatted_plan(Q.docs_vocab_growth(spark, sf_dir))
     assert plan.count("ReadSchema") == 2
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_r13_dispersion_materializes_shared_frames(spark, sf_dir):
+    # part_price_dispersion_by_type's cents/deviation frames feed five
+    # branches; before the checkpoints the part scan replayed 8 times.
+    from lakehouse_architecture_transaction_spark.plans import queued_r13 as Q
+
+    plan = _formatted_plan(Q.part_price_dispersion_by_type(spark, sf_dir))
+    assert plan.count("ReadSchema") == 0
