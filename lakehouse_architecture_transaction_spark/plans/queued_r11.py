@@ -449,14 +449,20 @@ def emb_pair_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=_HIST_BITS,
         bucket_cap=_HIST_CAP,
     ).select(F.lit("lsh_bucket").alias("population"), "cosine")
-    shift = emb.agg(F.expr("(MAX(vec_id) + 1) div 2").alias("shift"))
-    q = emb.select(
-        F.col("vec_id"), F.col("embedding").alias("__qe"), norm2_expr("embedding").alias("__qn")
+    # Three baseline branches (query side, candidate side, shift
+    # aggregate) consume the normed corpus — materialize it once
+    # instead of re-scanning the embeddings per branch.
+    e = emb.select(
+        "vec_id", "embedding", norm2_expr("embedding").alias("__n2")
+    ).localCheckpoint(eager=True)
+    shift = e.agg(F.expr("(MAX(vec_id) + 1) div 2").alias("shift"))
+    q = e.select(
+        F.col("vec_id"), F.col("embedding").alias("__qe"), F.col("__n2").alias("__qn")
     ).crossJoin(F.broadcast(shift))
-    c = emb.select(
+    c = e.select(
         F.col("vec_id").alias("__cid"),
         F.col("embedding").alias("__ce"),
-        norm2_expr("embedding").alias("__cn"),
+        F.col("__n2").alias("__cn"),
     )
     shifted = (
         q.join(c, q["vec_id"] + q["shift"] == c["__cid"])
