@@ -292,3 +292,124 @@ def lineitem_discount_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("discount_pct")
     )
+
+
+# ------------------------------------------------------------------
+# 4. events_growth_accounting — weekly new/retained/resurrected/churned
+# ------------------------------------------------------------------
+
+EVENTS_GROWTH_ACCOUNTING_ORACLE = """
+WITH wa AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+    FROM events
+),
+first_w AS (SELECT user_id, MIN(week) AS first_week FROM wa GROUP BY 1),
+cur AS (
+    SELECT w.week, w.user_id, f.first_week,
+           CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS was_prev
+    FROM wa w
+    JOIN first_w f ON w.user_id = f.user_id
+    LEFT JOIN wa p ON p.user_id = w.user_id
+                  AND p.week = w.week - INTERVAL 7 DAYS
+),
+act AS (
+    SELECT week,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(SUM(CASE WHEN first_week = week THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(SUM(was_prev) AS BIGINT) AS n_retained,
+           CAST(SUM(CASE WHEN first_week < week AND was_prev = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_resurrected
+    FROM cur GROUP BY 1
+),
+ch AS (
+    SELECT p.week + INTERVAL 7 DAYS AS week, CAST(COUNT(*) AS BIGINT) AS n_churned
+    FROM wa p
+    LEFT JOIN wa n ON n.user_id = p.user_id AND n.week = p.week + INTERVAL 7 DAYS
+    WHERE n.user_id IS NULL
+    GROUP BY 1
+)
+SELECT a.week AS week, n_active, n_new, n_retained, n_resurrected,
+       CAST(COALESCE(c.n_churned, 0) AS BIGINT) AS n_churned
+FROM act a LEFT JOIN ch c ON a.week = c.week
+ORDER BY week ASC
+"""
+
+
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting — the standard product-analytics
+    decomposition of the active-user curve: per ISO week, active
+    users split into NEW (first-ever week), RETAINED (also active the
+    prior week) and RESURRECTED (returned after a gap), plus CHURNED
+    (active the prior week, absent this one). The identity
+    active = new + retained + resurrected holds exactly by
+    construction, and active(w) − active(w−1) =
+    new + resurrected − churned — the growth ledger DAU/MAU
+    stickiness (A73) cannot decompose. Churn for weeks after the
+    observation window is unknowable and not reported.
+
+    Scale shape: ONE distinct (user, week) aggregate (map-side
+    partial), localCheckpoint-ed — four branches (first-week
+    aggregate, current/prev self-join, churn anti-join) consume it;
+    everything downstream runs at user×week cardinality with
+    user-keyed equi-joins on calendar-shifted weeks."""
+    wa = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("week", F.col("ts")).alias("week"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    first_w = wa.groupBy("user_id").agg(F.min("week").alias("first_week"))
+    prev = wa.select(
+        F.col("user_id").alias("__pu"), (F.col("week") + F.expr("INTERVAL 7 DAYS")).alias("__pw")
+    )
+    cur = (
+        wa.join(first_w, "user_id")
+        .join(
+            prev,
+            (F.col("user_id") == F.col("__pu")) & (F.col("week") == F.col("__pw")),
+            "left",
+        )
+        .select(
+            "week",
+            "first_week",
+            F.when(F.col("__pu").isNotNull(), 1).otherwise(0).alias("was_prev"),
+        )
+    )
+    act = cur.groupBy("week").agg(
+        F.count("*").cast("bigint").alias("n_active"),
+        F.sum(F.when(F.col("first_week") == F.col("week"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum("was_prev").cast("bigint").alias("n_retained"),
+        F.sum(
+            F.when((F.col("first_week") < F.col("week")) & (F.col("was_prev") == 0), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+    nxt = wa.select(
+        F.col("user_id").alias("__nu"), F.col("week").alias("__nw")
+    )
+    ch = (
+        wa.join(
+            nxt,
+            (F.col("user_id") == F.col("__nu"))
+            & (F.col("__nw") == F.col("week") + F.expr("INTERVAL 7 DAYS")),
+            "left_anti",
+        )
+        .select((F.col("week") + F.expr("INTERVAL 7 DAYS")).alias("week"))
+        .groupBy("week")
+        .agg(F.count("*").cast("bigint").alias("n_churned"))
+    )
+    return (
+        act.join(ch, "week", "left")
+        .select(
+            F.col("week").cast("timestamp_ntz").alias("week"),
+            "n_active",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce(F.col("n_churned"), F.lit(0)).cast("bigint").alias("n_churned"),
+        )
+        .orderBy("week")
+    )

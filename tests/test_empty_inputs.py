@@ -224,6 +224,7 @@ def _queued_fns():
         ("part_price_dispersion_by_type", Q13.part_price_dispersion_by_type),
         ("events_usertype_overlap", Q13.events_usertype_overlap),
         ("lineitem_discount_profile", Q13.lineitem_discount_profile),
+        ("events_growth_accounting", Q13.events_growth_accounting),
     ]
 
 

@@ -692,6 +692,7 @@ def test_r12_ops_oracle_parity_preview(spark, sf_dir, fn_name, oracle_name):
         ("part_price_dispersion_by_type", "PART_PRICE_DISPERSION_ORACLE"),
         ("events_usertype_overlap", "EVENTS_USERTYPE_OVERLAP_ORACLE"),
         ("lineitem_discount_profile", "LINEITEM_DISCOUNT_PROFILE_ORACLE"),
+        ("events_growth_accounting", "EVENTS_GROWTH_ACCOUNTING_ORACLE"),
     ],
 )
 def test_r13_ops_oracle_parity_preview(spark, sf_dir, fn_name, oracle_name):
@@ -701,3 +702,21 @@ def test_r13_ops_oracle_parity_preview(spark, sf_dir, fn_name, oracle_name):
     got = _canon_rows(getattr(Q, fn_name)(spark, sf_dir))
     want = _duck_rows(con, getattr(Q, oracle_name))
     assert got == want
+
+
+def test_growth_accounting_ledger_identities(spark, sf_dir):
+    # The decomposition must balance exactly: active = new + retained
+    # + resurrected for every week, and week-over-week growth equals
+    # new + resurrected - churned.
+    from lakehouse_architecture_transaction_spark.plans.queued_r13 import (
+        events_growth_accounting,
+    )
+
+    rows = events_growth_accounting(spark, sf_dir).orderBy("week").collect()
+    assert rows, "growth accounting must not be hollow"
+    for r in rows:
+        assert r["n_active"] == r["n_new"] + r["n_retained"] + r["n_resurrected"]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_active"] - a["n_active"] == (
+            b["n_new"] + b["n_resurrected"] - b["n_churned"]
+        )
