@@ -413,3 +413,88 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+# ------------------------------------------------------------------
+# 5. events_hourly_concentration — traffic-mix concentration by hour
+# ------------------------------------------------------------------
+
+EVENTS_HOURLY_CONCENTRATION_ORACLE = """
+WITH c AS (
+    SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+h AS (
+    SELECT hour_of_day,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(n * n) AS BIGINT) AS sum_sq,
+           CAST(COUNT(*) AS BIGINT) AS n_types
+    FROM c GROUP BY 1
+),
+top AS (
+    SELECT hour_of_day, event_type AS top_type FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY hour_of_day
+                                     ORDER BY n DESC, event_type ASC) AS rn
+        FROM c
+    ) WHERE rn = 1
+)
+SELECT h.hour_of_day AS hour_of_day, n_events, n_types, t.top_type,
+       CAST(sum_sq AS DOUBLE) / (CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE))
+           AS simpson,
+       (CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE)) / CAST(sum_sq AS DOUBLE)
+           AS effective_types
+FROM h JOIN top t ON h.hour_of_day = t.hour_of_day
+ORDER BY hour_of_day ASC
+"""
+
+
+def events_hourly_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-mix concentration by hour of day: per hour, total
+    events, the dominant event type (count desc, type asc ties), the
+    Simpson concentration index Σp² of the type mix, and its inverse
+    (the "effective number of types" — 1.0 means one behavior owns
+    the hour, n_types means a perfectly even mix). The
+    when-does-the-traffic-mix-narrow diagnostic behind alerting
+    thresholds that vary by hour; Simpson (exact rational Σc²/T²,
+    two exact-int products and ONE division each way) rather than
+    entropy — ln is a libm call the engine boundary forbids, and the
+    docs_char_diversity precedent applies verbatim.
+
+    Scale shape: one (hour, type) aggregate with map-side combine
+    (24×types rows); everything downstream — hour rollup, argmax
+    window — runs at that aggregate cardinality. The (hour, type)
+    frame is localCheckpoint-ed: the rollup and the argmax window
+    both consume it."""
+    c = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.hour(F.col("ts")).cast("bigint").alias("hour_of_day"), F.col("event_type")
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    h = c.groupBy("hour_of_day").agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sum_sq"),
+        F.count("*").cast("bigint").alias("n_types"),
+    )
+    w = Window.partitionBy("hour_of_day").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    top = (
+        c.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("hour_of_day", F.col("event_type").alias("top_type"))
+    )
+    ne = F.col("n_events").cast("double")
+    return (
+        h.join(top, "hour_of_day")
+        .select(
+            "hour_of_day",
+            "n_events",
+            "n_types",
+            "top_type",
+            (F.col("sum_sq").cast("double") / (ne * ne)).alias("simpson"),
+            ((ne * ne) / F.col("sum_sq").cast("double")).alias("effective_types"),
+        )
+        .orderBy("hour_of_day")
+    )

@@ -225,6 +225,7 @@ def _queued_fns():
         ("events_usertype_overlap", Q13.events_usertype_overlap),
         ("lineitem_discount_profile", Q13.lineitem_discount_profile),
         ("events_growth_accounting", Q13.events_growth_accounting),
+        ("events_hourly_concentration", Q13.events_hourly_concentration),
     ]
 
 

@@ -693,6 +693,7 @@ def test_r12_ops_oracle_parity_preview(spark, sf_dir, fn_name, oracle_name):
         ("events_usertype_overlap", "EVENTS_USERTYPE_OVERLAP_ORACLE"),
         ("lineitem_discount_profile", "LINEITEM_DISCOUNT_PROFILE_ORACLE"),
         ("events_growth_accounting", "EVENTS_GROWTH_ACCOUNTING_ORACLE"),
+        ("events_hourly_concentration", "EVENTS_HOURLY_CONCENTRATION_ORACLE"),
     ],
 )
 def test_r13_ops_oracle_parity_preview(spark, sf_dir, fn_name, oracle_name):
