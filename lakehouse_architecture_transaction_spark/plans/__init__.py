@@ -17,5 +17,7 @@ from lakehouse_architecture_transaction_spark.plans import (  # noqa: F401
     pipeline_ops2,
     pipeline_ops3,
     pipeline_ops4,
+    queued_r8,
+    queued_r9,
 )
 from lakehouse_architecture_transaction_spark.plans.registry import REGISTRY, QuerySpec  # noqa: F401

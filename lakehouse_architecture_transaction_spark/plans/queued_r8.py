@@ -1,10 +1,11 @@
-"""Queued round-8 registrations: implemented + oracle-verified now
-(tests/test_oracle_parity.py previews), registered next round inside
+"""Round-8 registered queries: implemented + oracle-previewed during
+round 7 (tests/test_oracle_parity.py), registered in round 8 inside
 the ≤10/round rotation budget — the same queue discipline that carried
 the round-6 queue into round 7 (plans/pipeline_ops4.py).
 
 Each entry is a plain ``(spark, sf_dir) -> DataFrame`` plus its DuckDB
-oracle string; round-8 registration wraps them in ``@register``.
+oracle string; the registration block at the bottom of this module
+wraps them in ``register`` (VERDICT r7 next-round item 1).
 """
 
 from __future__ import annotations
@@ -603,3 +604,23 @@ def nation_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supp_nation", "cust_nation")
     )
+
+
+# ------------------------------------------------------------------
+# Round-8 registration (the ≤10/round rotation budget, VERDICT r7
+# item 1): the eight queries above enter the driver-checked registry;
+# the two remaining budget slots go to the r9 streaming companions
+# events_stream_sessions / events_stream_dedup (plans/queued_r9.py),
+# giving the STREAMING family its first driver-green rows.
+# ------------------------------------------------------------------
+
+from lakehouse_architecture_transaction_spark.plans.registry import register  # noqa: E402
+
+register("docs_ngram_containment", oracle=DOCS_CONTAINMENT_ORACLE)(docs_ngram_containment)
+register("events_cusum_drift", oracle=EVENTS_CUSUM_ORACLE)(events_cusum_drift)
+register("part_supplier_hhi", oracle=PART_HHI_ORACLE)(part_supplier_hhi)
+register("emb_ivf_cell_balance", oracle=EMB_IVF_BALANCE_ORACLE)(emb_ivf_cell_balance)
+register("orders_backlog_daily", oracle=ORDERS_BACKLOG_ORACLE)(orders_backlog_daily)
+register("nation_flow_matrix", oracle=NATION_FLOW_ORACLE)(nation_flow_matrix)
+register("events_stream_hourly", oracle=EVENTS_STREAM_HOURLY_ORACLE)(events_stream_hourly)
+register("events_stream_trending", oracle=EVENTS_STREAM_TRENDING_ORACLE)(events_stream_trending)

@@ -943,3 +943,17 @@ FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1
 ORDER BY mktsegment ASC
 """
+
+
+# ------------------------------------------------------------------
+# Round-8 registration of the two streaming companions (the last two
+# slots of the round-8 ≤10 budget, VERDICT r7 item 1): S8 native
+# session_window sessionization and S4 streaming exact dedup become
+# driver-checked queries. The remaining entries in this module stay
+# queued for round 9.
+# ------------------------------------------------------------------
+
+from lakehouse_architecture_transaction_spark.plans.registry import register  # noqa: E402
+
+register("events_stream_sessions", oracle=EVENTS_STREAM_SESSIONS_ORACLE)(events_stream_sessions)
+register("events_stream_dedup", oracle=EVENTS_STREAM_DEDUP_ORACLE)(events_stream_dedup)
