@@ -153,6 +153,86 @@ def exact_global_cumsum(
     )
 
 
+def grouped_exact_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    tiebreakers: list[str],
+    rank_col: str = "rank",
+    num_buckets: int = 64,
+    materialize: bool = True,
+) -> DataFrame:
+    """1-based row_number WITHIN each group under ORDER BY
+    (value_col ASC, *tiebreakers ASC) — without funneling each group
+    through one task.
+
+    A bare ``Window.partitionBy(group)`` runs one task per group; with
+    few large groups (market segments, years) that is the same scale
+    failure as a global sort (SURVEY §6). Same bucketed prefix pattern
+    as exact_global_rank with counts and offsets carried per
+    (group, bucket): rows range-bucket on GLOBAL approxQuantile
+    boundaries of the value (a function of the value alone, so ties
+    stay in one bucket and every group shares the map), local ranks
+    run at (group × bucket) parallelism, and each row's exclusive
+    prefix offset comes from a broadcast triangular join over the tiny
+    (groups × buckets) count table. The bucket key casts to double
+    only for BUCKETING — ordering uses the native column, so a lossy
+    decimal→double collision can merge buckets but never reorder.
+    NULL group keys form a real group (eqNullSafe joins); NULL values
+    land in bucket 0 where the asc window's NULLS FIRST ranks them
+    lowest — matching native row_number semantics.
+    """
+    if materialize:
+        df = df.localCheckpoint(eager=True)
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    bounds = df.stat.approxQuantile(value_col, probs, 1.0 / (4 * num_buckets))
+    uniq = sorted(set(bounds))
+    v = F.col(value_col).cast("double")
+    if uniq:
+        chain = F.when(v >= uniq[-1], len(uniq))
+        for i in range(len(uniq) - 2, -1, -1):
+            chain = chain.when(v >= uniq[i], i + 1)
+        bucket = chain.otherwise(0).cast("long")
+    else:
+        bucket = F.lit(0).cast("long")
+    bucketed = df.withColumn("__rb", bucket)
+    order: list[Column] = [F.col(value_col).asc()] + [F.col(t).asc() for t in tiebreakers]
+    w = Window.partitionBy(*group_cols, "__rb").orderBy(*order)
+    numbered = bucketed.withColumn("__lr", F.row_number().over(w))
+    counts = bucketed.groupBy(*group_cols, "__rb").agg(F.count("*").alias("__bc"))
+    ca = counts.select(
+        *[F.col(c).alias(f"__g{i}") for i, c in enumerate(group_cols)],
+        F.col("__rb").alias("__ba"),
+    )
+    cb = counts.select(
+        *[F.col(c).alias(f"__h{i}") for i, c in enumerate(group_cols)],
+        F.col("__rb").alias("__bb"),
+        F.col("__bc"),
+    )
+    gcond = [F.col(f"__g{i}").eqNullSafe(F.col(f"__h{i}")) for i in range(len(group_cols))]
+    cond = gcond[0]
+    for c in gcond[1:]:
+        cond = cond & c
+    offsets = (
+        ca.join(F.broadcast(cb), cond & (F.col("__bb") < F.col("__ba")), "left")
+        .groupBy(*[f"__g{i}" for i in range(len(group_cols))], "__ba")
+        .agg(F.coalesce(F.sum("__bc"), F.lit(0)).cast("long").alias("__off"))
+        .select(
+            *[F.col(f"__g{i}").alias(f"__j_{c}") for i, c in enumerate(group_cols)],
+            F.col("__ba").alias("__j_rb"),
+            "__off",
+        )
+    )
+    jcond = numbered["__rb"] == F.col("__j_rb")
+    for c in group_cols:
+        jcond = jcond & numbered[c].eqNullSafe(F.col(f"__j_{c}"))
+    return (
+        numbered.join(F.broadcast(offsets), jcond, "inner")
+        .withColumn(rank_col, (F.col("__off") + F.col("__lr")).cast("long"))
+        .drop("__rb", "__lr", "__off", "__j_rb", *[f"__j_{c}" for c in group_cols])
+    )
+
+
 def grouped_percent_rank(
     df: DataFrame,
     group_cols: list[str],

@@ -184,17 +184,26 @@ def customer_mktseg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     (×100), because BIGINT→DOUBLE is correctly rounded in both
     engines while wide-DECIMAL→DOUBLE is not guaranteed to be.
 
-    Scale shape: spend aggregate at customer cardinality, one
-    segment-partitioned rank window, one segment aggregate."""
+    Scale shape: spend aggregate at customer cardinality, then the
+    house bucketed-prefix grouped rank (operators/ranking.py
+    grouped_exact_rank — (segment × value-bucket) parallel windows +
+    broadcast prefix offsets; a bare Window.partitionBy(segment) would
+    sort customer cardinality in FIVE tasks, the low-cardinality-window
+    failure SURVEY §6 bans), one segment aggregate."""
+    from lakehouse_architecture_transaction_spark.operators.ranking import grouped_exact_rank
+
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     spend = (
         orders.groupBy("o_custkey")
         .agg(F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)))").alias("spend"))
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_custkey", "spend", "c_mktsegment")
     )
-    w = Window.partitionBy("c_mktsegment").orderBy(F.col("spend").asc(), F.col("o_custkey").asc())
-    ranked = spend.withColumn("i", F.row_number().over(w))
+    ranked = grouped_exact_rank(
+        spend, group_cols=["c_mktsegment"], value_col="spend",
+        tiebreakers=["o_custkey"], rank_col="i",
+    )
     agg = ranked.groupBy("c_mktsegment").agg(
         F.count("*").cast("bigint").alias("n_customers"),
         F.sum("spend").alias("__s0"),

@@ -66,6 +66,23 @@ def test_shuffle_and_shard_has_no_global_sort(spark, sf_dir):
     assert "row_number" in plan
 
 
+def test_mktseg_gini_rank_window_is_bucketed(spark, sf_dir):
+    # The per-segment spend rank must run through the bucketed-prefix
+    # grouped rank (operators/ranking.py grouped_exact_rank): a bare
+    # Window.partitionBy(c_mktsegment) sorts customer cardinality in
+    # FIVE tasks — the low-cardinality-window failure SURVEY §6 bans.
+    # Every row_number window over the segment must therefore also be
+    # keyed by the __rb value bucket, and no stage may collapse to a
+    # single partition.
+    plan = _formatted_plan(REGISTRY["customer_mktseg_gini"].fn(spark, sf_dir))
+    assert "SinglePartition" not in plan
+    specs = re.findall(r"windowspecdefinition\(c_mktsegment#\d+,\s*(\w+)", plan)
+    assert specs, "expected a rank window over c_mktsegment"
+    assert all(s.startswith("__rb") for s in specs), (
+        f"segment rank window not bucket-keyed: {specs}"
+    )
+
+
 def test_no_cartesian_anywhere_in_headline(spark, sf_dir):
     import bench
 

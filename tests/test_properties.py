@@ -162,6 +162,55 @@ def test_grouped_percent_rank_matches_window(spark, vals, ngroups):
 
 
 @_SETTINGS
+@given(
+    vals=st.lists(st.integers(0, 6), min_size=2, max_size=40),
+    ngroups=st.integers(1, 3),
+)
+def test_grouped_exact_rank_matches_window(spark, vals, ngroups):
+    # The bucketed grouped row_number must equal the native grouped
+    # window for ANY tie structure and group layout (ties broken by the
+    # id tiebreaker in both).
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_transaction_spark.operators.ranking import grouped_exact_rank
+
+    rows = [(i, i % ngroups, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, g int, v double")
+    got = {
+        r["id"]: r["rank"]
+        for r in grouped_exact_rank(
+            df, group_cols=["g"], value_col="v", tiebreakers=["id"]
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("id").asc())
+    want = {r["id"]: r["rn"] for r in df.select("id", F.row_number().over(w).alias("rn")).collect()}
+    assert got == want
+
+
+def test_grouped_exact_rank_nulls_match_window(spark):
+    # NULL group keys form a real group; NULL values rank lowest
+    # (NULLS FIRST asc) — same as the native window.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_transaction_spark.operators.ranking import grouped_exact_rank
+
+    rows = [
+        (0, "a", None), (1, "a", 1.0), (2, "a", 1.0), (3, "a", 2.0),
+        (4, None, 5.0), (5, None, None), (6, None, 5.0),
+        (7, "b", None), (8, "b", None),
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = grouped_exact_rank(df, group_cols=["g"], value_col="v", tiebreakers=["id"]).collect()
+    assert len(out) == len(rows)
+    got = {r["id"]: r["rank"] for r in out}
+    w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("id").asc())
+    want = {r["id"]: r["rn"] for r in df.select("id", F.row_number().over(w).alias("rn")).collect()}
+    assert got == want
+
+
+@_SETTINGS
 @given(n=st.integers(12, 28))
 def test_product_quantize_codes_complete_and_in_range(spark, n):
     # Every (vector, subspace) gets exactly one code in [0, k); seeds
