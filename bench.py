@@ -137,6 +137,19 @@ HEADLINE_FAMILIES: dict[str, str] = {
     "part_copurchase_jaccard": "graph",
     "part_copurchase_triangles": "graph",
     "emb_pq_reconstruction_error": "emb",
+    # round-8 additions: containment dedup, drift/backlog time series,
+    # concentration audits, the full trade matrix, and the STREAMING
+    # pipelines as bounded availableNow runs (their first bench rows)
+    "docs_ngram_containment": "dedup",
+    "events_cusum_drift": "events",
+    "part_supplier_hhi": "tpch",
+    "emb_ivf_cell_balance": "ann",
+    "orders_backlog_daily": "window",
+    "nation_flow_matrix": "tpch",
+    "events_stream_hourly": "streaming",
+    "events_stream_trending": "streaming",
+    "events_stream_sessions": "streaming",
+    "events_stream_dedup": "streaming",
 }
 
 HEADLINE = list(HEADLINE_FAMILIES)
@@ -200,6 +213,25 @@ def measure_anchor(spark, runs: int) -> float:
     return round(best, 4)
 
 
+#: Multi-core anchor: same constant work fanned over every core. The
+#: single-threaded anchor is blind to contention on the OTHER cores —
+#: the BENCH_r07 failure mode (queries 2× while anchor_s read normal).
+#: This one slows down with ANY multi-core load, so a pre/post pair
+#: around the suite brackets the capture's true parallel throughput.
+ANCHOR_MC_ROWS = 16_000_000_000
+
+
+def measure_anchor_mc(spark, runs: int, cpus: int) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        spark.range(0, ANCHOR_MC_ROWS, 1, cpus).selectExpr(
+            "bit_xor(xxhash64(id))"
+        ).collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -215,18 +247,45 @@ def main() -> None:
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     anchor_s = measure_anchor(spark, runs)
+    anchor_mc_s = measure_anchor_mc(spark, runs, cpus)
     times: dict[str, float] = {}
+    dispersions: list[float] = []
     total = 0.0
     for name in HEADLINE:
-        best = float("inf")
+        best, worst = float("inf"), 0.0
         for _ in range(runs):
             t0 = time.perf_counter()
             REGISTRY[name].fn(spark, sf_dir).count()
             dt = time.perf_counter() - t0
             release_persisted()  # caches must not leak across queries
-            best = min(best, dt)
+            best, worst = min(best, dt), max(worst, dt)
         times[name] = round(best, 4)
         total += times[name]
+        if runs > 1 and best > 0:
+            dispersions.append(worst / best)
+
+    # Contention self-diagnosis (VERDICT r7 item 4): the BENCH_r07
+    # capture read 2× on every uncontaminated re-run while its
+    # single-threaded anchor was normal — multi-core contention the
+    # 1-thread anchor can't see. Three independent signals, each
+    # thresholded ABOVE its measured idle-machine variance (min-of-3
+    # blocks swing ~46% single-thread / ~21% multi-core back-to-back
+    # on this VM, so tighter gates would cry wolf on clean captures):
+    #   1. pre/post MULTI-core anchor disagreement > 1.35×
+    #   2. pre/post single-thread anchor disagreement > 1.5×
+    #   3. median per-query worst/best run ratio > 1.6 (min-of-3 only
+    #      hides noise when at least one run is clean; under sustained
+    #      churn all three runs disagree)
+    # A flagged capture labels itself; the README delta recipe refuses
+    # it rather than normalizing it.
+    anchor_post_s = measure_anchor(spark, runs)
+    anchor_mc_post_s = measure_anchor_mc(spark, runs, cpus)
+    disp = sorted(dispersions)[len(dispersions) // 2] if dispersions else 1.0
+    contention_suspect = (
+        max(anchor_mc_s, anchor_mc_post_s) / min(anchor_mc_s, anchor_mc_post_s) > 1.35
+        or max(anchor_s, anchor_post_s) / min(anchor_s, anchor_post_s) > 1.5
+        or disp > 1.6
+    )
 
     families: dict[str, float] = {}
     for name, t in times.items():
@@ -245,6 +304,11 @@ def main() -> None:
         "runs_per_query": runs,
         "aggregation": "min",
         "anchor_s": anchor_s,
+        "anchor_post_s": anchor_post_s,
+        "anchor_mc_s": anchor_mc_s,
+        "anchor_mc_post_s": anchor_mc_post_s,
+        "run_dispersion_median": round(disp, 3),
+        "contention_suspect": contention_suspect,
         "anchor_def": f"min-of-{runs} bit_xor(xxhash64(id)) over range({ANCHOR_ROWS})",
     }
     # Full per-query record → bench_full.json (the driver's harness
