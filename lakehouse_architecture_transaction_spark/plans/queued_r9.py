@@ -21,6 +21,10 @@ batch-equivalent by semantics, so the oracle is first-principles SQL):
 - S4 streaming exact dedup (re-delivering source) → events_stream_dedup
 - S5 stream-stream interval join → events_stream_clicks
 - S6a stream-static broadcast enrichment → events_stream_enriched
+- S7 foreachBatch upsert → versioned LakeTable CDC → orders_stream_upsert_cdc
+
+(events_stream_sessions / events_stream_dedup were registered in
+round 8 — see the registration block at the bottom.)
 """
 
 from __future__ import annotations
@@ -942,6 +946,106 @@ SELECT c.c_mktsegment AS mktsegment,
 FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1
 ORDER BY mktsegment ASC
+"""
+
+
+# ------------------------------------------------------------------
+# S7: foreachBatch streaming upsert → versioned LakeTable → CDC diff
+# ------------------------------------------------------------------
+
+_UPSERT_CDC_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _stream_upserted_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per app+sf_dir) the S7 scenario: a versioned
+    LakeTable seeded with a deliberately WRONG orders snapshot
+    (keys ≡ 0 mod 13 missing; keys ≡ 0 mod 7 with a zeroed total),
+    then the TRUE orders table staged as an 8-file landing zone and
+    streamed through the foreachBatch upsert sink
+    (streaming/pipeline.py stream_upsert_into — the reference's
+    continuous-MERGE serving pattern, scripts/glue/script.py:204–227)
+    until drained. Each micro-batch MERGEs by key and commits a new
+    snapshot; however the files batch, per-key content converges to
+    the true row, and unchanged upserts don't alter content — so
+    diff(v0, latest) is batch-order-independent."""
+    from lakehouse_architecture_transaction_spark.streaming.pipeline import stream_upsert_into
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _UPSERT_CDC_MEMO.get(key)
+    if path is None:
+        root = tempfile.mkdtemp(prefix="lakehouse_architecture_transaction_s7_cdc_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+        ptype = orders.schema["o_totalprice"].dataType.simpleString()
+        seed = orders.filter(F.col("o_orderkey") % 13 != 0).withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.lit(0).cast(ptype)
+            ).otherwise(F.col("o_totalprice")),
+        )
+        table = LakeTable(spark, f"{root}/orders", keys=["o_orderkey"], versioned=True)
+        table.create(seed)  # v0: the stale serving snapshot
+        src = f"{root}/landing"
+        orders.repartition(8).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", 3)
+            .parquet(src)
+        )
+        q = stream_upsert_into(stream, table, checkpoint_dir=f"{root}/ckpt")
+        q.processAllAvailable()
+        q.stop()
+        path = f"{root}/orders"
+        _UPSERT_CDC_MEMO[key] = path
+    return path
+
+
+def orders_stream_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 as a driver-checkable query: the foreachBatch streaming
+    upsert sink feeding a versioned LakeTable (S3's sink + E20's
+    change feed composed end-to-end), audited through the table's CDC
+    diff between the pre-stream seed snapshot and the drained head.
+    The seed is wrong in two deterministic ways — keys ≡ 0 mod 13
+    absent (the stream INSERTS them) and keys ≡ 0 mod 7 zero-priced
+    (the stream UPDATES them); every other upsert is content-identical
+    and the null-safe struct compare keeps it out of the feed. The
+    oracle states the exact expected change ledger from the base
+    table's modular arithmetic.
+
+    Scale shape: the upsert merges are key-partitioned per batch
+    (state = the table, not stream memory); the diff is one full-outer
+    key join of two snapshots; the audit aggregate has 2 rows."""
+    from lakehouse_architecture_transaction_spark.lakehouse.table import LakeTable as LT
+
+    path = _stream_upserted_orders(spark, sf_dir)
+    t = LT(spark, path, keys=["o_orderkey"], versioned=True)
+    return (
+        t.diff(0, t.latest_version())
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)))")
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("change_type")
+    )
+
+
+ORDERS_STREAM_UPSERT_CDC_ORACLE = """
+WITH ch AS (
+    SELECT 'insert' AS change_type, o_totalprice
+    FROM orders WHERE o_orderkey % 13 = 0
+    UNION ALL
+    SELECT 'update_postimage' AS change_type, o_totalprice
+    FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+)
+SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
+           AS total_price
+FROM ch GROUP BY 1
+ORDER BY change_type ASC
 """
 
 

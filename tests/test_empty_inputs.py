@@ -192,6 +192,7 @@ def _queued_fns():
         ("events_stream_dedup", Q9.events_stream_dedup),
         ("events_stream_clicks", Q9.events_stream_clicks),
         ("events_stream_enriched", Q9.events_stream_enriched),
+        ("orders_stream_upsert_cdc", Q9.orders_stream_upsert_cdc),
         ("events_stream_hourly", Q8.events_stream_hourly),
         ("events_stream_trending", Q8.events_stream_trending),
         # the r10 training ops (k > n path, window > text length path)

@@ -552,6 +552,9 @@ def test_nation_flow_matrix_oracle_parity_preview(spark, sf_dir):
         ("events_stream_dedup", "EVENTS_STREAM_DEDUP_ORACLE"),
         ("events_stream_clicks", "EVENTS_STREAM_CLICKS_ORACLE"),
         ("events_stream_enriched", "EVENTS_STREAM_ENRICHED_ORACLE"),
+        # S7 companion (VERDICT r7 item 7): foreachBatch upsert →
+        # versioned LakeTable → CDC diff as a bounded run
+        ("orders_stream_upsert_cdc", "ORDERS_STREAM_UPSERT_CDC_ORACLE"),
     ],
 )
 def test_r9_lakehouse_companion_oracle_parity_preview(spark, sf_dir, fn_name, oracle_name):
