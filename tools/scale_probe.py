@@ -107,6 +107,16 @@ PROBES = [
     # joins (incremental cost on top of the shared LSH memo)
     "catalog_inclusion_profile",
     "docs_split_leakage",
+    # round-8 additions (VERDICT r7 item 8): the iterative 1-row-argmax
+    # BPE trainer (per-round aggregate + broadcast merge apply — the
+    # shape where a hidden driver round-trip would show as super-linear
+    # scheduler cost), the 4-branch checkpointed growth ledger, and the
+    # Gini rerouted through the bucketed-prefix grouped rank (item 2 —
+    # the fix must hold its flat-time/linear-shuffle shape, not just
+    # pass the plan test)
+    "docs_bpe_merges",
+    "events_growth_accounting",
+    "customer_mktseg_gini",
 ]
 
 
@@ -118,9 +128,12 @@ def _fn(name: str):
         queued_r8,
         queued_r9,
         queued_r10,
+        queued_r11,
+        queued_r12,
+        queued_r13,
     )
 
-    for mod in (queued_r10, queued_r9, queued_r8):
+    for mod in (queued_r13, queued_r12, queued_r11, queued_r10, queued_r9, queued_r8):
         if hasattr(mod, name):
             return getattr(mod, name)
     raise KeyError(name)
@@ -203,13 +216,24 @@ def shuffle_write_bytes(spark) -> int:
 
 
 def main() -> None:
+    global PROBES
     factors = [1, 2, 4, 8]
+    only: list[str] | None = None
     argv = sys.argv[1:]
     for i, a in enumerate(argv):
         if a == "--factors" and i + 1 < len(argv):
             factors = [int(x) for x in argv[i + 1].split(",")]
         elif a.startswith("--factors="):
             factors = [int(x) for x in a.split("=", 1)[1].split(",")]
+        elif a.startswith("--only="):
+            # probe a subset; --update-md then MERGES these rows into
+            # the existing SCALE.md table instead of replacing it
+            only = [x for x in a.split("=", 1)[1].split(",") if x]
+    if only:
+        unknown = [n for n in only if n not in PROBES]
+        if unknown:
+            raise SystemExit(f"--only names not in PROBES: {unknown}")
+        PROBES = only
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("scale-probe", cpus=cpus, ui=True)
     REGISTRY["q1_pricing_summary"].fn(spark, BASE).count()  # warmup
@@ -279,8 +303,36 @@ def main() -> None:
     table = "\n".join(lines)
     print(table)
     if "--update-md" in sys.argv:
-        _update_md(table, cpus)
+        if only:
+            _merge_md_rows(lines[2:])
+        else:
+            _update_md(table, cpus)
         print("SCALE.md updated")
+
+
+def _merge_md_rows(rows: list[str]) -> None:
+    """Row-level merge of a --only subset run into the existing
+    SCALE.md table: rows for already-probed queries are replaced in
+    place, new queries append at the table end. Requires the same
+    factor set as the existing table (the header is kept as-is)."""
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md")
+    txt = open(path).read()
+    assert BEGIN in txt and END in txt, "no existing table to merge into — run a full probe"
+    pre, rest = txt.split(BEGIN, 1)
+    block, post = rest.split(END, 1)
+    out_lines = block.split("\n")
+    by_name = {r.split("`")[1]: r for r in rows}
+    last_row_idx = max(i for i, ln in enumerate(out_lines) if ln.startswith("| `"))
+    merged = []
+    for i, ln in enumerate(out_lines):
+        if ln.startswith("| `"):
+            name = ln.split("`")[1]
+            ln = by_name.pop(name, ln)
+        merged.append(ln)
+        if i == last_row_idx:
+            merged.extend(by_name.values())
+            by_name = {}
+    open(path, "w").write(pre + BEGIN + "\n".join(merged) + END + post)
 
 
 BEGIN = "<!-- SCALE-PROBE:BEGIN -->"
