@@ -89,6 +89,17 @@ AUDITED = [
     "docs_temperature_mixture",
     "docs_char_diversity",
     "emb_pq_reconstruction_error",
+    # round 8 (the four events_stream_* registrations are NOT audited
+    # here: each drains a bounded availableNow run into a memory sink
+    # and returns a localCheckpointed frame, so the final "plan" is a
+    # bare Scan ExistingRDD — the streaming plan itself is pinned by
+    # tests/test_streaming.py and described in the query docstrings)
+    "docs_ngram_containment",
+    "events_cusum_drift",
+    "part_supplier_hhi",
+    "emb_ivf_cell_balance",
+    "orders_backlog_daily",
+    "nation_flow_matrix",
 ]
 
 #: per-query audit notes appended under the stats line — used where
@@ -113,6 +124,27 @@ NOTES = {
         "triangles with a per-edge array_intersect — open wedges never "
         "reach a shuffle; adjacency arrays are capped at ~sqrt(m) by the "
         "orientation."
+    ),
+    "emb_ivf_cell_balance": (
+        "`Scan ExistingRDD` is the session-memoized served IVF index "
+        "(pipeline_ops.py `_ivf_index` — the same clustered corpus the "
+        "search paths probe); the audit itself is one cell-cardinality "
+        "aggregate + a broadcast 1-row total."
+    ),
+    "orders_backlog_daily": (
+        "The running backlog sum routes through exact_global_cumsum's "
+        "bucketed prefixes (operators/ranking.py): the Window nodes are "
+        "partitioned by the epoch-day range bucket, never a single "
+        "partition; `Scan ExistingRDD` is the checkpointed day-delta "
+        "frame the rank machinery materializes once."
+    ),
+    "customer_mktseg_gini": (
+        "Round 8: the spend rank runs through grouped_exact_rank "
+        "(operators/ranking.py) — the Window is partitioned by "
+        "(c_mktsegment, __rb value bucket), not the bare 5-value "
+        "segment; offsets come from a broadcast triangular join over "
+        "the (segment × bucket) count table. `Scan ExistingRDD` is the "
+        "checkpointed customer-spend aggregate."
     ),
 }
 
