@@ -8,8 +8,17 @@ isolates real plan regressions from VM weather (README "Reading bench
 numbers").
 
 Usage: python tools/bench_delta.py OLD.json NEW.json [--top N] [--md]
+       [--raw]
 Prints total/per-family normalized deltas and the N worst per-query
-ratios; --md emits a markdown table for PLANS.md/README.
+ratios; --md emits a markdown table for PLANS.md/README; --raw skips
+anchor normalization and compares RAW seconds. Use --raw whenever the
+captures disagree on what the anchor measures: the r7→r8 session saw
+the single-core anchor HALVE while 32-core query throughput moved
+only ~1.3× (single-core turbo vs parallel throughput are different
+physical quantities), which made every untouched query read 1.4×
+"slower" normalized while raw like-for-like was 0.745× (faster).
+Cross-check both views; when they disagree, trust raw on a capture
+whose contention_suspect flag is False and investigate the anchors.
 """
 
 from __future__ import annotations
@@ -33,8 +42,11 @@ def main() -> None:
         if a == "--top" and i + 1 < len(sys.argv):
             top = int(sys.argv[i + 1])
     old, new = load(args[0]), load(args[1])
+    raw = "--raw" in sys.argv
     ao, an = old.get("anchor_s"), new.get("anchor_s")
-    if not ao or not an:
+    if raw:
+        ao = an = 1.0
+    elif not ao or not an:
         print("missing anchor_s — raw seconds only, deltas not weather-corrected")
         ao = an = 1.0
     shared = sorted(set(old["queries"]) & set(new["queries"]))
@@ -45,9 +57,11 @@ def main() -> None:
     tot_o = sum(r[1] for r in rows)
     tot_n = sum(r[2] for r in rows)
     md = "--md" in sys.argv
+    unit = "RAW seconds" if raw else "query/anchor"
+    anote = "" if raw else f"; anchors {ao:.4f} → {an:.4f} s"
     hdr = (
-        f"Normalized bench delta ({len(shared)} shared queries; units = query/anchor; "
-        f"anchors {ao:.4f} → {an:.4f} s): total {tot_o:.1f} → {tot_n:.1f} "
+        f"{'Raw' if raw else 'Normalized'} bench delta ({len(shared)} shared queries; "
+        f"units = {unit}{anote}): total {tot_o:.1f} → {tot_n:.1f} "
         f"= **{tot_n / tot_o:.2f}×**"
     )
     print(hdr)
@@ -67,7 +81,7 @@ def main() -> None:
         print(
             f"\n{len(new_only)} queries new this round (not in the like-for-like total): "
             + ", ".join(new_only)
-            + f" — {add:.1f} normalized units"
+            + f" — {add:.1f} {'raw s' if raw else 'normalized units'}"
         )
 
 
