@@ -181,6 +181,13 @@ def grouped_exact_rank(
     NULL group keys form a real group (eqNullSafe joins); NULL values
     land in bucket 0 where the asc window's NULLS FIRST ranks them
     lowest — matching native row_number semantics.
+
+    Caveat (shared with exact_global_rank): the bucket is a function
+    of the VALUE, so a massively tied value column (e.g. a 0/1 flag)
+    collapses those rows into one bucket and its window into one task.
+    Rank by a mostly-continuous column; for heavily tied values,
+    collapse ties first (the grouped_percent_rank approach) or rank on
+    a composite that spreads them.
     """
     if materialize:
         df = df.localCheckpoint(eager=True)

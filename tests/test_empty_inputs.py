@@ -177,7 +177,6 @@ def test_laketable_degenerate_lifecycle(spark, tmp_path):
 
 def _queued_fns():
     from lakehouse_architecture_transaction_spark.plans import (
-        queued_r8 as Q8,
         queued_r9 as Q9,
         queued_r10 as Q10,
         queued_r11 as Q11,
@@ -187,14 +186,13 @@ def _queued_fns():
 
     return [
         # the r9 streaming companions (bounded availableNow runs: an
-        # EMPTY landing zone must drain to an empty frame, not crash)
-        ("events_stream_sessions", Q9.events_stream_sessions),
-        ("events_stream_dedup", Q9.events_stream_dedup),
+        # EMPTY landing zone must drain to an empty frame, not crash).
+        # events_stream_{sessions,dedup,hourly,trending} and the rest
+        # of the r8 batch were REGISTERED in round 8 and now ride the
+        # registry-wide degenerate sweep above.
         ("events_stream_clicks", Q9.events_stream_clicks),
         ("events_stream_enriched", Q9.events_stream_enriched),
         ("orders_stream_upsert_cdc", Q9.orders_stream_upsert_cdc),
-        ("events_stream_hourly", Q8.events_stream_hourly),
-        ("events_stream_trending", Q8.events_stream_trending),
         # the r10 training ops (k > n path, window > text length path)
         ("docs_priority_sample", Q10.docs_priority_sample),
         ("docs_dup_spans", Q10.docs_dup_spans),

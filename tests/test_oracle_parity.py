@@ -416,121 +416,43 @@ def test_part_triangles_oracle_parity_preview(spark, sf_dir):
     assert naive_total == oriented_total
 
 
-# ---------------- Round-8 registration previews (plans/queued_r8.py) --
+# ---------------- Round-8 registered-query invariants ------------------
+# (their oracle parity now rides the registry-wide test_oracle_parity
+# sweep — registered in round 8; only the EXTRA invariants the preview
+# tests carried are kept here)
 
 
-def test_ngram_containment_oracle_parity_preview(spark, sf_dir):
+def test_r8_registered_invariants(spark, sf_dir):
     from lakehouse_architecture_transaction_spark.plans.queued_r8 import (
-        DOCS_CONTAINMENT_ORACLE,
+        emb_ivf_cell_balance,
         docs_ngram_containment,
-    )
-
-    con = _duck(sf_dir)
-    got = _canon_rows(docs_ngram_containment(spark, sf_dir))
-    want = _duck_rows(con, DOCS_CONTAINMENT_ORACLE)
-    assert got == want
-    # containment dominates Jaccard for every shared pair by identity
-    # (|A∩B|/min side ≥ |A∩B|/union)
-    for r in docs_ngram_containment(spark, sf_dir).collect():
-        assert max(r["containment_a"], r["containment_b"]) >= 0.5
-
-
-def test_events_cusum_drift_oracle_parity_preview(spark, sf_dir):
-    from lakehouse_architecture_transaction_spark.plans.queued_r8 import (
-        EVENTS_CUSUM_ORACLE,
-        events_cusum_drift,
-    )
-
-    con = _duck(sf_dir)
-    got = _canon_rows(events_cusum_drift(spark, sf_dir))
-    want = _duck_rows(con, EVENTS_CUSUM_ORACLE)
-    assert got == want
-
-
-def test_part_supplier_hhi_oracle_parity_preview(spark, sf_dir):
-    from lakehouse_architecture_transaction_spark.plans.queued_r8 import (
-        PART_HHI_ORACLE,
+        orders_backlog_daily,
         part_supplier_hhi,
     )
 
-    con = _duck(sf_dir)
-    got = _canon_rows(part_supplier_hhi(spark, sf_dir))
-    want = _duck_rows(con, PART_HHI_ORACLE)
-    assert got == want
+    # containment threshold applies to the LARGER direction by identity
+    for r in docs_ngram_containment(spark, sf_dir).collect():
+        assert max(r["containment_a"], r["containment_b"]) >= 0.5
+    # HHI of k >= 2 suppliers lives in [1/k, 1)
     for r in part_supplier_hhi(spark, sf_dir).collect():
-        # HHI of k ≥ 2 suppliers lives in [1/k, 1)
         assert 1.0 / r["n_suppliers"] <= r["hhi"] < 1.0
-
-
-def test_emb_ivf_cell_balance_oracle_parity_preview(spark, sf_dir):
-    from lakehouse_architecture_transaction_spark.plans.queued_r8 import (
-        EMB_IVF_BALANCE_ORACLE,
-        emb_ivf_cell_balance,
-    )
-
-    con = _duck(sf_dir)
-    got = _canon_rows(emb_ivf_cell_balance(spark, sf_dir))
-    want = _duck_rows(con, EMB_IVF_BALANCE_ORACLE)
-    assert got == want
+    # cell shares partition the corpus
     rows = emb_ivf_cell_balance(spark, sf_dir).collect()
     assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
-
-
-def test_orders_backlog_oracle_parity_preview(spark, sf_dir):
-    from lakehouse_architecture_transaction_spark.plans.queued_r8 import (
-        ORDERS_BACKLOG_ORACLE,
-        orders_backlog_daily,
-    )
-
-    con = _duck(sf_dir)
-    got = _canon_rows(orders_backlog_daily(spark, sf_dir))
-    want = _duck_rows(con, ORDERS_BACKLOG_ORACLE)
-    assert got == want
-    rows = orders_backlog_daily(spark, sf_dir).orderBy("day").collect()
     # sweep-line sanity: backlog never negative, ends at zero (every
-    # order eventually ships), and equals the running delta sum
+    # order eventually ships)
+    rows = orders_backlog_daily(spark, sf_dir).orderBy("day").collect()
     assert all(r["backlog"] >= 0 for r in rows)
     assert rows[-1]["backlog"] == 0
 
 
-def test_events_stream_hourly_oracle_parity_preview(spark, sf_dir):
-    # Round-8 preview: the REAL streaming pipeline (availableNow,
-    # complete mode) must reproduce the batch aggregate bit-exactly —
-    # and repeatably (fresh stream per call).
-    from lakehouse_architecture_transaction_spark.plans.queued_r8 import (
-        EVENTS_STREAM_HOURLY_ORACLE,
-        events_stream_hourly,
-    )
+def test_events_stream_hourly_repeatable(spark, sf_dir):
+    # A registered STREAMING query must be idempotent per session
+    # (bench runs it 3x): a fresh bounded run per call, same result.
+    from lakehouse_architecture_transaction_spark.plans.queued_r8 import events_stream_hourly
 
-    con = _duck(sf_dir)
-    got = _canon_rows(events_stream_hourly(spark, sf_dir))
-    want = _duck_rows(con, EVENTS_STREAM_HOURLY_ORACLE)
-    assert got == want
-    assert _canon_rows(events_stream_hourly(spark, sf_dir)) == got
-
-
-def test_events_stream_trending_oracle_parity_preview(spark, sf_dir):
-    from lakehouse_architecture_transaction_spark.plans.queued_r8 import (
-        EVENTS_STREAM_TRENDING_ORACLE,
-        events_stream_trending,
-    )
-
-    con = _duck(sf_dir)
-    got = _canon_rows(events_stream_trending(spark, sf_dir))
-    want = _duck_rows(con, EVENTS_STREAM_TRENDING_ORACLE)
-    assert got == want
-
-
-def test_nation_flow_matrix_oracle_parity_preview(spark, sf_dir):
-    from lakehouse_architecture_transaction_spark.plans.queued_r8 import (
-        NATION_FLOW_ORACLE,
-        nation_flow_matrix,
-    )
-
-    con = _duck(sf_dir)
-    got = _canon_rows(nation_flow_matrix(spark, sf_dir))
-    want = _duck_rows(con, NATION_FLOW_ORACLE)
-    assert got == want
+    first = _canon_rows(events_stream_hourly(spark, sf_dir))
+    assert _canon_rows(events_stream_hourly(spark, sf_dir)) == first
 
 
 # ---------------- Round-9 registration previews (plans/queued_r9.py) --
@@ -548,8 +470,8 @@ def test_nation_flow_matrix_oracle_parity_preview(spark, sf_dir):
         # S-row streaming companions: bounded availableNow runs of the
         # REAL streaming pipelines, batch-equivalent by construction
         # (complete mode / no-eviction horizon — see each docstring)
-        ("events_stream_sessions", "EVENTS_STREAM_SESSIONS_ORACLE"),
-        ("events_stream_dedup", "EVENTS_STREAM_DEDUP_ORACLE"),
+        # events_stream_sessions / events_stream_dedup were registered
+        # in round 8 and now ride the registry-wide sweep
         ("events_stream_clicks", "EVENTS_STREAM_CLICKS_ORACLE"),
         ("events_stream_enriched", "EVENTS_STREAM_ENRICHED_ORACLE"),
         # S7 companion (VERDICT r7 item 7): foreachBatch upsert →

@@ -62,6 +62,11 @@ PROBES = [
     # shares its (user, time-bucket) interval-join key — the per-user
     # pair space is the quadratic risk the bucketing bounds
     "events_touch_attribution",
+    # r8: hot o_custkey → one customer owns ~30% of orders; the spend
+    # aggregate absorbs it map-side into ONE row, and the bucketed
+    # grouped rank buckets on VALUE, so the megacustomer is just the
+    # top-ranked row — flat is the expected reading
+    "customer_mktseg_gini",
 ]
 
 
