@@ -78,9 +78,14 @@ def part_price_dispersion_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
     NULL ratio (not 0/0) when MAD is zero (over half the type at one
     price). Lower-median convention matches events_mad_anomalies.
 
-    Scale shape: two rank windows partitioned by type at part
-    cardinality (the events-MAD machinery on a new table), final
-    frame at TYPE cardinality."""
+    Scale shape: both median ranks run through the bucketed-prefix
+    grouped rank (operators/ranking.py grouped_exact_rank — ~150 part
+    types over part cardinality is the same low-cardinality-window
+    funnel SURVEY §6 bans and round 8 evicted from the Gini; ties need
+    no tiebreaker because the VALUE at a given rank is tie-order
+    invariant), final frame at TYPE cardinality."""
+    from lakehouse_architecture_transaction_spark.operators.ranking import grouped_exact_rank
+
     part = load_table(spark, sf_dir, "part")
     # Five downstream branches (median count/join, deviation join, MAD
     # count/join) consume this frame — materialize it once or the part
@@ -89,12 +94,12 @@ def part_price_dispersion_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
         "p_type",
         F.expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("x"),
     ).localCheckpoint(eager=True)
-    wr = Window.partitionBy("p_type").orderBy(F.col("x").asc())
     med = (
-        cents.join(
-            cents.groupBy("p_type").agg(F.count("*").alias("__nt")), "p_type"
+        grouped_exact_rank(
+            cents, group_cols=["p_type"], value_col="x", tiebreakers=[],
+            rank_col="__rn", materialize=False,
         )
-        .withColumn("__rn", F.row_number().over(wr))
+        .join(cents.groupBy("p_type").agg(F.count("*").alias("__nt")), "p_type")
         .withColumn("__mid", F.expr("(__nt + 1) div 2"))
         .groupBy("p_type")
         .agg(F.max(F.when(F.col("__rn") == F.col("__mid"), F.col("x"))).alias("med_cents"))
@@ -104,10 +109,12 @@ def part_price_dispersion_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumn("__ad", F.abs(F.col("x") - F.col("med_cents")))
         .localCheckpoint(eager=True)
     )
-    wa = Window.partitionBy("p_type").orderBy(F.col("__ad").asc())
     madt = (
-        d.join(d.groupBy("p_type").agg(F.count("*").alias("__nt")), "p_type")
-        .withColumn("__rn", F.row_number().over(wa))
+        grouped_exact_rank(
+            d, group_cols=["p_type"], value_col="__ad", tiebreakers=[],
+            rank_col="__rn", materialize=False,
+        )
+        .join(d.groupBy("p_type").agg(F.count("*").alias("__nt")), "p_type")
         .withColumn("__mid", F.expr("(__nt + 1) div 2"))
         .groupBy("p_type")
         .agg(
