@@ -873,7 +873,11 @@ def source_distinctive_terms(
     map-side combine; global token counts and per-source totals are
     RE-aggregations of that frame (no second corpus scan — the frame
     is localCheckpoint-ed because three branches consume it); the
-    rank window runs per source at per-source vocabulary cardinality.
+    top-k runs in TWO salted phases (per-(source, xxhash64(token)
+    mod 8) top-k, then top-k of the ≤8·k survivors per source — the
+    docs_top_quality_per_source pattern), so no task ever sorts a
+    whole source's vocabulary even though per-source vocab grows
+    (sub-linearly, Heaps) with the corpus.
     """
     lower_tok = F.transform(tokens_expr(text_col), lambda t: F.lower(t))
     st = (
@@ -895,10 +899,18 @@ def source_distinctive_terms(
             / (F.col("__t_s") * F.col("n_in_corpus")).cast("double"),
         )
     )
+    # salt = any deterministic function of the token: it only spreads
+    # load, the phase-2 window restores the exact total order
+    w1 = Window.partitionBy("source", F.expr("pmod(xxhash64(token), 8)")).orderBy(
+        F.col("lift").desc(), F.col("token").asc()
+    )
     w = Window.partitionBy("source").orderBy(F.col("lift").desc(), F.col("token").asc())
     return (
-        lifted.withColumn("rank", F.row_number().over(w))
+        lifted.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .drop("__r1")
         .select(
             "source",
             F.col("rank").cast("bigint").alias("rank"),
