@@ -247,9 +247,14 @@ def grouped_percent_rank(
     pct_col: str = "pct_rank",
     cume_col: str = "cume_dist",
     num_buckets: int = 64,
+    le_col: str | None = None,
 ) -> DataFrame:
     """Exact PERCENT_RANK + CUME_DIST of ``value_col`` within each
-    group — without a per-group global sort.
+    group — without a per-group global sort. Pass ``le_col`` to also
+    emit the exact integer #rows-≤-value per group (the rank-selection
+    primitive: the value at sorted position r is the min value whose
+    ``le_col`` ≥ r — tie-order invariant, no per-group row_number
+    needed).
 
     A bare ``Window.partitionBy(group)`` funnels each group through
     ONE task; with few large groups (segments, years) that is the
@@ -343,14 +348,15 @@ def grouped_percent_rank(
     pct = F.when(F.col("__n") > 1, F.col("__lt").cast("double") / (F.col("__n") - 1)).otherwise(
         F.lit(0.0)
     )
+    out_cols = [
+        pct.alias(pct_col),
+        (F.col("__le").cast("double") / F.col("__n")).alias(cume_col),
+    ]
+    if le_col is not None:
+        out_cols.append(F.col("__le").cast("long").alias(le_col))
     return _ns_join(
         df,
-        ranked.select(
-            *group_cols,
-            F.col(value_col),
-            pct.alias(pct_col),
-            (F.col("__le").cast("double") / F.col("__n")).alias(cume_col),
-        ),
+        ranked.select(*group_cols, F.col(value_col), *out_cols),
         [*group_cols, value_col],
     )
 

@@ -256,19 +256,25 @@ def events_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserts the flags are 1 — so a sketch-accuracy regression flips a
     flag and fails the value hash. The sketches stay fixed-size
     mergeable state (one map-side-combined pass); the band side is a
-    per-type rank selection, partitioned by event_type."""
+    per-type rank selection through the bucketed-prefix machinery
+    (grouped_percent_rank with the exact #≤ column — round 8: the
+    previous per-type row_number sorted raw event values in 6 tasks,
+    the SURVEY §6 low-cardinality-window funnel; the value at sorted
+    position r equals the min value whose #≤ ≥ r, tie-order
+    invariant, so the rank selection never needs a per-type sort)."""
+    from lakehouse_architecture_transaction_spark.operators.ranking import grouped_percent_rank
+
     events = load_table(spark, sf_dir, "events")
     vals = events.filter(F.col("value").isNotNull()).select("event_type", "value")
     counts = vals.groupBy("event_type").agg(F.count("*").alias("n"))
-    w = Window.partitionBy("event_type").orderBy("value")
-    ranked = vals.withColumn("rn", F.row_number().over(w)).join(
-        F.broadcast(counts), "event_type"
-    )
+    ranked = grouped_percent_rank(
+        vals, group_cols=["event_type"], value_col="value", le_col="__n_le"
+    ).join(F.broadcast(counts), "event_type")
     lo_rank = F.ceil(F.lit(0.45) * F.col("n").cast("double")).cast("bigint")
     hi_rank = F.ceil(F.lit(0.55) * F.col("n").cast("double")).cast("bigint")
     bands = ranked.groupBy("event_type").agg(
-        F.min(F.when(F.col("rn") == lo_rank, F.col("value"))).alias("p50_lo"),
-        F.min(F.when(F.col("rn") == hi_rank, F.col("value"))).alias("p50_hi"),
+        F.min(F.when(F.col("__n_le") >= lo_rank, F.col("value"))).alias("p50_lo"),
+        F.min(F.when(F.col("__n_le") >= hi_rank, F.col("value"))).alias("p50_hi"),
     )
     sk = events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),

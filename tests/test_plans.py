@@ -143,11 +143,18 @@ def test_gopher_quality_is_map_only(spark, sf_dir):
 
 
 def test_sketch_accuracy_window_is_partitioned(spark, sf_dir):
-    # The rank-selection window must partition by event_type — an
-    # unpartitioned window would funnel every value through one task.
+    # Round 8: the rank selection routes through grouped_percent_rank's
+    # bucketed machinery — every window over event_type must also carry
+    # the __rb value bucket (a bare 6-partition window sorts raw event
+    # values in 6 tasks), and nothing may collapse to one partition.
     plan = _formatted_plan(REGISTRY["events_sketch_accuracy"].fn(spark, sf_dir))
     assert "Window" in plan
     assert "SinglePartition" not in plan, "rank selection collapsed to one partition"
+    specs = re.findall(r"windowspecdefinition\(event_type#\d+,\s*(\w+)", plan)
+    assert specs, "expected a window keyed on event_type"
+    assert all(s.startswith("__rb") for s in specs), (
+        f"event_type window not bucket-keyed: {specs}"
+    )
 
 
 def test_temperature_mixture_two_pass_floor(spark, sf_dir):
