@@ -188,6 +188,31 @@ def test_grouped_exact_rank_matches_window(spark, vals, ngroups):
     assert got == want
 
 
+def test_grouped_exact_rank_degenerate_distributions(spark):
+    # (a) every row one value in one group — all rows collapse into a
+    # single bucket (the documented tie caveat) but ranks stay the
+    # exact 1..n permutation by tiebreaker; (b) 10k one-row groups —
+    # every rank is 1; both through the broadcast offset path.
+    from lakehouse_architecture_transaction_spark.operators.ranking import grouped_exact_rank
+    from pyspark.sql import functions as F
+
+    n = 10_000
+    one_val = spark.range(n).selectExpr("id", "'g0' AS g", "CAST(7.5 AS double) AS v")
+    out = grouped_exact_rank(one_val, group_cols=["g"], value_col="v", tiebreakers=["id"])
+    agg = out.agg(
+        F.count("*").alias("n"), F.min("rank").alias("lo"), F.max("rank").alias("hi"),
+        F.countDistinct("rank").alias("d"),
+    ).collect()[0]
+    assert (agg["n"], agg["lo"], agg["hi"], agg["d"]) == (n, 1, n, n)
+    # ranks follow the id tiebreaker exactly
+    assert out.filter(F.col("rank") != F.col("id") + 1).count() == 0
+
+    singletons = spark.range(n).selectExpr("id", "concat('g', id) AS g", "CAST(id AS double) AS v")
+    out2 = grouped_exact_rank(singletons, group_cols=["g"], value_col="v", tiebreakers=["id"])
+    agg2 = out2.agg(F.count("*").alias("n"), F.max("rank").alias("hi")).collect()[0]
+    assert (agg2["n"], agg2["hi"]) == (n, 1)
+
+
 def test_grouped_exact_rank_nulls_match_window(spark):
     # NULL group keys form a real group; NULL values rank lowest
     # (NULLS FIRST asc) — same as the native window.
