@@ -14,7 +14,7 @@ round 5 (tests/test_oracle_parity.py) before being promoted here.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_architecture_transaction_spark.catalog import load_table
