@@ -117,6 +117,19 @@ PROBES = [
     "docs_bpe_merges",
     "events_growth_accounting",
     "customer_mktseg_gini",
+    # round-8 registrations: the STREAMING family's first scale rows.
+    # Each is the real pipeline as a bounded availableNow run over an
+    # 8-file staging zone with maxFilesPerTrigger=4 (2 stateful
+    # micro-batches at every factor, 8× rows per file at ×8 — per-batch
+    # state-merge work grows with the data, batch count stays fixed).
+    # Caveat recorded in SCALE.md: hourly/trending/sessions run the
+    # bounded-run harness mode (complete, no eviction); production is
+    # append mode where the watermark bounds state, so these curves
+    # bound the worst case (full-state recompute per batch).
+    "events_stream_hourly",
+    "events_stream_trending",
+    "events_stream_sessions",
+    "events_stream_dedup",
 ]
 
 
