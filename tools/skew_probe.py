@@ -67,6 +67,16 @@ PROBES = [
     # grouped rank buckets on VALUE, so the megacustomer is just the
     # top-ranked row — flat is the expected reading
     "customer_mktseg_gini",
+    # r8 streaming: hot user_id → 30% of all events merge into ONE
+    # user's session_window state. The keyed-state shuffle partitions
+    # by user, so the hot user's merge work lands on one task — the
+    # canonical streaming skew risk. The aggregation itself is an
+    # in-aggregate merge (sorted-run session coalescing), so the hot
+    # task does O(hot rows) work, not O(hot rows²): a bounded ratio
+    # with a visibly hotter max task is the expected honest reading.
+    # (dedup/hourly/trending key on event_id / (window, type) — user
+    # skew cannot reach their state keys, so they are not probed.)
+    "events_stream_sessions",
 ]
 
 
