@@ -197,6 +197,54 @@ def test_stream_upsert_into_laketable(spark, sf_dir, tmp_path):
     assert table.read().select("event_id").distinct().count() == batch_count
 
 
+def _stage_time_ordered_slices(spark, ev, tmp_path, k=6, dup_rows=0):
+    """Stage the events frame as ``k`` event-time slices, one file per
+    slice, file names AND mtimes ascending with the slices — so a
+    maxFilesPerTrigger=1 file stream replays them in event-time order
+    and the watermark genuinely advances between micro-batches. With
+    ``dup_rows`` > 0, that many in-slice re-deliveries are appended to
+    each slice (for dedup-state tests)."""
+    import glob as globmod
+    import os
+    import shutil
+
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = (hi - lo) / k
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    stage = str(tmp_path / "stage")
+    for i in range(k):
+        s, e = lo + i * span, lo + (i + 1) * span
+        cond = (F.col("ts") >= F.lit(s)) & (
+            (F.col("ts") <= F.lit(hi)) if i == k - 1 else (F.col("ts") < F.lit(e))
+        )
+        sl = ev.filter(cond)
+        if dup_rows:
+            sl = sl.unionByName(sl.limit(dup_rows))
+        sl.coalesce(1).write.mode("overwrite").parquet(stage)
+        dst = f"{src}/slice_{i:02d}.parquet"
+        shutil.copyfile(globmod.glob(stage + "/part-*.parquet")[0], dst)
+        os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+    return src
+
+
+def _one_file_per_batch_stream(spark, src):
+    from lakehouse_architecture_transaction_spark.streaming.pipeline import EVENT_SCHEMA
+
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def _state_rows_per_batch(q) -> list:
+    return [
+        op["numRowsTotal"] for p in q.recentProgress for op in (p["stateOperators"] or [])
+    ]
+
+
 def test_stream_dedup_state_bounded_by_watermark(spark, sf_dir, tmp_path):
     """The production-mode claim the scale notes lean on, MEASURED
     from the engine's own progress metrics rather than asserted: a
@@ -208,41 +256,14 @@ def test_stream_dedup_state_bounded_by_watermark(spark, sf_dir, tmp_path):
     mtimes ascending so the source replays them in event-time order
     and the watermark advances between batches), with 50 in-slice
     re-deliveries per slice so the dedup does real work throughout."""
-    import glob as globmod
-    import os
-    import shutil
-
-    from lakehouse_architecture_transaction_spark.streaming.pipeline import (
-        EVENT_SCHEMA,
-        dedup_stream,
-    )
+    from lakehouse_architecture_transaction_spark.streaming.pipeline import dedup_stream
 
     ev = load_table(spark, sf_dir, "events")
     n_total = ev.count()
-    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
-    k = 6
-    span = (hi - lo) / k
-    src = str(tmp_path / "landing")
-    os.makedirs(src)
-    stage = str(tmp_path / "stage")
-    for i in range(k):
-        s, e = lo + i * span, lo + (i + 1) * span
-        cond = (F.col("ts") >= F.lit(s)) & (
-            (F.col("ts") <= F.lit(hi)) if i == k - 1 else (F.col("ts") < F.lit(e))
-        )
-        sl = ev.filter(cond)
-        sl.unionByName(sl.limit(50)).coalesce(1).write.mode("overwrite").parquet(stage)
-        dst = f"{src}/slice_{i:02d}.parquet"
-        shutil.copyfile(globmod.glob(stage + "/part-*.parquet")[0], dst)
-        os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+    src = _stage_time_ordered_slices(spark, ev, tmp_path, k=6, dup_rows=50)
 
     def run(within: str, name: str) -> tuple[int, int, int]:
-        raw = (
-            spark.readStream.schema(EVENT_SCHEMA)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src)
-            .withColumn("ts", F.col("ts").cast("timestamp"))
-        )
+        raw = _one_file_per_batch_stream(spark, src)
         q = (
             dedup_stream(raw, keys=["event_id"], within=within)
             .writeStream.format("memory")
@@ -252,11 +273,7 @@ def test_stream_dedup_state_bounded_by_watermark(spark, sf_dir, tmp_path):
             .start()
         )
         q.awaitTermination()
-        state_rows = [
-            op["numRowsTotal"]
-            for p in q.recentProgress
-            for op in (p["stateOperators"] or [])
-        ]
+        state_rows = _state_rows_per_batch(q)
         out = spark.sql(
             f"SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM {name}"
         ).collect()[0]
@@ -284,6 +301,74 @@ def test_stream_dedup_state_bounded_by_watermark(spark, sf_dir, tmp_path):
     assert n_long == d_long == n_total
     assert peak_long == n_total
     assert peak_short < peak_long
+
+
+def test_session_window_state_bounded_and_emissions_account_exactly(spark, sf_dir, tmp_path):
+    """S8 production mode (append + short watermark) with the state
+    store MEASURED: replaying the month-long fixture as six
+    time-ordered slices under a 2-hour horizon, (1) every emitted
+    session matches the batch gaps-and-islands twin field-for-field,
+    (2) emitted + still-in-state sessions account for EXACTLY the
+    batch session count — nothing lost, nothing duplicated, the
+    unemitted tail is precisely the sessions the final watermark
+    hasn't passed — and (3) peak state rows stay far below the total
+    session count (measured ~19%: eviction tracks the frontier).
+    This is the append-mode half of the complete-mode bounded runs
+    the registered events_stream_sessions query checks."""
+    from pyspark.sql import Window
+
+    from lakehouse_architecture_transaction_spark.streaming.pipeline import sessionize_native
+
+    ev = load_table(spark, sf_dir, "events")
+    src = _stage_time_ordered_slices(spark, ev, tmp_path, k=6)
+    q = (
+        sessionize_native(_one_file_per_batch_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName("sess_state_acct")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state_rows = _state_rows_per_batch(q)
+    emitted = spark.table("sess_state_acct").collect()
+    spark.catalog.dropTempView("sess_state_acct")
+
+    # batch twin: 30-minute-gap gaps-and-islands, same ts cast as the
+    # stream so reprs compare exactly
+    ev2 = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    batch = (
+        ev2.withColumn(
+            "new_s",
+            F.coalesce(
+                (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES")).cast("int"),
+                F.lit(0),
+            ),
+        )
+        .withColumn("sid", F.sum("new_s").over(w))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    )
+    key = lambda r: (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])  # noqa: E731
+    batch_set = {key(r) for r in batch}
+    emitted_set = {key(r) for r in emitted}
+    assert len(batch_set) == len(batch)
+    assert len(emitted_set) == len(emitted)  # no duplicate emissions
+    assert emitted_set <= batch_set  # every emission is a true session
+    # exact accounting: emitted + still-open == all sessions
+    assert len(emitted_set) + state_rows[-1] == len(batch_set)
+    # a month-long replay under a 2-hour horizon closes nearly all
+    assert len(emitted_set) >= 0.8 * len(batch_set)
+    assert max(state_rows) < 0.5 * len(batch_set), (
+        f"session state peaked at {max(state_rows)} of {len(batch_set)} "
+        "sessions — watermark eviction is not tracking the frontier"
+    )
 
 
 def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
