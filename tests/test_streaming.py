@@ -371,6 +371,62 @@ def test_session_window_state_bounded_and_emissions_account_exactly(spark, sf_di
     )
 
 
+def test_stream_stream_join_state_bounded_by_watermark(spark, sf_dir, tmp_path):
+    """The third stateful family (stream-stream interval join) with
+    its state store measured in PRODUCTION mode — the 2-hour default
+    lateness horizon, not the bounded-run no-eviction horizon:
+    replaying six time-ordered slices, every batch click→purchase
+    pair is emitted exactly once (the time-ordered replay means
+    nothing arrives late), while peak join state stays a small
+    fraction of the click+purchase row count — the engine holds only
+    rows a future match could still reach, evicting as the watermark
+    passes the interval bound."""
+    from lakehouse_architecture_transaction_spark.streaming.pipeline import click_purchase_join
+
+    ev = load_table(spark, sf_dir, "events")
+    src = _stage_time_ordered_slices(spark, ev, tmp_path, k=6)
+    q = (
+        click_purchase_join(_one_file_per_batch_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName("cpj_state")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state_rows = _state_rows_per_batch(q)
+    emitted = spark.table("cpj_state").collect()
+    spark.catalog.dropTempView("cpj_state")
+
+    ev2 = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = ev2.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+    )
+    purchases = ev2.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    batch_pairs = {
+        (r["cid"], r["pid"])
+        for r in clicks.join(
+            purchases,
+            (F.col("u") == F.col("pu"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 3600 SECONDS")),
+        ).collect()
+    }
+    emitted_pairs = {(r["click_id"], r["purchase_id"]) for r in emitted}
+    n_sides = ev2.filter(F.col("event_type").isin("click", "purchase")).count()
+    assert len(emitted_pairs) == len(emitted)  # no duplicate emissions
+    assert emitted_pairs <= batch_pairs  # every emission is a true pair
+    # time-ordered replay: only pairs inside the final 2h horizon may
+    # be held back, and the month-long fixture leaves ~none there
+    assert len(emitted_pairs) >= 0.8 * len(batch_pairs)
+    assert max(state_rows) < 0.5 * n_sides, (
+        f"join state peaked at {max(state_rows)} of {n_sides} "
+        "click/purchase rows — interval eviction is not bounding state"
+    )
+
+
 def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
     from lakehouse_architecture_transaction_spark.streaming.pipeline import dedup_stream
 
