@@ -371,6 +371,72 @@ def test_session_window_state_bounded_and_emissions_account_exactly(spark, sf_di
     )
 
 
+def test_stateful_sessionizer_state_is_live_keys_and_accounts_exactly(spark, sf_dir, tmp_path):
+    """The HOUSE state function (applyInPandasWithState sessionizer
+    with event-time timers) measured the same way as the native
+    operators — this pins OUR state.remove()/setTimeoutTimestamp
+    logic, not engine behavior: per-batch state rows never exceed the
+    distinct-user count (one state row per user with an OPEN session,
+    never per session — 946 sessions ride 15 state rows), every
+    emitted session matches the batch gaps-and-islands twin
+    field-for-field, and emitted + still-open state rows equal the
+    batch session count exactly. A leaked state.remove() would
+    surface as final-state > open sessions; a mis-armed timer as a
+    coverage gap."""
+    from pyspark.sql import Window
+
+    from lakehouse_architecture_transaction_spark.streaming.pipeline import sessionize_stateful
+
+    ev = load_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    src = _stage_time_ordered_slices(spark, ev, tmp_path, k=6)
+    q = (
+        sessionize_stateful(
+            _one_file_per_batch_stream(spark, src), event_time_gap_s=1800, watermark="2 hours"
+        )
+        .writeStream.format("memory")
+        .queryName("sessfn_state")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state_rows = _state_rows_per_batch(q)
+    emitted = spark.table("sessfn_state").collect()
+    spark.catalog.dropTempView("sessfn_state")
+
+    ev2 = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    batch = (
+        ev2.withColumn(
+            "new_s",
+            F.coalesce(
+                (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES")).cast("int"),
+                F.lit(0),
+            ),
+        )
+        .withColumn("sid", F.sum("new_s").over(w))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    )
+    key = lambda r: (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])  # noqa: E731
+    batch_set = {key(r) for r in batch}
+    emitted_set = {key(r) for r in emitted}
+    assert len(emitted_set) == len(emitted)
+    assert emitted_set <= batch_set
+    assert len(emitted_set) + state_rows[-1] == len(batch_set)
+    assert len(emitted_set) >= 0.8 * len(batch_set)
+    # one state row per user with an open session — never per session
+    assert max(state_rows) <= n_users
+    # the final flush leaves only still-open users, not every user
+    assert state_rows[-1] < max(state_rows)
+
+
 def test_stream_stream_join_state_bounded_by_watermark(spark, sf_dir, tmp_path):
     """The third stateful family (stream-stream interval join) with
     its state store measured in PRODUCTION mode — the 2-hour default
