@@ -646,3 +646,35 @@ def test_growth_accounting_ledger_identities(spark, sf_dir):
         assert b["n_active"] - a["n_active"] == (
             b["n_new"] + b["n_resurrected"] - b["n_churned"]
         )
+
+
+#: the timezone-risk surface: NTZ→TIMESTAMP casts (streaming
+#: watermarks require TIMESTAMP), session/window arithmetic on the
+#: cast column, and calendar bucketing — one registered query per
+#: risky shape.
+_TZ_SENSITIVE = [
+    "events_stream_hourly",    # streaming tumbling window on the cast ts
+    "events_stream_sessions",  # session_window merge + duration math
+    "events_session_window",   # the batch gaps-and-islands twin
+    "events_hourly",           # date_trunc calendar bucketing
+    "events_asof_orders",      # event-time as-of join
+    "orders_backlog_daily",    # epoch-day bucketed running sum
+]
+
+
+def test_timestamp_queries_session_timezone_independent(spark, sf_dir):
+    """House invariant (SURVEY §6): correctness cannot depend on the
+    driver session's timezone. The lake stores TIMESTAMP_NTZ, but the
+    streaming paths must cast to TIMESTAMP for watermarks — a leaked
+    session-tz rendering (or a window boundary computed in local time)
+    would pass every UTC-host gate and fail the first non-UTC driver.
+    Rerun the risky shapes under a DST-observing timezone against the
+    SAME DuckDB oracle; the collect() round-trip is part of the check
+    (outputs must be NTZ/strings/numbers, never session-tz datetimes)."""
+    prior = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        for name in _TZ_SENSITIVE:
+            test_oracle_parity(spark, sf_dir, name)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior)
