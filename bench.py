@@ -150,6 +150,21 @@ HEADLINE_FAMILIES: dict[str, str] = {
     "events_stream_trending": "streaming",
     "events_stream_sessions": "streaming",
     "events_stream_dedup": "streaming",
+    # round-9 additions: the final ETL-parity companions (versioned
+    # snapshots/time travel, CSV ingest with corrupt routing, CHECK
+    # constraints, three-dataset pipeline, orchestration, RESTORE/CLONE
+    # — each builds its scenario in a memoized temp zone, so the bench
+    # row prices the full write+read round trip) and the last three
+    # streaming pipelines as bounded availableNow runs
+    "orders_restore_clone_audit": "etl",
+    "orders_snapshot_timetravel_stats": "etl",
+    "orders_constraint_audit": "etl",
+    "orders_csv_roundtrip_stats": "etl",
+    "pipeline_three_dataset_summary": "etl",
+    "orchestration_landing_audit": "etl",
+    "events_stream_clicks": "streaming",
+    "events_stream_enriched": "streaming",
+    "orders_stream_upsert_cdc": "streaming",
 }
 
 HEADLINE = list(HEADLINE_FAMILIES)

@@ -1052,12 +1052,40 @@ ORDER BY change_type ASC
 # ------------------------------------------------------------------
 # Round-8 registration of the two streaming companions (the last two
 # slots of the round-8 ≤10 budget, VERDICT r7 item 1): S8 native
-# session_window sessionization and S4 streaming exact dedup become
-# driver-checked queries. The remaining entries in this module stay
-# queued for round 9.
+# session_window sessionization and S4 streaming exact dedup became
+# driver-checked queries in round 8.
+#
+# Round-9 registration (VERDICT r8 item 1, the full ≤10 budget minus
+# one held slot): the remaining NINE companions — the six ETL-parity
+# rows (E7/E9/E15/E19/E21/E24) and the last three streaming rows
+# (S5 clicks join, S6 static enrichment, S7 upsert-CDC). With these,
+# every row of the reference's own ETL-parity table and the entire
+# streaming family is driver-hashed.
 # ------------------------------------------------------------------
 
 from lakehouse_architecture_transaction_spark.plans.registry import register  # noqa: E402
 
 register("events_stream_sessions", oracle=EVENTS_STREAM_SESSIONS_ORACLE)(events_stream_sessions)
 register("events_stream_dedup", oracle=EVENTS_STREAM_DEDUP_ORACLE)(events_stream_dedup)
+
+register("orders_restore_clone_audit", oracle=ORDERS_RESTORE_CLONE_ORACLE)(
+    orders_restore_clone_audit
+)
+register("orders_snapshot_timetravel_stats", oracle=ORDERS_TIMETRAVEL_ORACLE)(
+    orders_snapshot_timetravel_stats
+)
+register("orders_constraint_audit", oracle=ORDERS_CONSTRAINT_ORACLE)(orders_constraint_audit)
+register("orders_csv_roundtrip_stats", oracle=ORDERS_CSV_ROUNDTRIP_ORACLE)(
+    orders_csv_roundtrip_stats
+)
+register("pipeline_three_dataset_summary", oracle=PIPELINE_SUMMARY_ORACLE)(
+    pipeline_three_dataset_summary
+)
+register("orchestration_landing_audit", oracle=ORCHESTRATION_AUDIT_ORACLE)(
+    orchestration_landing_audit
+)
+register("events_stream_clicks", oracle=EVENTS_STREAM_CLICKS_ORACLE)(events_stream_clicks)
+register("events_stream_enriched", oracle=EVENTS_STREAM_ENRICHED_ORACLE)(events_stream_enriched)
+register("orders_stream_upsert_cdc", oracle=ORDERS_STREAM_UPSERT_CDC_ORACLE)(
+    orders_stream_upsert_cdc
+)
