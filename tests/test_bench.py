@@ -77,3 +77,21 @@ def test_tail_line_includes_all_when_budget_allows():
     parsed = json.loads(tail_line(_base(times)))
     assert len(parsed["queries"]) == 5
     assert parsed["queries_omitted"] == 0
+
+
+# ---------------- bench_delta anchor selection (r8 verdict item 2) ----
+
+
+def test_bench_delta_prefers_multicore_anchor():
+    from tools.bench_delta import pick_anchors
+
+    old = {"anchor_s": 0.59, "anchor_mc_s": 1.77}
+    new = {"anchor_s": 1.18, "anchor_mc_s": 2.35}
+    ao, an, field = pick_anchors(old, new, sc=False)
+    assert (ao, an, field) == (1.77, 2.35, "anchor_mc_s")
+    # pre-r8 capture without the mc anchor falls back to single-core
+    ao, an, field = pick_anchors({"anchor_s": 0.59}, new, sc=False)
+    assert (ao, an, field) == (0.59, 1.18, "anchor_s")
+    # --sc forces the legacy denominator even when mc is present
+    ao, an, field = pick_anchors(old, new, sc=True)
+    assert (ao, an, field) == (0.59, 1.18, "anchor_s")

@@ -1,24 +1,31 @@
 """Normalized cross-round bench comparison.
 
 Reads two bench captures (bench_full.json shape: queries dict +
-anchor_s) and prints the like-for-like comparison in ANCHOR-NORMALIZED
-units (query_time / anchor_s): the VM's day-to-day throughput swing
+anchors) and prints the like-for-like comparison in ANCHOR-NORMALIZED
+units (query_time / anchor): the VM's day-to-day throughput swing
 moves the anchor and every query alike, so the normalized ratio
 isolates real plan regressions from VM weather (README "Reading bench
 numbers").
 
+Anchor choice (r8 verdict item 2): the MULTI-CORE anchor
+(`anchor_mc_s`, the same xxhash64 fold run on all cores) is the
+default denominator whenever BOTH captures carry it, because the
+queries themselves run on all cores — the r7→r8 session saw the
+single-core anchor HALVE (turbo behavior) while 32-core query
+throughput moved only ~1.3×, which made every untouched query read
+1.4× "slower" single-core-normalized while raw like-for-like was
+0.745× (faster). mc-normalization of the same captures agreed with
+raw to within 5%. Captures without `anchor_mc_s` (pre-r8) fall back
+to `anchor_s`, with a warning.
+
 Usage: python tools/bench_delta.py OLD.json NEW.json [--top N] [--md]
-       [--raw]
+       [--raw] [--sc]
 Prints total/per-family normalized deltas and the N worst per-query
 ratios; --md emits a markdown table for PLANS.md/README; --raw skips
-anchor normalization and compares RAW seconds. Use --raw whenever the
-captures disagree on what the anchor measures: the r7→r8 session saw
-the single-core anchor HALVE while 32-core query throughput moved
-only ~1.3× (single-core turbo vs parallel throughput are different
-physical quantities), which made every untouched query read 1.4×
-"slower" normalized while raw like-for-like was 0.745× (faster).
-Cross-check both views; when they disagree, trust raw on a capture
-whose contention_suspect flag is False and investigate the anchors.
+anchor normalization and compares RAW seconds; --sc forces the legacy
+single-core anchor. Cross-check --raw against the default; when they
+disagree, trust raw on a capture whose contention_suspect flag is
+False and investigate the anchors.
 """
 
 from __future__ import annotations
@@ -35,6 +42,20 @@ def load(path: str) -> dict:
     return d
 
 
+def pick_anchors(old: dict, new: dict, sc: bool) -> tuple[float | None, float | None, str]:
+    """Prefer the multi-core anchor when both captures carry it."""
+    if not sc and old.get("anchor_mc_s") and new.get("anchor_mc_s"):
+        return old["anchor_mc_s"], new["anchor_mc_s"], "anchor_mc_s"
+    ao, an = old.get("anchor_s"), new.get("anchor_s")
+    if ao and an and not sc:
+        print(
+            "note: one capture lacks anchor_mc_s — normalizing by the SINGLE-CORE "
+            "anchor, which diverges from 32-core throughput under turbo; "
+            "cross-check with --raw"
+        )
+    return ao, an, "anchor_s"
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     top = 8
@@ -43,12 +64,15 @@ def main() -> None:
             top = int(sys.argv[i + 1])
     old, new = load(args[0]), load(args[1])
     raw = "--raw" in sys.argv
-    ao, an = old.get("anchor_s"), new.get("anchor_s")
+    anchor_field = "none"
     if raw:
         ao = an = 1.0
-    elif not ao or not an:
-        print("missing anchor_s — raw seconds only, deltas not weather-corrected")
-        ao = an = 1.0
+    else:
+        ao, an, anchor_field = pick_anchors(old, new, "--sc" in sys.argv)
+        if not ao or not an:
+            print("missing anchors — raw seconds only, deltas not weather-corrected")
+            ao = an = 1.0
+            anchor_field = "none"
     shared = sorted(set(old["queries"]) & set(new["queries"]))
     rows = []
     for q in shared:
@@ -57,7 +81,7 @@ def main() -> None:
     tot_o = sum(r[1] for r in rows)
     tot_n = sum(r[2] for r in rows)
     md = "--md" in sys.argv
-    unit = "RAW seconds" if raw else "query/anchor"
+    unit = "RAW seconds" if raw else f"query/{anchor_field}"
     anote = "" if raw else f"; anchors {ao:.4f} → {an:.4f} s"
     hdr = (
         f"{'Raw' if raw else 'Normalized'} bench delta ({len(shared)} shared queries; "
