@@ -21,8 +21,171 @@ order within buckets.
 
 from __future__ import annotations
 
+import warnings
+from collections import Counter
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Numeric types whose double cast is EXACT for equality testing (or
+#: natively comparable to an int literal) — the tie-split fallback
+#: only fires for these value columns. DECIMAL is excluded: two
+#: distinct decimals can collide in double space, and sub-splitting a
+#: merged pseudo-tie by tiebreaker would genuinely reorder ranks.
+_EXACT_EQ_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.BooleanType,
+)
+
+#: Types approxQuantile accepts for the tiebreaker sub-bucket probe
+#: (merge-only >= comparisons, so lossy casts stay safe here).
+_QUANTILE_TYPES = _EXACT_EQ_TYPES + (T.DecimalType,)
+
+
+def _warn_bucket_collapse(uniq: list[float], num_buckets: int, where: str) -> None:
+    """Loudly flag a degenerate range-bucketing (r8 verdict item 6).
+
+    The bucket is a function of the VALUE, so a massively tied value
+    column (a 0/1 flag, a constant) collapses into 1-2 buckets = 1-2
+    window tasks — silently reproducing the single-task funnel this
+    module exists to prevent. When the effective bucket count lands
+    far below the request, say so at runtime instead of quietly
+    serializing the job.
+    """
+    effective = len(uniq) + 1
+    if effective < max(4, num_buckets // 8):
+        warnings.warn(
+            f"{where}: value column collapsed to {effective} range bucket(s) "
+            f"(requested {num_buckets}) — the values are massively tied, and "
+            "each bucket's window runs as ONE task. Rank a mostly-continuous "
+            "column, or pre-collapse ties (grouped_percent_rank pattern).",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
+def _tie_aware_bucket(
+    df: DataFrame,
+    value_col: str,
+    tiebreakers: list[str],
+    num_buckets: int,
+    where: str,
+) -> Column:
+    """Range-bucket ``value_col`` for the bucketed-prefix rank, with a
+    composite (value, tiebreaker) fallback for heavily tied values.
+
+    Base case (continuous values — every production caller today):
+    identical to the plain quantile chain in exact_global_rank, bucket
+    = #boundaries <= value via a descending when-chain of scalar
+    comparisons (see that function for why not a higher-order filter).
+
+    Tie fallback: a value that repeats across >= 2 of the
+    ``num_buckets`` quantile probes holds >= ~1/num_buckets of ALL
+    rows — a 0/1 flag funnels half the data into one bucket = one
+    window task. For each such heavy value the chain gains an
+    EXACT-equality level (native int comparison for integral types,
+    double for float/double — both collision-free, which is why
+    DECIMAL values never take this branch), and rows on that level
+    sub-bucket by quantiles of the first numeric tiebreaker: within an
+    exact tie the ORDER is the tiebreakers, so a tiebreaker range
+    split preserves rank order exactly as the value split does between
+    ties. Final bucket id = base_level * K + sub keeps the composite
+    monotone in (value, tiebreaker) order, so the downstream prefix
+    offsets are untouched. NULL values still fall to bucket 0 (NULLS
+    FIRST under the asc window).
+
+    When values are tied but no tiebreaker is quantile-able, falls
+    back to the plain chain and warns (``_warn_bucket_collapse``).
+    """
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    bounds = df.stat.approxQuantile(value_col, probs, 1.0 / (4 * num_buckets))
+    uniq = sorted(set(bounds))
+    v = F.col(value_col).cast("double")
+    vtype = df.schema[value_col].dataType
+    heavy = sorted(hv for hv, c in Counter(bounds).items() if c >= 2)
+    sub_tb: str | None = None
+    if heavy and isinstance(vtype, _EXACT_EQ_TYPES):
+        for t in tiebreakers:
+            if isinstance(df.schema[t].dataType, _QUANTILE_TYPES):
+                sub_tb = t
+                break
+    if not (heavy and sub_tb):
+        # plain chain — byte-identical plan to the pre-r9 operator
+        _warn_bucket_collapse(uniq, num_buckets, where)
+        if uniq:
+            chain = F.when(v >= uniq[-1], len(uniq))
+            for i in range(len(uniq) - 2, -1, -1):
+                chain = chain.when(v >= uniq[i], i + 1)
+            return chain.otherwise(0).cast("long")
+        return F.lit(0).cast("long")
+
+    integral = isinstance(vtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+
+    def _native_lit(hv: float):
+        return F.lit(int(hv)) if integral else F.lit(hv)
+
+    # per-heavy-value tiebreaker boundaries in ONE job (grouped
+    # percentile_approx over just the heavy rows — not one scan per
+    # heavy value), only on this (degenerate) path; the driver
+    # receives len(heavy) boundary arrays
+    hv_rows = (
+        df.filter(F.col(value_col).isin([int(hv) if integral else hv for hv in heavy]))
+        .groupBy(F.col(value_col).cast("double").alias("__hv"))
+        .agg(
+            F.percentile_approx(
+                F.col(sub_tb).cast("double"), F.lit(probs).cast("array<double>")
+            ).alias("__sb")
+        )
+        .collect()
+    )
+    sub_bounds: dict[float, list[float]] = {
+        float(r["__hv"]): sorted({b for b in (r["__sb"] or []) if b is not None})
+        for r in hv_rows
+    }
+    for hv in heavy:
+        sub_bounds.setdefault(hv, [])
+    k_sub = max((len(sb) for sb in sub_bounds.values()), default=0) + 1
+
+    # base levels, ascending in value: 0 = (< first boundary | NULL),
+    # then per boundary either one ">= u" level (plain) or two levels
+    # ("== u" exact, then "> u") for heavy u. Build the when-chain
+    # descending so the FIRST true condition wins; every comparison is
+    # weakly monotone under the double cast, so levels are monotone in
+    # native value order.
+    level = 0
+    branches: list[tuple[Column, int]] = []  # descending order later
+    for u in uniq:
+        if u in sub_bounds:
+            level += 1
+            branches.append((F.col(value_col) == _native_lit(u), level))
+            level += 1
+            branches.append((F.col(value_col) > _native_lit(u), level))
+        else:
+            level += 1
+            branches.append((v >= u, level))
+    chain = None
+    for cond, lev in reversed(branches):
+        chain = F.when(cond, lev) if chain is None else chain.when(cond, lev)
+    base = chain.otherwise(0).cast("long")
+
+    # sub-bucket: quantile chain of the tiebreaker, only on the exact-
+    # equality levels; 0 everywhere else
+    tb = F.col(sub_tb).cast("double")
+    sub = F.lit(0)
+    for hv, sb in sub_bounds.items():
+        if not sb:
+            continue
+        tb_chain = F.when(tb >= sb[-1], len(sb))
+        for i in range(len(sb) - 2, -1, -1):
+            tb_chain = tb_chain.when(tb >= sb[i], i + 1)
+        sub = F.when(F.col(value_col) == _native_lit(hv), tb_chain.otherwise(0)).otherwise(sub)
+    return (base * k_sub + sub.cast("long")).cast("long")
 
 
 def exact_global_rank(
@@ -51,6 +214,7 @@ def exact_global_rank(
     probs = [i / num_buckets for i in range(1, num_buckets)]
     bounds = df.stat.approxQuantile(value_col, probs, 1.0 / (4 * num_buckets))
     uniq = sorted(set(bounds))
+    _warn_bucket_collapse(uniq, num_buckets, "exact_global_rank")
     # bucket = #boundaries <= value, as a descending when-chain of
     # PLAIN comparisons. Deliberately not a higher-order filter() over
     # a boundary array: the lambda subtree shared between this frame's
@@ -111,6 +275,7 @@ def exact_global_cumsum(
     probs = [i / num_buckets for i in range(1, num_buckets)]
     bounds = df.stat.approxQuantile(value_col, probs, 1.0 / (4 * num_buckets))
     uniq = sorted(set(bounds))
+    _warn_bucket_collapse(uniq, num_buckets, "exact_global_cumsum")
     v = F.col(value_col).cast("double")
     if uniq:
         chain = F.when(v >= uniq[-1], len(uniq))
@@ -182,26 +347,21 @@ def grouped_exact_rank(
     land in bucket 0 where the asc window's NULLS FIRST ranks them
     lowest — matching native row_number semantics.
 
-    Caveat (shared with exact_global_rank): the bucket is a function
-    of the VALUE, so a massively tied value column (e.g. a 0/1 flag)
-    collapses those rows into one bucket and its window into one task.
-    Rank by a mostly-continuous column; for heavily tied values,
-    collapse ties first (the grouped_percent_rank approach) or rank on
-    a composite that spreads them.
+    Tie hardening (r8 verdict item 6): a massively tied value column
+    (e.g. a 0/1 flag) would collapse into 1-2 buckets = 1-2 window
+    tasks. When a value repeats across quantile probes AND the column
+    type supports exact equality (int/float families, not DECIMAL),
+    rows on that exact value sub-bucket by quantiles of the first
+    numeric tiebreaker — within an exact tie the order IS the
+    tiebreakers, so the composite bucket stays monotone in the sort
+    order and the prefix offsets are untouched (``_tie_aware_bucket``).
+    Continuous values take the identical plan as before; untreatable
+    collapse (no numeric tiebreaker, decimal flags) warns at runtime
+    instead of silently serializing.
     """
     if materialize:
         df = df.localCheckpoint(eager=True)
-    probs = [i / num_buckets for i in range(1, num_buckets)]
-    bounds = df.stat.approxQuantile(value_col, probs, 1.0 / (4 * num_buckets))
-    uniq = sorted(set(bounds))
-    v = F.col(value_col).cast("double")
-    if uniq:
-        chain = F.when(v >= uniq[-1], len(uniq))
-        for i in range(len(uniq) - 2, -1, -1):
-            chain = chain.when(v >= uniq[i], i + 1)
-        bucket = chain.otherwise(0).cast("long")
-    else:
-        bucket = F.lit(0).cast("long")
+    bucket = _tie_aware_bucket(df, value_col, tiebreakers, num_buckets, "grouped_exact_rank")
     bucketed = df.withColumn("__rb", bucket)
     order: list[Column] = [F.col(value_col).asc()] + [F.col(t).asc() for t in tiebreakers]
     w = Window.partitionBy(*group_cols, "__rb").orderBy(*order)

@@ -189,9 +189,9 @@ def test_grouped_exact_rank_matches_window(spark, vals, ngroups):
 
 
 def test_grouped_exact_rank_degenerate_distributions(spark):
-    # (a) every row one value in one group — all rows collapse into a
-    # single bucket (the documented tie caveat) but ranks stay the
-    # exact 1..n permutation by tiebreaker; (b) 10k one-row groups —
+    # (a) every row one value in one group — since r9 the tie-aware
+    # bucket sub-splits the all-tied value by the id tiebreaker, and
+    # ranks stay the exact 1..n permutation; (b) 10k one-row groups —
     # every rank is 1; both through the broadcast offset path.
     from lakehouse_architecture_transaction_spark.operators.ranking import grouped_exact_rank
     from pyspark.sql import functions as F
@@ -990,3 +990,69 @@ def test_bpe_learn_and_segment_match_python_reference(spark, texts):
         words = [w for w in t.split() if w != ""]
         exp_tokens = sum(_py_bpe_segment(w, want) for w in words)
         assert seg[i] == (len(words), exp_tokens)
+
+
+def test_tie_aware_bucket_spreads_flag_column(spark):
+    # r8 verdict item 6: a 0/1 flag value column must NOT funnel into
+    # 1-2 window tasks when a numeric tiebreaker exists — the
+    # composite (value, tiebreaker) bucket spreads each tied mass
+    # across tiebreaker-quantile sub-buckets, and ranks still match
+    # the native window exactly.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_transaction_spark.operators.ranking import (
+        _tie_aware_bucket,
+        grouped_exact_rank,
+    )
+
+    n = 4_000
+    df = spark.range(n).selectExpr(
+        "id", "CAST(id % 3 AS string) AS g", "CAST(id % 2 AS long) AS v"
+    )
+    bucket = _tie_aware_bucket(df, "v", ["id"], num_buckets=64, where="test")
+    n_buckets = df.select(bucket.alias("b")).distinct().count()
+    assert n_buckets >= 32, f"flag column still funnels: {n_buckets} buckets"
+    # and the max bucket holds a small fraction of the rows, not half
+    top = (
+        df.select(bucket.alias("b")).groupBy("b").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert top <= n // 16
+    # correctness through the full operator on the same degenerate input
+    got = {
+        r["id"]: r["rank"]
+        for r in grouped_exact_rank(
+            df, group_cols=["g"], value_col="v", tiebreakers=["id"]
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("id").asc())
+    want = {r["id"]: r["rn"] for r in df.select("id", F.row_number().over(w).alias("rn")).collect()}
+    assert got == want
+
+
+def test_tie_aware_bucket_warns_when_unsplittable(spark):
+    # A tied DECIMAL value column (double-collision risk excludes the
+    # exact-equality split) must warn loudly instead of silently
+    # serializing — and still rank correctly through the plain chain.
+    import warnings as _w
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_transaction_spark.operators.ranking import grouped_exact_rank
+
+    df = spark.range(1_000).selectExpr(
+        "id", "'g0' AS g", "CAST(id % 2 AS DECIMAL(12,2)) AS v"
+    )
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        out = grouped_exact_rank(df, group_cols=["g"], value_col="v", tiebreakers=["id"])
+        rows = out.collect()
+    assert any(
+        issubclass(c.category, RuntimeWarning) and "collapsed" in str(c.message)
+        for c in caught
+    ), "expected a bucket-collapse RuntimeWarning for an unsplittable tied column"
+    got = {r["id"]: r["rank"] for r in rows}
+    w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("id").asc())
+    want = {r["id"]: r["rn"] for r in df.select("id", F.row_number().over(w).alias("rn")).collect()}
+    assert got == want
