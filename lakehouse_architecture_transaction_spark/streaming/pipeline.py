@@ -94,7 +94,11 @@ _SESSION_STATE = "session_start timestamp, session_end timestamp, n_events bigin
 _GAP_SECONDS = 1800
 
 
-def _make_session_fn(idle_timeout_ms: int | None, event_time_gap_s: int | None = None):
+def _make_session_fn(
+    idle_timeout_ms: int | None,
+    event_time_gap_s: int | None = None,
+    session_tz: str = "UTC",
+):
     """Build the incremental gap-sessionizer. Rows extend the open
     session or close it and start a new one.
 
@@ -148,15 +152,27 @@ def _make_session_fn(idle_timeout_ms: int | None, event_time_gap_s: int | None =
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
         elif event_time_gap_s is not None:
-            # naive pandas Timestamp.timestamp() reads as UTC — matches
-            # the UTC-pinned session the streaming pipelines run under.
-            # Spark rejects a timeout timestamp <= the current watermark,
-            # so a straggler event arriving later than (watermark - gap)
-            # would otherwise kill the whole query — clamp to wm + 1 ms
-            # (the session then flushes on the very next watermark advance,
-            # which is the correct late-data behaviour: its window has
-            # already expired).
-            ts_ms = int(end.timestamp() * 1000) + event_time_gap_s * 1000
+            # Arrow hands the state function timestamps RENDERED IN THE
+            # SESSION TIMEZONE as tz-naive values, while the engine's
+            # watermark is true epoch — so re-anchor via tz_localize
+            # (r8 advice: the old naive .timestamp() read the local
+            # rendering as UTC, shifting every timer by the session
+            # offset on a non-UTC driver; pinned by
+            # test_stateful_sessionization_event_time_non_utc_session).
+            # DST edge rows (the 2 ambiguous/skipped hours per year)
+            # resolve deterministically to the DST reading / shifted
+            # forward — at worst an hour-early timer, which the clamp
+            # below already tolerates. Spark rejects a timeout
+            # timestamp <= the current watermark, so a straggler event
+            # arriving later than (watermark - gap) would otherwise
+            # kill the whole query — clamp to wm + 1 ms (the session
+            # then flushes on the very next watermark advance, which is
+            # the correct late-data behaviour: its window has already
+            # expired).
+            anchored = pd.Timestamp(end).tz_localize(
+                session_tz, ambiguous=True, nonexistent="shift_forward"
+            )
+            ts_ms = int(anchored.timestamp() * 1000) + event_time_gap_s * 1000
             wm_ms = state.getCurrentWatermarkMs()
             state.setTimeoutTimestamp(max(ts_ms, wm_ms + 1))
         if closed:
@@ -190,11 +206,12 @@ def sessionize_stateful(
         events = events.withWatermark("ts", watermark)
     else:
         timeout = GroupStateTimeout.NoTimeout
+    session_tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
     return (
         events.select("user_id", "ts")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _make_session_fn(idle_timeout_ms, event_time_gap_s),
+            _make_session_fn(idle_timeout_ms, event_time_gap_s, session_tz),
             outputStructType=_SESSION_OUT,
             stateStructType=_SESSION_STATE,
             outputMode="append",

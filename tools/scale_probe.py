@@ -130,6 +130,17 @@ PROBES = [
     "events_stream_trending",
     "events_stream_sessions",
     "events_stream_dedup",
+    # round-9 registrations (VERDICT r8 item 5): the stream-stream
+    # interval join (state = per-user clicks inside the horizon — the
+    # one streaming shape whose state scales with the DATA, not the
+    # window grain), the stateless broadcast enrichment (control:
+    # per-batch broadcast join, no state), and the foreachBatch
+    # upsert-CDC loop (per-batch MERGE commits into a versioned
+    # LakeTable — prices per-batch commit cost + snapshot-chain
+    # growth, the shape SCALE.md had not measured).
+    "events_stream_clicks",
+    "events_stream_enriched",
+    "orders_stream_upsert_cdc",
 ]
 
 
