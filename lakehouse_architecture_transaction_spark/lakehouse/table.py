@@ -211,12 +211,31 @@ class LakeTable:
             v = self.latest_version() if version is None else version
             if v is None:
                 raise FileNotFoundError(f"no committed version at {self.path}")
-            return self.spark.read.parquet(self._version_dir(v))
+            return self._read_parquet(self._version_dir(v))
         if version is not None:
             raise ValueError("time travel requires versioned=True")
         if _HAVE_DELTA:
             return self.spark.read.format("delta").load(self.path)
-        return self.spark.read.parquet(self.path)
+        return self._read_parquet(self.path)
+
+    def _read_parquet(self, target: str) -> DataFrame:
+        """Read a snapshot directory; prefer the schema sidecar.
+
+        The sidecar (written by ``_write``) makes two things work that
+        bare inference cannot: an EMPTY PARTITIONED snapshot (the
+        partitioned writer emits no data files for an empty frame, so
+        there is no footer to infer from — r9 degenerate-sweep
+        finding), and at scale it skips the footer-sampling schema
+        inference entirely. Snapshots written before the sidecar
+        existed fall back to inference unchanged."""
+        sidecar = os.path.join(target, "_schema.json")
+        if os.path.exists(sidecar):
+            from pyspark.sql.types import StructType
+
+            with open(sidecar) as f:
+                schema = StructType.fromJson(json.load(f))
+            return self.spark.read.schema(schema).parquet(target)
+        return self.spark.read.parquet(target)
 
     # -- writes --------------------------------------------------------
 
@@ -228,6 +247,13 @@ class LakeTable:
             writer.format("delta").save(target)
         else:
             writer.parquet(target)
+            # after the data write: overwrite mode has already cleared
+            # the directory, so the sidecar always describes THIS
+            # snapshot (partition column included — the explicit-schema
+            # read then types partition values identically to the
+            # written frame)
+            with open(os.path.join(target, "_schema.json"), "w") as f:
+                f.write(df.schema.json())
 
     def create(self, df: DataFrame) -> None:
         """Initial load (reference scripts/glue/script.py:219-227)."""

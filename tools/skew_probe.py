@@ -77,6 +77,14 @@ PROBES = [
     # (dedup/hourly/trending key on event_id / (window, type) — user
     # skew cannot reach their state keys, so they are not probed.)
     "events_stream_sessions",
+    # r9: hot user_id in the STREAM-STREAM interval join — the join
+    # state partitions by user, so the hot user's clicks all land in
+    # one state partition, AND the output itself is quadratic per
+    # user (every purchase × every preceding click within 1 h). The
+    # 1-hour interval bound is what keeps the hot user's pair space
+    # O(hot_rows × rows_per_hour), not O(hot_rows²) — this probe
+    # measures that bound holding under a 30%-hot user.
+    "events_stream_clicks",
 ]
 
 
