@@ -109,6 +109,7 @@ HEADLINE_FAMILIES: dict[str, str] = {
     # sampling / sharding
     "docs_shuffled_batches": "sampling",
     "docs_source_mixture_sample": "sampling",
+    "docs_priority_sample": "sampling",
     # similarity search
     "emb_knn_bruteforce": "ann",
     "emb_ann_lsh": "ann",

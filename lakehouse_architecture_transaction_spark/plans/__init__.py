@@ -19,5 +19,6 @@ from lakehouse_architecture_transaction_spark.plans import (  # noqa: F401
     pipeline_ops4,
     queued_r8,
     queued_r9,
+    queued_r10,
 )
 from lakehouse_architecture_transaction_spark.plans.registry import REGISTRY, QuerySpec  # noqa: F401

@@ -663,3 +663,15 @@ def docs_source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame
     return source_distinctive_terms(
         docs, id_col="doc_id", text_col="text", group_col="source", k=10, min_corpus_count=5
     ).orderBy("source", "rank")
+
+
+# ------------------------------------------------------------------
+# Round-9 registration (VERDICT r8 item 1's held tenth slot): the
+# first row of the r10 batch, L91 priority sampling, becomes a
+# driver-checked query. The rest of this module stays queued for the
+# round-10 budget.
+# ------------------------------------------------------------------
+
+from lakehouse_architecture_transaction_spark.plans.registry import register  # noqa: E402
+
+register("docs_priority_sample", oracle=DOCS_PRIORITY_SAMPLE_ORACLE)(docs_priority_sample)
