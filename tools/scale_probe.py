@@ -141,6 +141,11 @@ PROBES = [
     "events_stream_clicks",
     "events_stream_enriched",
     "orders_stream_upsert_cdc",
+    # round-9 tenth-slot registration: priority sampling — the
+    # TakeOrderedAndProject top-(k+1) per-partition-heap shape; the
+    # probe should show near-flat time and shuffle bounded by
+    # k × partition count, independent of corpus growth.
+    "docs_priority_sample",
 ]
 
 
