@@ -146,6 +146,22 @@ PROBES = [
     # probe should show near-flat time and shuffle bounded by
     # k × partition count, independent of corpus growth.
     "docs_priority_sample",
+    # queued-queue risk shapes probed ahead of their registration
+    # rounds (resolved via the _fn fallback):
+    # - docs_dup_spans (r10): the documented ~window× position
+    #   amplification — posexplode to per-position 50-char keys, ONE
+    #   shuffle at position cardinality; shuffle should scale linearly
+    #   with corpus chars (the 100 TB variant ships xxhash64(window)
+    #   keys instead, same plan shape).
+    # - docs_vocab_growth (r10): first-occurrence aggregate — shuffle
+    #   at token-instance cardinality, output at vocabulary
+    #   cardinality (sub-linear by Heaps' law).
+    # - emb_pair_sim_histogram (r11): the pair-space shape — capped
+    #   LSH pair miner + id-shifted baseline self-join; linear-in-
+    #   regime proof that no all-pairs stage hides in the branches.
+    "docs_dup_spans",
+    "docs_vocab_growth",
+    "emb_pair_sim_histogram",
 ]
 
 
