@@ -23,8 +23,14 @@
   (operators/text.py vocab_growth).
 - docs_source_distinctive_terms — per-source top-10 tokens by exact
   lift (operators/text.py source_distinctive_terms).
+- events_stream_sessions_stateful — the HOUSE applyInPandasWithState
+  sessionizer (S2, streaming/pipeline.py sessionize_stateful) as a
+  bounded availableNow run over a time-ordered staged zone with a
+  per-user sentinel, value-checked against the same lag+cumsum SQL
+  as the native-engine twin (added round 9; the last streaming
+  component without a driver-checkable companion).
 
-All eight are oracle-previewed cell-exact at sf0.001/0.01/0.1
+All nine are oracle-previewed cell-exact at sf0.001/0.01/0.1
 (tests/test_oracle_parity.py) and degenerate-input pinned
 (tests/test_empty_inputs.py).
 """
@@ -663,6 +669,180 @@ def docs_source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame
     return source_distinctive_terms(
         docs, id_col="doc_id", text_col="text", group_col="source", k=10, min_corpus_count=5
     ).orderBy("source", "rank")
+
+
+# ------------------------------------------------------------------
+# 9. events_stream_sessions_stateful — the HOUSE applyInPandasWithState
+#    sessionizer (S2) as a driver-checkable query
+# ------------------------------------------------------------------
+#
+# The last streaming component without a registered companion: S8
+# covered the NATIVE session_window engine; this covers the custom
+# stateful operator itself. Determinism without relying on timer
+# timing: the landing zone is staged as time-ordered event slices
+# (ascending file names AND mtimes, one file per micro-batch) plus a
+# FINAL sentinel file carrying one far-future event per user. The
+# sentinel exceeds every possible gap, so the state function closes
+# each user's open tail INLINE on the data path (streaming/pipeline.py
+# _make_session_fn: `t - end > gap` → emit) — no reliance on
+# event-time timers firing before shutdown. Mid-replay timer firings
+# are consistent by construction: a timer fires only when
+# watermark > end + gap, and every future event's ts exceeds the
+# watermark (time-ordered slices), so any timer-emitted session would
+# have been split at the same boundary by the data path. The emitted
+# set is therefore EXACTLY the batch gap-sessionization of the real
+# events; the sentinel sessions stay open in state and never emit.
+
+_SFS_MEMO: dict[tuple[str, str], str] = {}
+_SFS_SLICES = 6
+
+
+def _stateful_sessions_src(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once per app+sf_dir) the events table as 6 time-ordered
+    slices + 1 sentinel file (one event per user, 1 day past the max
+    ts — beyond any gap), names and mtimes ascending so the file
+    source replays them in event-time order."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    src = _SFS_MEMO.get(key)
+    if src is not None:
+        return src
+    src = tempfile.mkdtemp(prefix="lakehouse_architecture_transaction_sessfn_")
+    atexit.register(shutil.rmtree, src, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    stage = tempfile.mkdtemp(prefix="lakehouse_architecture_transaction_sessfn_stage_")
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
+
+    def _ship(df, i: int) -> None:
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.startswith("part-") and f.endswith(".parquet")]
+        dst = os.path.join(src, f"slice_{i:02d}.parquet")
+        shutil.copyfile(os.path.join(stage, part[0]), dst)
+        os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+
+    if lo is None:
+        _ship(ev, 0)  # empty corpus: one empty, schema-bearing file
+        _SFS_MEMO[key] = src
+        return src
+    span = (hi - lo) / _SFS_SLICES
+    for i in range(_SFS_SLICES):
+        s, e = lo + i * span, lo + (i + 1) * span
+        cond = (F.col("ts") >= F.lit(s)) & (
+            (F.col("ts") <= F.lit(hi)) if i == _SFS_SLICES - 1 else (F.col("ts") < F.lit(e))
+        )
+        _ship(ev.filter(cond), i)
+    sentinel = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            F.lit(-1).cast("bigint").alias("event_id"),
+            (F.lit(hi).cast("timestamp_ntz") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+            F.col("user_id"),
+            F.lit("__sentinel__").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+    )
+    _ship(sentinel.select([f.name for f in ev.schema.fields]), _SFS_SLICES)
+    _SFS_MEMO[key] = src
+    return src
+
+
+def events_stream_sessions_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 as a driver-checkable query: the house applyInPandasWithState
+    gap sessionizer (streaming/pipeline.py sessionize_stateful,
+    event-time timers, 30-min gap) run as a bounded availableNow
+    stream over the time-ordered staged zone, reduced to the
+    session-size distribution. A sentinel event per user 1 day past
+    the corpus closes every real session on the data path (see module
+    comment), so the emitted set equals first-principles batch
+    sessionization and the oracle is the same lag+cumsum SQL the
+    native-engine twin (events_stream_sessions) is checked against —
+    the custom operator and the built-in engine are value-checked
+    against the SAME ground truth. Sentinel-started sessions remain
+    open in state and are excluded by construction (they never emit).
+
+    Scale shape: state is one (start, end, n) row per LIVE user key
+    (measured: tests/test_streaming.py state accounting); the shuffle
+    keys on user_id once per micro-batch; Arrow batches the state
+    function. Production bounds state by the watermark horizon — the
+    sentinel is a replay-harness device, not a deployment pattern."""
+    import uuid
+
+    from lakehouse_architecture_transaction_spark.streaming.pipeline import (
+        EVENT_SCHEMA,
+        sessionize_stateful,
+    )
+
+    src = _stateful_sessions_src(spark, sf_dir)
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    name = f"sessfn_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize_stateful(raw, event_time_gap_s=1800, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        spark.table(name)
+        .groupBy(F.col("n_events").cast("int").alias("session_size"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.sum(F.unix_micros("session_end") - F.unix_micros("session_start"))
+            .cast("bigint")
+            .alias("total_duration_us"),
+        )
+        .select(
+            "session_size",
+            "n_sessions",
+            (F.col("total_duration_us").cast("double") / F.lit(1000000.0)).alias(
+                "total_duration_s"
+            ),
+        )
+        .orderBy("session_size")
+        .localCheckpoint(eager=True)
+    )
+    spark.catalog.dropTempView(name)
+    return out
+
+
+EVENTS_STREAM_SESSIONS_STATEFUL_ORACLE = """
+WITH ordered AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                     > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+), sess AS (
+    SELECT user_id, ts,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM ordered
+), s AS (
+    SELECT user_id, session_id,
+           CAST(COUNT(*) AS INTEGER) AS session_size,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+    FROM sess GROUP BY user_id, session_id
+)
+SELECT session_size,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(CAST(SUM(dur_us) AS BIGINT) AS DOUBLE) / 1000000.0 AS total_duration_s
+FROM s GROUP BY session_size
+ORDER BY session_size ASC
+"""
 
 
 # ------------------------------------------------------------------

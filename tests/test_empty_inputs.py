@@ -204,6 +204,9 @@ def _queued_fns():
         ("orders_revenue_autocorr", Q10.orders_revenue_autocorr),
         ("docs_vocab_growth", Q10.docs_vocab_growth),
         ("docs_source_distinctive_terms", Q10.docs_source_distinctive_terms),
+        # the house stateful sessionizer companion (empty landing
+        # zone: one empty schema-bearing slice, no sentinel file)
+        ("events_stream_sessions_stateful", Q10.events_stream_sessions_stateful),
         # the r11 batch (no purchases, constant-x groups, empty corpus,
         # single-vector embeddings, empty victim)
         ("lineitem_shipdelay_trend", Q11.lineitem_shipdelay_trend),

@@ -502,6 +502,10 @@ def test_r9_lakehouse_companion_oracle_parity_preview(spark, sf_dir, fn_name, or
         ("orders_revenue_autocorr", "ORDERS_REVENUE_AUTOCORR_ORACLE"),
         ("docs_vocab_growth", "DOCS_VOCAB_GROWTH_ORACLE"),
         ("docs_source_distinctive_terms", "DOCS_DISTINCTIVE_TERMS_ORACLE"),
+        # the house applyInPandasWithState sessionizer (S2) as a
+        # bounded availableNow run — sentinel-closed, so the emitted
+        # set equals batch sessionization exactly (see queued_r10)
+        ("events_stream_sessions_stateful", "EVENTS_STREAM_SESSIONS_STATEFUL_ORACLE"),
     ],
 )
 def test_r10_training_ops_oracle_parity_preview(spark, sf_dir, fn_name, oracle_name):
