@@ -102,6 +102,16 @@ def _make_session_fn(
     """Build the incremental gap-sessionizer. Rows extend the open
     session or close it and start a new one.
 
+    Disorder tolerance: within a micro-batch rows are sorted; ACROSS
+    batches, a late-but-in-watermark event that lands inside the open
+    session's reach is absorbed (start=min, end=max — pinned by
+    test_stateful_sessionization_absorbs_cross_batch_disorder). A late
+    event belonging to an already-emitted session is NOT re-attached:
+    the state is one open session per key and sessions are emitted
+    optimistically on split. Where full disorder correctness matters,
+    use sessionize_native (session_window holds every open session
+    until the watermark passes).
+
     Closure policy:
     - ``idle_timeout_ms=None`` (default): sessions close ONLY when a
       gap-exceeding event arrives (NoTimeout). Wall-clock timers under
@@ -147,7 +157,13 @@ def _make_session_fn(
                 closed.append({"user_id": user_id, "session_start": start, "session_end": end, "n_events": n})
                 start, end, n = t, t, 1
             else:
-                end, n = t, n + 1
+                # min/max, not plain assignment: a late-but-in-watermark
+                # event from a later micro-batch may land INSIDE the open
+                # session's span (t < end, or even t < start). Regressing
+                # `end` to t would shift the gap anchor backwards and
+                # split where batch semantics merge; `start` must absorb
+                # an earlier late event or the emitted span is short.
+                start, end, n = min(start, t), max(end, t), n + 1
         state.update((start, end, n))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)

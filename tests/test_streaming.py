@@ -151,6 +151,63 @@ def test_stateful_sessionization_event_time_flush(spark, tmp_path):
         q.stop()
 
 
+def test_stateful_sessionization_absorbs_cross_batch_disorder(spark, tmp_path):
+    # A late-but-in-watermark event landing INSIDE the open session's
+    # span must be absorbed (start=min, end=max), not regress the gap
+    # anchor: before the min/max merge, user 7's late 10:10 arrival
+    # pulled `end` back from 10:20, so the 10:45 event (gap 1500s from
+    # the true end) split the session where batch semantics merge.
+    src = tmp_path / "disorder_landing"
+    src.mkdir()
+    schema = "event_id bigint, ts string, user_id bigint, event_type string, value double, props string"
+
+    def _drop(name, rows):
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp_ntz")
+        ).coalesce(1).write.parquet(str(src / name))
+
+    from lakehouse_architecture_transaction_spark.streaming.pipeline import (
+        read_event_stream,
+        sessionize_stateful,
+    )
+
+    _drop("b0", [(1, "2024-01-01 10:00:00", 7, "click", 1.0, "{}"),
+                 (2, "2024-01-01 10:20:00", 7, "click", 1.0, "{}"),
+                 (3, "2024-01-01 11:00:00", 9, "click", 1.0, "{}")])
+    stream = read_event_stream(spark, str(src / "*"))
+    q = (
+        sessionize_stateful(stream, event_time_gap_s=1800, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("disorder_sessions_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 1: in-span late event for 7 (10:10), span-extending
+        # follow-up (10:45), and an EARLIER-than-start late event for 9
+        _drop("b1", [(4, "2024-01-01 10:10:00", 7, "click", 1.0, "{}"),
+                     (5, "2024-01-01 10:45:00", 7, "click", 1.0, "{}"),
+                     (6, "2024-01-01 10:50:00", 9, "click", 1.0, "{}")])
+        q.processAllAvailable()
+        # batch 2: far-future events close both sessions on the data path
+        _drop("b2", [(7, "2024-01-01 14:00:00", 7, "click", 1.0, "{}"),
+                     (8, "2024-01-01 14:00:00", 9, "click", 1.0, "{}")])
+        q.processAllAvailable()
+        out = {r["user_id"]: r for r in spark.sql(
+            "SELECT * FROM disorder_sessions_out"
+        ).collect()}
+        assert out[7]["n_events"] == 4, "disorder split the open session"
+        assert str(out[7]["session_start"]).startswith("2024-01-01 10:00")
+        assert str(out[7]["session_end"]).startswith("2024-01-01 10:45")
+        assert out[9]["n_events"] == 2
+        assert str(out[9]["session_start"]).startswith("2024-01-01 10:50")
+        assert str(out[9]["session_end"]).startswith("2024-01-01 11:00")
+    finally:
+        q.stop()
+        spark.catalog.dropTempView("disorder_sessions_out")
+
+
 def test_native_session_window_stream_matches_batch(spark, sf_dir, tmp_path):
     # Native session_window streaming sessionization: closed sessions
     # (watermark-passed) must agree with the batch session_window
