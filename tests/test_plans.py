@@ -83,6 +83,18 @@ def test_mktseg_gini_rank_window_is_bucketed(spark, sf_dir):
     )
 
 
+def test_priority_sample_is_take_ordered_not_global_sort(spark, sf_dir):
+    # Priority sampling must select its top-(k+1) via per-partition
+    # heaps (TakeOrderedAndProject), never a global range-sort — the
+    # plan property that keeps the sample O(k) per partition at any
+    # corpus size. (A SinglePartition exchange IS present and fine:
+    # it is the 1-row tau aggregate over the checkpointed (k+1)-row
+    # frame, not a data-bearing stage.)
+    plan = _formatted_plan(REGISTRY["docs_priority_sample"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan, "global sort crept into the sample path"
+
+
 def test_no_cartesian_anywhere_in_headline(spark, sf_dir):
     import bench
 
