@@ -714,6 +714,9 @@ def _stateful_sessions_src(spark: SparkSession, sf_dir: str) -> str:
     src = tempfile.mkdtemp(prefix="lakehouse_architecture_transaction_sessfn_")
     atexit.register(shutil.rmtree, src, ignore_errors=True)
     ev = load_table(spark, sf_dir, "events")
+    # 1-ROW aggregate collect at memo time (slice boundaries for the
+    # replay harness) — not a data collect; the staged zone itself is
+    # written distributed.
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
     stage = tempfile.mkdtemp(prefix="lakehouse_architecture_transaction_sessfn_stage_")
     atexit.register(shutil.rmtree, stage, ignore_errors=True)
