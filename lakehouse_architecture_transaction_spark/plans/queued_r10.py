@@ -733,10 +733,23 @@ def _stateful_sessions_src(spark: SparkSession, sf_dir: str) -> str:
         _SFS_MEMO[key] = src
         return src
     span = (hi - lo) / _SFS_SLICES
+
+    def _ntz(dt):
+        # ts is TIMESTAMP_NTZ: the boundary must be built WITHOUT any
+        # timezone hop. F.lit(datetime) converts the naive value to an
+        # instant via the PYTHON-side zone while a later cast/coercion
+        # renders in the SESSION zone — under a non-UTC driver the
+        # round-trip shifts by the offset and silently cut the last
+        # <offset> hours of events out of the final slice (5 dropped
+        # rows, 5 missing sessions under America/New_York; pinned by
+        # the companion's non-UTC oracle test). A string parsed as
+        # TIMESTAMP_NTZ is wall-clock on both ends.
+        return F.lit(dt.isoformat(sep=" ")).cast("timestamp_ntz")
+
     for i in range(_SFS_SLICES):
         s, e = lo + i * span, lo + (i + 1) * span
-        cond = (F.col("ts") >= F.lit(s)) & (
-            (F.col("ts") <= F.lit(hi)) if i == _SFS_SLICES - 1 else (F.col("ts") < F.lit(e))
+        cond = (F.col("ts") >= _ntz(s)) & (
+            (F.col("ts") <= _ntz(hi)) if i == _SFS_SLICES - 1 else (F.col("ts") < _ntz(e))
         )
         _ship(ev.filter(cond), i)
     sentinel = (
@@ -744,7 +757,7 @@ def _stateful_sessions_src(spark: SparkSession, sf_dir: str) -> str:
         .distinct()
         .select(
             F.lit(-1).cast("bigint").alias("event_id"),
-            (F.lit(hi).cast("timestamp_ntz") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+            (_ntz(hi) + F.expr("INTERVAL 1 DAY")).alias("ts"),
             F.col("user_id"),
             F.lit("__sentinel__").alias("event_type"),
             F.lit(0.0).alias("value"),

@@ -90,14 +90,23 @@ def top_k_per_window(counts: DataFrame, k: int = 3) -> DataFrame:
 
 
 _SESSION_OUT = "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
-_SESSION_STATE = "session_start timestamp, session_end timestamp, n_events bigint"
+#: state carries BOTH the reporting timestamps and exact epoch micros:
+#: Arrow hands the state function timestamps rendered in the session
+#: timezone as tz-naive values, so all ORDERING and GAP arithmetic
+#: runs on the engine-computed unix_micros column (DST-proof — a
+#: wall-clock difference across a DST transition is off by ±1h);
+#: the naive timestamps are carried only for the emitted session
+#: boundaries, where the session-tz rendering round-trips symmetrically.
+_SESSION_STATE = (
+    "session_start timestamp, session_end timestamp, "
+    "start_us bigint, end_us bigint, n_events bigint"
+)
 _GAP_SECONDS = 1800
 
 
 def _make_session_fn(
     idle_timeout_ms: int | None,
     event_time_gap_s: int | None = None,
-    session_tz: str = "UTC",
 ):
     """Build the incremental gap-sessionizer. Rows extend the open
     session or close it and start a new one.
@@ -137,58 +146,58 @@ def _make_session_fn(
         if state.hasTimedOut:
             # timer fired: no data for this key — flush the open session
             if state.exists:
-                start, end, n = state.get
+                start, end, _su, _eu, n = state.get
                 state.remove()
                 yield pd.DataFrame(
                     [{"user_id": user_id, "session_start": start, "session_end": end, "n_events": n}]
                 )
             return
-        ts = pd.concat([p["ts"] for p in pdfs]).sort_values()
+        # ALL ordering and gap arithmetic on the engine-computed epoch
+        # micros (ts_us): the naive ts values are session-tz wall-clock
+        # renderings, whose differences are wrong by ±1h across a DST
+        # transition (pinned by the companion's non-UTC oracle test).
+        batch = pd.concat(list(pdfs)).sort_values("ts_us")
         closed = []
         if state.exists:
-            start, end, n = state.get
+            start, end, start_us, end_us, n = state.get
         else:
-            start = end = None
+            start = end = start_us = end_us = None
             n = 0
-        for t in ts:
+        for t, u in zip(batch["ts"], batch["ts_us"]):
             if start is None:
-                start, end, n = t, t, 1
-            elif (t - end).total_seconds() > _GAP_SECONDS:
+                start, end, start_us, end_us, n = t, t, u, u, 1
+            elif u - end_us > _GAP_SECONDS * 1_000_000:
                 closed.append({"user_id": user_id, "session_start": start, "session_end": end, "n_events": n})
-                start, end, n = t, t, 1
+                start, end, start_us, end_us, n = t, t, u, u, 1
             else:
                 # min/max, not plain assignment: a late-but-in-watermark
                 # event from a later micro-batch may land INSIDE the open
-                # session's span (t < end, or even t < start). Regressing
-                # `end` to t would shift the gap anchor backwards and
-                # split where batch semantics merge; `start` must absorb
-                # an earlier late event or the emitted span is short.
-                start, end, n = min(start, t), max(end, t), n + 1
-        state.update((start, end, n))
+                # session's span (u < end_us, or even u < start_us).
+                # Regressing `end` to t would shift the gap anchor
+                # backwards and split where batch semantics merge;
+                # `start` must absorb an earlier late event or the
+                # emitted span is short.
+                if u > end_us:
+                    end, end_us = t, u
+                if u < start_us:
+                    start, start_us = t, u
+                n += 1
+        state.update((start, end, int(start_us), int(end_us), n))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
         elif event_time_gap_s is not None:
-            # Arrow hands the state function timestamps RENDERED IN THE
-            # SESSION TIMEZONE as tz-naive values, while the engine's
-            # watermark is true epoch — so re-anchor via tz_localize
-            # (r8 advice: the old naive .timestamp() read the local
-            # rendering as UTC, shifting every timer by the session
-            # offset on a non-UTC driver; pinned by
-            # test_stateful_sessionization_event_time_non_utc_session).
-            # DST edge rows (the 2 ambiguous/skipped hours per year)
-            # resolve deterministically to the DST reading / shifted
-            # forward — at worst an hour-early timer, which the clamp
-            # below already tolerates. Spark rejects a timeout
-            # timestamp <= the current watermark, so a straggler event
-            # arriving later than (watermark - gap) would otherwise
-            # kill the whole query — clamp to wm + 1 ms (the session
-            # then flushes on the very next watermark advance, which is
-            # the correct late-data behaviour: its window has already
+            # Exact epoch timer: end_us is true epoch micros, so the
+            # event-time timer needs no timezone re-anchoring (the r8
+            # tz_localize fix is superseded by carrying ts_us; the
+            # non-UTC pin test_stateful_sessionization_event_time_non_utc_session
+            # still guards it). Spark rejects a timeout timestamp <=
+            # the current watermark, so a straggler event arriving
+            # later than (watermark - gap) would otherwise kill the
+            # whole query — clamp to wm + 1 ms (the session then
+            # flushes on the very next watermark advance, which is the
+            # correct late-data behaviour: its window has already
             # expired).
-            anchored = pd.Timestamp(end).tz_localize(
-                session_tz, ambiguous=True, nonexistent="shift_forward"
-            )
-            ts_ms = int(anchored.timestamp() * 1000) + event_time_gap_s * 1000
+            ts_ms = int(end_us) // 1000 + event_time_gap_s * 1000
             wm_ms = state.getCurrentWatermarkMs()
             state.setTimeoutTimestamp(max(ts_ms, wm_ms + 1))
         if closed:
@@ -222,12 +231,14 @@ def sessionize_stateful(
         events = events.withWatermark("ts", watermark)
     else:
         timeout = GroupStateTimeout.NoTimeout
-    session_tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
     return (
-        events.select("user_id", "ts")
+        # ts_us is computed ENGINE-SIDE (true epoch micros) so the
+        # state function never does timezone math on Arrow's naive
+        # session-tz renderings — see _SESSION_STATE.
+        events.select("user_id", "ts", F.unix_micros(F.col("ts")).alias("ts_us"))
         .groupBy("user_id")
         .applyInPandasWithState(
-            _make_session_fn(idle_timeout_ms, event_time_gap_s, session_tz),
+            _make_session_fn(idle_timeout_ms, event_time_gap_s),
             outputStructType=_SESSION_OUT,
             stateStructType=_SESSION_STATE,
             outputMode="append",

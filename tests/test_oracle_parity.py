@@ -682,3 +682,28 @@ def test_timestamp_queries_session_timezone_independent(spark, sf_dir):
             test_oracle_parity(spark, sf_dir, name)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prior)
+
+
+def test_stateful_sessions_companion_session_timezone_independent(spark, sf_dir):
+    """The queued house-sessionizer companion under a non-UTC driver:
+    it exercises every tz-risk layer at once (NTZ sentinel arithmetic
+    in the staging, the NTZ→TIMESTAMP stream cast, the state
+    function's tz_localize timer re-anchoring, unix_micros duration
+    math) — rerun against the same DuckDB oracle. A fresh staged zone
+    per timezone (the memo keys on app+sf_dir, so clear it) keeps the
+    sentinel computation itself under test."""
+    from lakehouse_architecture_transaction_spark.plans import queued_r10 as Q
+
+    prior = spark.conf.get("spark.sql.session.timeZone")
+    staged = dict(Q._SFS_MEMO)
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        Q._SFS_MEMO.clear()
+        con = _duck(sf_dir)
+        got = _canon_rows(Q.events_stream_sessions_stateful(spark, sf_dir))
+        want = _duck_rows(con, Q.EVENTS_STREAM_SESSIONS_STATEFUL_ORACLE)
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior)
+        Q._SFS_MEMO.clear()
+        Q._SFS_MEMO.update(staged)
