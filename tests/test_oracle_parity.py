@@ -663,6 +663,8 @@ _TZ_SENSITIVE = [
     "events_hourly",           # date_trunc calendar bucketing
     "events_asof_orders",      # event-time as-of join
     "orders_backlog_daily",    # epoch-day bucketed running sum
+    "events_stream_clicks",    # stream-stream interval join + latency buckets (r9)
+    "events_stream_dedup",     # watermark-horizon eviction on the cast ts (r9)
 ]
 
 
