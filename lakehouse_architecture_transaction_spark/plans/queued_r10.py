@@ -684,7 +684,7 @@ def docs_source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame
 # FINAL sentinel file carrying one far-future event per user. The
 # sentinel exceeds every possible gap, so the state function closes
 # each user's open tail INLINE on the data path (streaming/pipeline.py
-# _make_session_fn: `t - end > gap` → emit) — no reliance on
+# _make_session_fn: `ts_us - end_us > gap` → emit) — no reliance on
 # event-time timers firing before shutdown. Mid-replay timer firings
 # are consistent by construction: a timer fires only when
 # watermark > end + gap, and every future event's ts exceeds the
