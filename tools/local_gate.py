@@ -54,6 +54,14 @@ def main() -> None:
     from __spark_entry__ import oracle_sql, queries
 
     spark = get_spark("local-gate", cpus=int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "16")))
+    # SPARK_GRAFT_TZ=America/New_York runs the WHOLE gate under a
+    # non-UTC session timezone against the same oracles — the full-
+    # registry version of the pytest tz sweep (house invariant: no
+    # query's correctness may depend on the driver's timezone).
+    tz = os.environ.get("SPARK_GRAFT_TZ")
+    if tz:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        print(f"  (session timezone overridden to {tz})")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')")
