@@ -862,12 +862,39 @@ ORDER BY session_size ASC
 
 
 # ------------------------------------------------------------------
-# Round-9 registration (VERDICT r8 item 1's held tenth slot): the
-# first row of the r10 batch, L91 priority sampling, becomes a
-# driver-checked query. The rest of this module stays queued for the
-# round-10 budget.
+# Registrations.
+#
+# Round 9 (VERDICT r8 item 1's held tenth slot): L91 priority
+# sampling became driver-checked.
+#
+# Round 10 (VERDICT r9 item 1): the remaining eight rows of the
+# batch — L92 dup spans, L93 split leakage, E26 inclusion profile,
+# A76 seasonal decompose, A77 revenue autocorr, L94 vocab growth,
+# L95 distinctive terms, and the S2 stateful-sessionizer companion
+# (the last streaming component without a driver row). Eight, not
+# the full ≤10 budget: the driver gate hashes 50 queries per round
+# staleness-first, and with 47 registered queries last-green at r6
+# every extra new registration displaces an r6 re-check — 8 new +
+# 42 of the r6 tail fills the gate exactly as VERDICT r9 item 2
+# intends (the 5-query remainder clears in r11).
 # ------------------------------------------------------------------
 
 from lakehouse_architecture_transaction_spark.plans.registry import register  # noqa: E402
 
 register("docs_priority_sample", oracle=DOCS_PRIORITY_SAMPLE_ORACLE)(docs_priority_sample)
+register("docs_dup_spans", oracle=DOCS_DUP_SPANS_ORACLE)(docs_dup_spans)
+register("docs_split_leakage", oracle=DOCS_SPLIT_LEAKAGE_ORACLE)(docs_split_leakage)
+register("catalog_inclusion_profile", oracle=CATALOG_INCLUSION_ORACLE)(catalog_inclusion_profile)
+register("events_seasonal_decompose", oracle=EVENTS_SEASONAL_DECOMPOSE_ORACLE)(
+    events_seasonal_decompose
+)
+register("orders_revenue_autocorr", oracle=ORDERS_REVENUE_AUTOCORR_ORACLE)(
+    orders_revenue_autocorr
+)
+register("docs_vocab_growth", oracle=DOCS_VOCAB_GROWTH_ORACLE)(docs_vocab_growth)
+register("docs_source_distinctive_terms", oracle=DOCS_DISTINCTIVE_TERMS_ORACLE)(
+    docs_source_distinctive_terms
+)
+register("events_stream_sessions_stateful", oracle=EVENTS_STREAM_SESSIONS_STATEFUL_ORACLE)(
+    events_stream_sessions_stateful
+)
