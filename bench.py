@@ -248,6 +248,54 @@ def measure_anchor_mc(spark, runs: int, cpus: int) -> float:
     return round(best, 4)
 
 
+#: Cross-capture anchor drift gate (r9 verdict item 3): the committed
+#: r9 capture was taken in a ~1.32×-slower VM session than r8's, which
+#: made every like-for-like delta read as a regression until the
+#: anchors were compared. contention_suspect only guards INTRA-run
+#: weather; this guards the BETWEEN-captures kind.
+ANCHOR_DRIFT_MAX = 1.2
+
+
+def anchor_drift(prev: dict | None, anchor_mc_s: float) -> tuple[float | None, bool]:
+    """Compare this capture's multi-core anchor against the previous
+    committed capture's. Returns (ratio, suspect): ratio = new/old
+    (None when no prior capture or no mc anchor in it), suspect =
+    ratio outside [1/ANCHOR_DRIFT_MAX, ANCHOR_DRIFT_MAX]. A flagged
+    capture labels itself so cross-round deltas are read from
+    same-weather captures (or mc-normalized, knowing the anchors
+    differ)."""
+    if not prev:
+        return None, False
+    old = prev.get("anchor_mc_s")
+    if not old:
+        return None, False
+    ratio = round(anchor_mc_s / float(old), 3)
+    return ratio, ratio > ANCHOR_DRIFT_MAX or ratio < 1.0 / ANCHOR_DRIFT_MAX
+
+
+def _committed_capture(repo_dir: str) -> dict | None:
+    """The last COMMITTED bench_full.json (git HEAD), falling back to
+    the on-disk file (pre-overwrite) outside a usable git context."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", repo_dir, "show", "HEAD:bench_full.json"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        )
+        if out.returncode == 0 and out.stdout.strip():
+            return json.loads(out.stdout)
+    except (OSError, ValueError, subprocess.SubprocessError):
+        pass
+    try:
+        with open(os.path.join(repo_dir, "bench_full.json")) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -327,6 +375,21 @@ def main() -> None:
         "contention_suspect": contention_suspect,
         "anchor_def": f"min-of-{runs} bit_xor(xxhash64(id)) over range({ANCHOR_ROWS})",
     }
+    # Cross-capture weather gate (r9 verdict item 3): compare this
+    # capture's mc anchor against the last committed one's and label
+    # the capture when the machine was in a different regime — deltas
+    # should then come from same-anchor captures (README recipe).
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    drift_ratio, drift_suspect = anchor_drift(_committed_capture(repo_dir), anchor_mc_s)
+    base["anchor_drift_vs_committed"] = drift_ratio
+    base["anchor_drift_suspect"] = drift_suspect
+    if drift_suspect:
+        print(
+            f"WARNING: anchor_mc_s drifted {drift_ratio}x vs the last committed "
+            "capture — different machine weather; read cross-round deltas from "
+            "same-anchor captures (tools/bench_delta.py normalizes, but flag up).",
+            file=sys.stderr,
+        )
     # Full per-query record → bench_full.json (the driver's harness
     # captures only the LAST 2000 chars of stdout — round 4's 78-query
     # line overflowed that window and the driver recorded parsed:null).

@@ -21,12 +21,25 @@ order within buckets.
 
 from __future__ import annotations
 
+import logging
 import warnings
 from collections import Counter
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_LOG = logging.getLogger(__name__)
+
+#: Largest integer magnitude a double carries exactly. approxQuantile
+#: returns DOUBLES, so for an integral value column a boundary with
+#: |hv| >= 2^53 may not round-trip (int(hv) != the true heavy value):
+#: the exact-equality split's isin prefilter and == branch would then
+#: MISS the tied mass and silently keep the collapse the split exists
+#: to fix (ranks stay correct — only the spread is lost). Such values
+#: are excluded from the split and the heavy-mass warning fires
+#: instead (ADVICE r9).
+_EXACT_DOUBLE_INT = 2**53
 
 #: Numeric types whose double cast is EXACT for equality testing (or
 #: natively comparable to an int literal) — the tie-split fallback
@@ -60,14 +73,56 @@ def _warn_bucket_collapse(uniq: list[float], num_buckets: int, where: str) -> No
     """
     effective = len(uniq) + 1
     if effective < max(4, num_buckets // 8):
-        warnings.warn(
+        _emit_rank_warning(
             f"{where}: value column collapsed to {effective} range bucket(s) "
             f"(requested {num_buckets}) — the values are massively tied, and "
             "each bucket's window runs as ONE task. Rank a mostly-continuous "
-            "column, or pre-collapse ties (grouped_percent_rank pattern).",
-            RuntimeWarning,
-            stacklevel=3,
+            "column, or pre-collapse ties (grouped_percent_rank pattern)."
         )
+
+
+def _emit_rank_warning(msg: str) -> None:
+    """Surface a ranking degradation through BOTH channels: a
+    RuntimeWarning (test-capturable, but Python dedups repeats from
+    the same call site, so a second offending query in the same
+    process is silent) and a logger line, which fires on every
+    operator call — i.e. once per offending QUERY — no matter how
+    many queries already warned (r9 verdict item 6)."""
+    _LOG.warning(msg)
+    warnings.warn(msg, RuntimeWarning, stacklevel=4)
+
+
+def _heavy_to_warn(bounds: list[float], num_buckets: int) -> list[float]:
+    """Heavy values worth WARNING about: repeats across >=
+    max(2, num_buckets//8) probes, i.e. a value holding >= ~12.5% of
+    all rows. The sub-split itself triggers at >= 2 repeats (splitting
+    a mildly tied value is harmless), but warning at that threshold
+    false-positives on SMALL inputs: with n_rows < num_buckets every
+    boundary repeats — 10 Pareto suppliers are not a scale problem.
+    A 12.5%+ single-value mass is genuine serialization risk at any
+    size that matters."""
+    cut = max(2, num_buckets // 8)
+    return sorted(hv for hv, c in Counter(bounds).items() if c >= cut)
+
+
+def _warn_heavy_unsplit(heavy: list[float], where: str) -> None:
+    """Flag heavy tied mass that received NO exact-equality sub-split
+    (ADVICE r9): a value repeating across >= num_buckets//8 quantile
+    probes holds >= ~12.5% of ALL rows (``_heavy_to_warn``). A
+    50%-tied value sitting next to 8+ distinct boundaries stays ABOVE
+    the collapse threshold, so _warn_bucket_collapse alone let a
+    half-data one-task bucket pass silently — the exact serialization
+    mode the r8 item targeted. Fires whenever such mass is detected
+    but the sub-split could not be applied (no quantile-able
+    tiebreaker, DECIMAL value column, or an integral heavy value
+    beyond double's exact 2^53 range)."""
+    _emit_rank_warning(
+        f"{where}: heavy tied value(s) {heavy[:4]} (of {len(heavy)}) each "
+        "hold a large share (>= ~12.5%) of all rows but could not be "
+        "sub-split by a tiebreaker — their buckets' windows each run as "
+        "ONE task. Provide a numeric tiebreaker, or pre-collapse ties "
+        "(grouped_percent_rank pattern)."
+    )
 
 
 def _tie_aware_bucket(
@@ -90,25 +145,44 @@ def _tie_aware_bucket(
     rows — a 0/1 flag funnels half the data into one bucket = one
     window task. For each such heavy value the chain gains an
     EXACT-equality level (native int comparison for integral types,
-    double for float/double — both collision-free, which is why
-    DECIMAL values never take this branch), and rows on that level
-    sub-bucket by quantiles of the first numeric tiebreaker: within an
-    exact tie the ORDER is the tiebreakers, so a tiebreaker range
-    split preserves rank order exactly as the value split does between
+    double for float/double), and rows on that level sub-bucket by
+    quantiles of the first numeric tiebreaker: within an exact tie
+    the ORDER is the tiebreakers, so a tiebreaker range split
+    preserves rank order exactly as the value split does between
     ties. Final bucket id = base_level * K + sub keeps the composite
     monotone in (value, tiebreaker) order, so the downstream prefix
     offsets are untouched. NULL values still fall to bucket 0 (NULLS
     FIRST under the asc window).
 
-    When values are tied but no tiebreaker is quantile-able, falls
-    back to the plain chain and warns (``_warn_bucket_collapse``).
+    Exactness gate (ADVICE r9): the heavy values arrive as
+    approxQuantile DOUBLES, so the == branch is collision-free only
+    where the double represents the native value exactly — always for
+    float/double columns (the double IS the value), for integral
+    columns only below 2^53 (``_EXACT_DOUBLE_INT``). Integral heavy
+    values at or beyond that magnitude are excluded from the split
+    (their ranks stay correct through the plain >= levels; only the
+    spread is lost) and flagged via ``_warn_heavy_unsplit``. DECIMAL
+    values never take the branch at all: two distinct decimals can
+    collide in double space, and sub-splitting a merged pseudo-tie by
+    tiebreaker would genuinely reorder ranks.
+
+    When values are tied but no sub-split can be applied (no
+    quantile-able tiebreaker, excluded type, out-of-range magnitude),
+    falls back to the plain chain and warns loudly — RuntimeWarning +
+    a once-per-operator-call log line (``_warn_heavy_unsplit``; the
+    near-total collapse case additionally trips
+    ``_warn_bucket_collapse``).
     """
     probs = [i / num_buckets for i in range(1, num_buckets)]
     bounds = df.stat.approxQuantile(value_col, probs, 1.0 / (4 * num_buckets))
     uniq = sorted(set(bounds))
     v = F.col(value_col).cast("double")
     vtype = df.schema[value_col].dataType
-    heavy = sorted(hv for hv, c in Counter(bounds).items() if c >= 2)
+    integral = isinstance(vtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+    heavy_all = sorted(hv for hv, c in Counter(bounds).items() if c >= 2)
+    # integral heavy values must round-trip double -> int exactly for
+    # the isin prefilter and == branch to hit the tied mass
+    heavy = [hv for hv in heavy_all if not integral or abs(hv) < _EXACT_DOUBLE_INT]
     sub_tb: str | None = None
     if heavy and isinstance(vtype, _EXACT_EQ_TYPES):
         for t in tiebreakers:
@@ -117,6 +191,9 @@ def _tie_aware_bucket(
                 break
     if not (heavy and sub_tb):
         # plain chain — byte-identical plan to the pre-r9 operator
+        heavy_warn = _heavy_to_warn(bounds, num_buckets)
+        if heavy_warn:
+            _warn_heavy_unsplit(heavy_warn, where)
         _warn_bucket_collapse(uniq, num_buckets, where)
         if uniq:
             chain = F.when(v >= uniq[-1], len(uniq))
@@ -124,8 +201,14 @@ def _tie_aware_bucket(
                 chain = chain.when(v >= uniq[i], i + 1)
             return chain.otherwise(0).cast("long")
         return F.lit(0).cast("long")
-
-    integral = isinstance(vtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+    if len(heavy) < len(heavy_all):
+        # magnitude-gated remainder: split what we can, flag the rest
+        # (if it carries warn-worthy mass)
+        unsafe_warn = [
+            hv for hv in _heavy_to_warn(bounds, num_buckets) if hv not in set(heavy)
+        ]
+        if unsafe_warn:
+            _warn_heavy_unsplit(unsafe_warn, where)
 
     def _native_lit(hv: float):
         return F.lit(int(hv)) if integral else F.lit(hv)
@@ -214,6 +297,11 @@ def exact_global_rank(
     probs = [i / num_buckets for i in range(1, num_buckets)]
     bounds = df.stat.approxQuantile(value_col, probs, 1.0 / (4 * num_buckets))
     uniq = sorted(set(bounds))
+    heavy = _heavy_to_warn(bounds, num_buckets)
+    if heavy:
+        # this operator has no tie-aware sub-split: warn-worthy heavy
+        # mass always means a one-task bucket, so say so (ADVICE r9)
+        _warn_heavy_unsplit(heavy, "exact_global_rank")
     _warn_bucket_collapse(uniq, num_buckets, "exact_global_rank")
     # bucket = #boundaries <= value, as a descending when-chain of
     # PLAIN comparisons. Deliberately not a higher-order filter() over
@@ -275,6 +363,10 @@ def exact_global_cumsum(
     probs = [i / num_buckets for i in range(1, num_buckets)]
     bounds = df.stat.approxQuantile(value_col, probs, 1.0 / (4 * num_buckets))
     uniq = sorted(set(bounds))
+    heavy = _heavy_to_warn(bounds, num_buckets)
+    if heavy:
+        # no tie-aware sub-split here either — see exact_global_rank
+        _warn_heavy_unsplit(heavy, "exact_global_cumsum")
     _warn_bucket_collapse(uniq, num_buckets, "exact_global_cumsum")
     v = F.col(value_col).cast("double")
     if uniq:

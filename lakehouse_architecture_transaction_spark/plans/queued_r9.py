@@ -812,7 +812,15 @@ def events_stream_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch L28 events_click_attribution.
 
     Scale shape: the join state is per-user clicks inside the horizon,
-    hash-partitioned on user_id; the audit aggregate has 6 rows."""
+    hash-partitioned on user_id; the audit aggregate has 6 rows.
+
+    GATE-ONLY HORIZON (r9 verdict): the "3650 days" watermark below is
+    the bounded-replay gate setting — it exists so the registered
+    artifact's emitted set equals the batch join EXACTLY regardless of
+    file batching, making the row hash-checkable. It is NOT the
+    deployment pattern: production passes a small horizon (the default
+    "2 hours"), which bounds join state to ~21% of input — measured by
+    test_stream_stream_join_state_bounded_by_watermark."""
     import uuid
 
     from lakehouse_architecture_transaction_spark.plans.queued_r8 import _stream_events_src
@@ -1014,7 +1022,14 @@ def orders_stream_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the upsert merges are key-partitioned per batch
     (state = the table, not stream memory); the diff is one full-outer
-    key join of two snapshots; the audit aggregate has 2 rows."""
+    key join of two snapshots; the audit aggregate has 2 rows. Unlike
+    S4/S5 this registered artifact needs NO gate-only watermark: the
+    sink carries no in-memory stream state to protect from eviction —
+    the table itself is the state, and per-key MERGE convergence makes
+    the final diff batch-order-independent at any horizon. The one
+    gate-only knob is the snapshot CHAIN length (one commit per
+    micro-batch replayed here; production compacts — see SCALE.md's
+    upsert-CDC row)."""
     from lakehouse_architecture_transaction_spark.lakehouse.table import LakeTable as LT
 
     path = _stream_upserted_orders(spark, sf_dir)

@@ -97,6 +97,18 @@ _SESSION_OUT = "user_id bigint, session_start timestamp, session_end timestamp, 
 #: wall-clock difference across a DST transition is off by ±1h);
 #: the naive timestamps are carried only for the emitted session
 #: boundaries, where the session-tz rendering round-trips symmetrically.
+#: STATE-SCHEMA VERSION NOTE (r9 break, documented per ADVICE r9): the
+#: epoch-micros rework widened this struct from 3 fields
+#: (start, end, n) to 5 (start_us/end_us added). Spark validates the
+#: state schema against the checkpoint, so RESTARTING a pre-r9 query
+#: from its old checkpoint fails loudly with a state-schema
+#: incompatibility — there is no in-place migration for
+#: applyInPandasWithState state. Deliberate: deriving start_us/end_us
+#: from the carried naive timestamps on first read would re-introduce
+#: the exact session-tz ambiguity the rework removed (the naive values
+#: are wall-clock renderings; around a DST fall-back they map to TWO
+#: instants). Operators upgrading a live query should drain it
+#: (sentinel or idle-flush), then restart with a fresh checkpoint dir.
 _SESSION_STATE = (
     "session_start timestamp, session_end timestamp, "
     "start_us bigint, end_us bigint, n_events bigint"
@@ -139,7 +151,15 @@ def _make_session_fn(
       session flushes. Deterministic w.r.t. the input (no wall
       clock), so ``processAllAvailable`` still drains — the
       production semantics for late-data-tolerant sessionization.
+
+    The DATA-PATH split threshold follows ``event_time_gap_s`` when
+    set (falling back to the module default ``_GAP_SECONDS``), so a
+    caller passing gap G gets ONE gap semantics end to end — timer
+    flush at end + G and split on data gaps > G. (ADVICE r9: the
+    split was previously hardwired to 1800 s, so a 600 s caller got
+    mixed semantics — 600 s timer flushes but only >1800 s splits.)
     """
+    gap_us = (event_time_gap_s if event_time_gap_s is not None else _GAP_SECONDS) * 1_000_000
 
     def _session_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         (user_id,) = key
@@ -166,7 +186,7 @@ def _make_session_fn(
         for t, u in zip(batch["ts"], batch["ts_us"]):
             if start is None:
                 start, end, start_us, end_us, n = t, t, u, u, 1
-            elif u - end_us > _GAP_SECONDS * 1_000_000:
+            elif u - end_us > gap_us:
                 closed.append({"user_id": user_id, "session_start": start, "session_end": end, "n_events": n})
                 start, end, start_us, end_us, n = t, t, u, u, 1
             else:

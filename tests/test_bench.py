@@ -40,6 +40,9 @@ def _base(times: dict) -> dict:
         "anchor_mc_post_s": 1.8292,
         "run_dispersion_median": 1.406,
         "contention_suspect": False,
+        # the r10 cross-capture weather gate rides every payload too
+        "anchor_drift_vs_committed": 1.327,
+        "anchor_drift_suspect": True,
         "anchor_def": "min-of-3 bit_xor(xxhash64(id)) over range(4000000000)",
     }
 
@@ -95,3 +98,34 @@ def test_bench_delta_prefers_multicore_anchor():
     # --sc forces the legacy denominator even when mc is present
     ao, an, field = pick_anchors(old, new, sc=True)
     assert (ao, an, field) == (0.59, 1.18, "anchor_s")
+
+
+# ---------------- cross-capture anchor drift gate (r9 verdict item 3) --
+
+
+def test_anchor_drift_flags_weather_regime_change():
+    # The committed r9 capture was taken in a ~1.32x-slower VM session
+    # (mc anchor 1.77 -> 2.35): the new gate must flag exactly that.
+    from bench import anchor_drift
+
+    ratio, suspect = anchor_drift({"anchor_mc_s": 1.77}, 2.35)
+    assert suspect and ratio == 1.328
+    # drift the other way (a FASTER session) flags too — deltas lie in
+    # both directions
+    ratio, suspect = anchor_drift({"anchor_mc_s": 2.35}, 1.77)
+    assert suspect and ratio < 1.0
+    # same-weather captures pass
+    ratio, suspect = anchor_drift({"anchor_mc_s": 1.77}, 1.85)
+    assert not suspect and ratio == 1.045
+    # no prior capture / pre-mc-anchor capture: no basis, no flag
+    assert anchor_drift(None, 2.0) == (None, False)
+    assert anchor_drift({"anchor_s": 0.6}, 2.0) == (None, False)
+
+
+def test_tail_line_carries_anchor_drift_flag():
+    # a weather-flagged capture must label itself IN the driver-visible
+    # line, same as contention_suspect
+    times = {name: 1.2345 for name in HEADLINE_FAMILIES}
+    parsed = json.loads(tail_line(_base(times)))
+    assert parsed["anchor_drift_suspect"] is True
+    assert parsed["anchor_drift_vs_committed"] == 1.327

@@ -687,13 +687,15 @@ def test_timestamp_queries_session_timezone_independent(spark, sf_dir):
 
 
 def test_stateful_sessions_companion_session_timezone_independent(spark, sf_dir):
-    """The queued house-sessionizer companion under a non-UTC driver:
-    it exercises every tz-risk layer at once (NTZ sentinel arithmetic
-    in the staging, the NTZ→TIMESTAMP stream cast, the state
-    function's tz_localize timer re-anchoring, unix_micros duration
-    math) — rerun against the same DuckDB oracle. A fresh staged zone
-    per timezone (the memo keys on app+sf_dir, so clear it) keeps the
-    sentinel computation itself under test."""
+    """The house-sessionizer companion under a non-UTC driver: it
+    exercises every tz-risk layer at once (NTZ sentinel arithmetic in
+    the staging, the NTZ→TIMESTAMP stream cast, the state function's
+    engine-computed ts_us epoch micros — ALL ordering/gap/timer math
+    runs on unix_micros, never on Arrow's session-tz-rendered naive
+    timestamps — and the unix_micros duration reduction) — rerun
+    against the same DuckDB oracle. A fresh staged zone per timezone
+    (the memo keys on app+sf_dir, so clear it) keeps the sentinel
+    computation itself under test."""
     from lakehouse_architecture_transaction_spark.plans import queued_r10 as Q
 
     prior = spark.conf.get("spark.sql.session.timeZone")

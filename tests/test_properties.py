@@ -1056,3 +1056,109 @@ def test_tie_aware_bucket_warns_when_unsplittable(spark):
     w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("id").asc())
     want = {r["id"]: r["rn"] for r in df.select("id", F.row_number().over(w).alias("rn")).collect()}
     assert got == want
+
+
+def test_tie_aware_bucket_gates_exact_eq_beyond_double_range(spark):
+    # ADVICE r9: approxQuantile hands back DOUBLES, so for an integral
+    # column a heavy value with |v| >= 2^53 may not round-trip through
+    # int(hv) — the isin prefilter and == branch would MISS the tied
+    # mass. Such values must be excluded from the exact-eq split
+    # (warned via _warn_heavy_unsplit), and ranks must still be exact
+    # through the plain >= chain.
+    import warnings as _w
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_transaction_spark.operators.ranking import grouped_exact_rank
+
+    big = 2**53
+    # half the rows tie on 2^53 (heavy, at the gate); the rest spread
+    # over exactly-representable even offsets above it
+    df = spark.range(2_000).selectExpr(
+        "id",
+        "'g0' AS g",
+        f"CASE WHEN id % 2 = 0 THEN CAST({big} AS LONG) "
+        f"ELSE CAST({big} AS LONG) + 2 * id END AS v",
+    )
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        out = grouped_exact_rank(df, group_cols=["g"], value_col="v", tiebreakers=["id"])
+        rows = out.collect()
+    assert any(
+        issubclass(c.category, RuntimeWarning) and "heavy tied value" in str(c.message)
+        for c in caught
+    ), "expected the heavy-unsplit warning for a >=2^53 integral heavy value"
+    got = {r["id"]: r["rank"] for r in rows}
+    w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("id").asc())
+    want = {r["id"]: r["rn"] for r in df.select("id", F.row_number().over(w).alias("rn")).collect()}
+    assert got == want
+
+
+def test_tie_aware_bucket_warns_on_heavy_mass_without_collapse(spark):
+    # ADVICE r9: one value holding ~50% of rows next to 30+ distinct
+    # boundaries keeps the effective bucket count ABOVE the collapse
+    # threshold — pre-fix, NO warning fired and half the data ran as
+    # one window task. With no quantile-able tiebreaker (string), the
+    # heavy-mass warning must fire on the fallback path.
+    import warnings as _w
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_transaction_spark.operators.ranking import grouped_exact_rank
+
+    df = spark.range(4_000).selectExpr(
+        "id",
+        "'g0' AS g",
+        "CASE WHEN id % 2 = 0 THEN CAST(1 AS LONG) ELSE id END AS v",
+        "CAST(id AS STRING) AS s",
+    )
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        out = grouped_exact_rank(df, group_cols=["g"], value_col="v", tiebreakers=["s"])
+        rows = out.collect()
+    msgs = [str(c.message) for c in caught if issubclass(c.category, RuntimeWarning)]
+    assert any("heavy tied value" in m for m in msgs), msgs
+    assert not any("collapsed" in m for m in msgs), (
+        "test premise broken: this fixture must stay above the collapse "
+        "threshold so it exercises the heavy-mass-only path"
+    )
+    got = {r["id"]: r["rank"] for r in rows}
+    w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("s").asc())
+    want = {r["id"]: r["rn"] for r in df.select("id", F.row_number().over(w).alias("rn")).collect()}
+    assert got == want
+
+
+def test_rank_degradation_logs_once_per_query(spark, caplog):
+    # r9 verdict item 6: Python's warnings module dedups repeats from
+    # the same call site, so after query A warns, an offending query B
+    # in the same process is SILENT on the warnings channel. The
+    # logger channel must fire on every offending operator call —
+    # once per query, no dedup.
+    import logging
+
+    from lakehouse_architecture_transaction_spark.operators.ranking import grouped_exact_rank
+
+    df = spark.range(1_000).selectExpr(
+        "id", "'g0' AS g", "CAST(id % 2 AS DECIMAL(12,2)) AS v"
+    )
+    logger_name = "lakehouse_architecture_transaction_spark.operators.ranking"
+    with caplog.at_level(logging.WARNING, logger=logger_name):
+        grouped_exact_rank(df, group_cols=["g"], value_col="v", tiebreakers=["id"]).count()
+        first = sum(
+            1
+            for r in caplog.records
+            if r.name == logger_name and "ONE task" in r.getMessage()
+        )
+        grouped_exact_rank(df, group_cols=["g"], value_col="v", tiebreakers=["id"]).count()
+        second = sum(
+            1
+            for r in caplog.records
+            if r.name == logger_name and "ONE task" in r.getMessage()
+        )
+    assert first >= 1, "first offending query produced no log line"
+    assert second >= first + 1, (
+        "second offending query was silent on the log channel — the "
+        "once-per-query guarantee is broken"
+    )

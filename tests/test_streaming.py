@@ -103,6 +103,45 @@ def test_stateful_sessionization_idle_timeout_flush(spark, tmp_path):
         q.stop()
 
 
+def test_stateful_sessionization_custom_gap_splits_on_data_path(spark, tmp_path):
+    # ADVICE r9: event_time_gap_s must govern the DATA-PATH split too,
+    # not just the timer. With gap=600 a 1320 s intra-user gap must
+    # close the first session inline (pre-fix the split threshold was
+    # hardwired to _GAP_SECONDS=1800, so a 600 s caller got mixed
+    # semantics: 600 s timer flushes but only >1800 s splits — this
+    # batch emitted NOTHING on the data path).
+    src = tmp_path / "customgap_landing"
+    src.mkdir()
+    schema = "event_id bigint, ts string, user_id bigint, event_type string, value double, props string"
+    b0 = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 7, "click", 1.0, "{}"),
+            (2, "2024-01-01 10:08:00", 7, "click", 1.0, "{}"),  # 480s <= 600: merge
+            (3, "2024-01-01 10:30:00", 7, "click", 1.0, "{}"),  # 1320s > 600: split
+        ],
+        schema,
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    b0.coalesce(1).write.parquet(str(src / "b0"))
+
+    from lakehouse_architecture_transaction_spark.streaming.pipeline import read_event_stream
+
+    stream = read_event_stream(spark, str(src / "*"))
+    q = (
+        sessionize_stateful(stream, event_time_gap_s=600, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("customgap_sessions_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM customgap_sessions_out WHERE user_id = 7").collect()
+        assert len(rows) == 1, "data path did not split at the caller's 600s gap"
+        assert rows[0]["n_events"] == 2
+    finally:
+        q.stop()
+
+
 def test_stateful_sessionization_event_time_flush(spark, tmp_path):
     # Watermark-driven closure: user 7's lone session must flush when
     # OTHER users' (much later) events advance the watermark past
@@ -959,14 +998,17 @@ def test_stream_upsert_epoch_replay_is_idempotent(spark, sf_dir, tmp_path):
 def test_stateful_sessionization_event_time_non_utc_session(spark, tmp_path):
     """r8 advice: the event-time timer math must hold on a NON-UTC
     driver. Arrow hands the state function session-tz-rendered naive
-    timestamps while the engine watermark is true epoch; the timer
-    re-anchors via tz_localize(session_tz). Under America/New_York
-    (UTC-5) the pre-fix naive-.timestamp()-as-UTC read shifted every
-    timer 5 h EARLY, so a watermark nudge between two in-gap events
-    of the same user flushed the open session prematurely (two rows
-    where one session exists); an over-shift the other way would
-    leave the session unflushed at the end. Exactly one merged
-    session discriminates all three."""
+    timestamps; the engine therefore computes a true-epoch ts_us
+    column (unix_micros) and the state function keys ALL gap and
+    timer arithmetic on it — the timer timestamp is end_us//1000 +
+    gap, no timezone re-anchoring at all (the r9 rework; the earlier
+    tz_localize re-anchor this replaced is gone). Under
+    America/New_York (UTC-5) the original naive-.timestamp()-as-UTC
+    read shifted every timer 5 h EARLY, so a watermark nudge between
+    two in-gap events of the same user flushed the open session
+    prematurely (two rows where one session exists); an over-shift
+    the other way would leave the session unflushed at the end.
+    Exactly one merged session discriminates all three."""
     prior = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     try:
