@@ -166,6 +166,19 @@ HEADLINE_FAMILIES: dict[str, str] = {
     "events_stream_clicks": "streaming",
     "events_stream_enriched": "streaming",
     "orders_stream_upsert_cdc": "streaming",
+    # round-10 additions: the r10 registration batch — duplicate-span
+    # coverage (hashed-key shuffle), split-leakage + FK-discovery
+    # audits, the two time-series diagnostics, the two vocabulary
+    # reports, and the house stateful sessionizer as a bounded
+    # availableNow run
+    "docs_dup_spans": "dedup",
+    "docs_split_leakage": "dedup",
+    "catalog_inclusion_profile": "etl",
+    "events_seasonal_decompose": "events",
+    "orders_revenue_autocorr": "events",
+    "docs_vocab_growth": "text",
+    "docs_source_distinctive_terms": "text",
+    "events_stream_sessions_stateful": "streaming",
 }
 
 HEADLINE = list(HEADLINE_FAMILIES)

@@ -109,6 +109,18 @@ AUDITED = [
     "orders_constraint_audit",
     "orchestration_landing_audit",
     "orders_restore_clone_audit",
+    # round 10 (events_stream_sessions_stateful is excluded for the
+    # same availableNow-drain reason as the other streaming rows: its
+    # final plan is the drained memory sink's Scan ExistingRDD; the
+    # operator plan is pinned by tests/test_streaming.py)
+    "docs_priority_sample",
+    "docs_dup_spans",
+    "docs_split_leakage",
+    "catalog_inclusion_profile",
+    "events_seasonal_decompose",
+    "orders_revenue_autocorr",
+    "docs_vocab_growth",
+    "docs_source_distinctive_terms",
 ]
 
 #: per-query audit notes appended under the stats line — used where
@@ -184,6 +196,59 @@ NOTES = {
         "commits); the audited plan is three snapshot aggregate scans "
         "(clone, restored current, v1 history) unioned — RESTORE moves "
         "the head forward, so v1 stays a manifest lookup."
+    ),
+    "docs_priority_sample": (
+        "TakeOrderedAndProject keeps a 51-row heap per partition (top "
+        "k+1 by the deterministic md5 priority), so cross-partition "
+        "traffic is k+1 rows per partition at any corpus size; tau and "
+        "the estimator are a broadcast 1-row frame."
+    ),
+    "docs_dup_spans": (
+        "The duplicate-window shuffle keys on unhex(md5(window)) — a "
+        "fixed 16-byte binary, ~3x less key volume than the 50-char "
+        "substring at identical equivalence classes (128-bit md5: "
+        "~1e-15 expected collisions at 1e12 windows, no confirm pass; "
+        "the r10 registered production shape, r9 verdict item 4). "
+        "Position explode is row-local; span merge windows partition "
+        "by (doc, island), never globally."
+    ),
+    "docs_split_leakage": (
+        "`Scan ExistingRDD` is the session-memoized LSH pair frame "
+        "(pipeline_ops.py `_minhash_pairs` — shared with L4/L17/L43/"
+        "L59/L65/L67); the audit itself is the pair frame joined twice "
+        "to the hash-split assignment (broadcast — split table is "
+        "doc_id+class only) and one class-pair aggregate."
+    ),
+    "catalog_inclusion_profile": (
+        "Per-column DISTINCT aggregates run first (shuffles at distinct "
+        "cardinality, not row count); candidate edges then full-outer "
+        "join distinct SETS — a row-level join of the base tables never "
+        "appears in the plan."
+    ),
+    "events_seasonal_decompose": (
+        "All three windows (centered 7-day trend RANGE frame, per-"
+        "weekday seasonal mean, residual) run at DAY cardinality after "
+        "one map-side-combined daily aggregate of the fact scan — the "
+        "windows never see event rows."
+    ),
+    "orders_revenue_autocorr": (
+        "Daily revenue aggregates once (map-side combine, exact "
+        "hundred-dollar BIGINT units); the 7 lag joins and moment sums "
+        "run at day cardinality; `Scan ExistingRDD` is the "
+        "checkpointed day frame serving all lags."
+    ),
+    "docs_vocab_growth": (
+        "V(t) comes from ONE first-occurrence (min doc-id) aggregate at "
+        "vocabulary cardinality serving all 8 cuts via a broadcast "
+        "8-row cut frame; token totals are row-local size() sums — "
+        "probe measured ~0 MB shuffle at every factor."
+    ),
+    "docs_source_distinctive_terms": (
+        "`Scan ExistingRDD` is the localCheckpointed (source, token) "
+        "count frame (three consuming re-aggregations: per-source "
+        "totals, corpus totals, rank); the lift is exact BIGINT "
+        "products with one double division; the rank window partitions "
+        "per source at per-source vocabulary cardinality."
     ),
     "customer_mktseg_gini": (
         "Round 8: the spend rank runs through grouped_exact_rank "
