@@ -147,6 +147,34 @@ ORDER BY months ASC
 """
 
 
+def _survival_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 13-point (months, n_surviving) curve BEFORE the 13-row
+    checkpoint — split out so tests can pin the LAZY plan: the
+    >= theta join must broadcast the month-cardinality lifetime
+    histogram, never the per-customer span frame (see
+    customer_survival_curve's scale-shape note)."""
+    orders = load_table(spark, sf_dir, "orders")
+    span = orders.groupBy("o_custkey").agg(
+        (
+            F.datediff(
+                F.max(F.col("o_orderdate").cast("date")), F.min(F.col("o_orderdate").cast("date"))
+            )
+            .cast("long")
+            / F.lit(30)
+        )
+        .cast("long")
+        .alias("life_months")
+    )
+    # month-cardinality histogram: the one frame the theta join sees
+    hist = span.groupBy("life_months").agg(F.count("*").cast("bigint").alias("__n"))
+    ks = spark.range(0, _SURV_MAX_MONTHS + 1).select(F.col("id").cast("long").alias("months"))
+    return (
+        ks.join(F.broadcast(hist), hist["life_months"] >= ks["months"], "left")
+        .groupBy("months")
+        .agg(F.coalesce(F.sum("__n"), F.lit(0)).cast("bigint").alias("n_surviving"))
+    )
+
+
 def customer_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer-lifetime survival curve: for k = 0..{m} months, how
     many customers' observed lifetime (days between first and last
@@ -155,27 +183,17 @@ def customer_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw spans. Exact integer lifetimes, one division per point.
 
     Scale shape: the span aggregate runs at customer cardinality
-    (map-side combined); the 13-point curve is a broadcast explode of
-    that aggregate — the raw fact is scanned once.""".format(m=_SURV_MAX_MONTHS)
-    orders = load_table(spark, sf_dir, "orders")
-    span = orders.groupBy("o_custkey").agg(
-        (
-            F.datediff(F.max(F.col("o_orderdate").cast("date")), F.min(F.col("o_orderdate").cast("date")))
-            .cast("long")
-            / F.lit(30)
-        )
-        .cast("long")
-        .alias("life_months")
-    )
-    # consumed by the total count AND the per-k counts
-    span = span.localCheckpoint(eager=True)
-    tot = span.agg(F.count("*").cast("bigint").alias("n_total"))
-    ks = spark.range(0, _SURV_MAX_MONTHS + 1).select(F.col("id").cast("long").alias("months"))
-    surv = (
-        ks.join(span, span["life_months"] >= ks["months"], "left")
-        .groupBy("months")
-        .agg(F.count(F.col("life_months")).cast("bigint").alias("n_surviving"))
-    )
+    (map-side combined), then collapses to a LIFETIME HISTOGRAM at
+    distinct-month cardinality (≤ a few hundred rows at any corpus
+    size) BEFORE the ≥-theta join against the 13-point curve — the
+    theta join is tiny × tiny. The first cut of this plan joined the
+    13 k-points to the per-CUSTOMER span frame directly: Spark plans
+    a non-equi left join as BroadcastNestedLoopJoin building the
+    RIGHT side, i.e. it broadcast customer-cardinality rows — fine at
+    sf0.1, an OOM at 100 TB (caught by plan inspection ahead of the
+    r11 registration; pinned by test_plans).""".format(m=_SURV_MAX_MONTHS)
+    surv = _survival_curve_points(spark, sf_dir).localCheckpoint(eager=True)
+    tot = surv.filter(F.col("months") == 0).select(F.col("n_surviving").alias("n_total"))
     return (
         surv.crossJoin(F.broadcast(tot))
         .select(

@@ -257,6 +257,31 @@ def test_vocab_growth_two_scans_and_broadcast_cuts(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
 
 
+def test_survival_curve_broadcasts_month_histogram_not_customers(spark, sf_dir):
+    # The k-point >= theta join plans as BroadcastNestedLoopJoin, and
+    # for a LEFT join Spark must broadcast the RIGHT side. The right
+    # side therefore has to be the month-cardinality lifetime
+    # HISTOGRAM (a HashAggregate keyed on life_months below the
+    # BroadcastExchange), never the per-customer span frame — the
+    # first cut of this plan broadcast customer cardinality, an OOM
+    # at real scale (caught ahead of the r11 registration).
+    from lakehouse_architecture_transaction_spark.plans import queued_r11 as Q
+
+    # pin the LAZY curve plan (the registered fn checkpoints the
+    # 13-row result, which would hide the join from explain)
+    plan = _formatted_plan(Q._survival_curve_points(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert re.search(r"Keys \[1\]: \[life_months#\d+", plan), (
+        "the BNLJ build side must be the life_months histogram, "
+        "not raw customer spans"
+    )
+    # every BroadcastExchange input must be the 2-col histogram
+    # (life_months, count) — never a frame still carrying o_custkey
+    for m in re.finditer(r"\(\d+\) BroadcastExchange\nInput \[\d+\]: (\[[^\n]*\])", plan):
+        assert "o_custkey" not in m.group(1), f"customer-cardinality broadcast: {m.group(1)}"
+        assert "life_months" in m.group(1)
+
+
 def test_r13_dispersion_materializes_shared_frames(spark, sf_dir):
     # part_price_dispersion_by_type's cents/deviation frames feed five
     # branches; before the checkpoints the part scan replayed 8 times.

@@ -62,6 +62,15 @@ def main() -> None:
     if tz:
         spark.conf.set("spark.sql.session.timeZone", tz)
         print(f"  (session timezone overridden to {tz})")
+    # SPARK_GRAFT_AQE=off runs the WHOLE gate with adaptive execution
+    # disabled — the third registry-wide invariant axis (after session
+    # timezone and shuffle-partition count): no query's CORRECTNESS may
+    # depend on AQE's runtime re-planning (coalescing, skew splits,
+    # broadcast demotion). AQE is a performance feature; a result that
+    # changes without it is a latent partitioning/ordering assumption.
+    if os.environ.get("SPARK_GRAFT_AQE", "").lower() in ("off", "false", "0"):
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        print("  (adaptive query execution DISABLED for this gate run)")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')")
