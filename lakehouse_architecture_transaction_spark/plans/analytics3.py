@@ -692,7 +692,17 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     events_rolling_distinct_users: dedupe to (user, day) — the one big
     shuffle — then a BOUNDED 30× explode of each user-day into the
     days it serves; no per-day self-joins, no sliding COUNT(DISTINCT)
-    window. The ratio is ONE double division of exact counts."""
+    window. The ratio is ONE double division of exact counts.
+
+    The spine join carries an EXPLICIT broadcast hint (r10 broadcast
+    audit): AQE sizes the contrib side by its pre-Generate shuffle
+    stats — the ×30 explode fan-out is invisible at the query-stage
+    boundary — so left to itself it broadcast the exploded USER-DAY
+    frame (120k rows / 68 MiB for a 30-row spine at sf0.01, i.e.
+    already OVER the 64 MiB broadcast ceiling it thought it was
+    under; the under-estimate grows with the corpus until the
+    pre-explode stage itself exceeds the threshold). The spine is day
+    cardinality at any corpus size — it is the side that must build."""
     events = load_table(spark, sf_dir, "events")
     ud = events.select(F.to_date("ts").alias("day"), "user_id").distinct()
     spine = ud.select("day").distinct()
@@ -701,7 +711,7 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.expr("sequence(day, date_add(day, 29))")).alias("day"), "user_id"
     )
     mau = (
-        contrib.join(spine, on="day", how="inner")
+        contrib.join(F.broadcast(spine), on="day", how="inner")
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("mau"))
     )

@@ -1732,7 +1732,15 @@ def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     user×day — then a BOUNDED 7× explode of each user-day into the
     days it serves, and an exact distinct count per day. Fan-out is
     constant (7), so the plan survives any corpus size; no
-    per-day self-joins, no window over the raw stream."""
+    per-day self-joins, no window over the raw stream.
+
+    The spine join carries an EXPLICIT broadcast hint (r10 broadcast
+    audit): AQE sizes the contrib side by its pre-Generate shuffle
+    stats — the explode's ×7 fan-out is invisible at the query-stage
+    boundary — so left to itself it broadcast the exploded USER-DAY
+    frame (28k rows for a 30-row spine at sf0.01, under-estimated by
+    the fan-out factor; an OOM amplifier at scale). The spine is day
+    cardinality at any corpus size — it is the side that must build."""
     events = load_table(spark, sf_dir, "events")
     ud = events.select(F.to_date("ts").alias("day"), "user_id").distinct()
     spine = ud.select("day").distinct()
@@ -1740,7 +1748,7 @@ def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         F.explode(F.expr("sequence(day, date_add(day, 6))")).alias("day"), "user_id"
     )
     return (
-        contrib.join(spine, on="day", how="inner")
+        contrib.join(F.broadcast(spine), on="day", how="inner")
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("users_7d"))
         # DATE splits engines at the pandas bridge — ship TIMESTAMP_NTZ

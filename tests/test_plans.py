@@ -257,6 +257,23 @@ def test_vocab_growth_two_scans_and_broadcast_cuts(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
 
 
+def test_rolling_distinct_windows_broadcast_spine_not_userdays(spark, sf_dir):
+    # r10 broadcast audit: the trailing-window distinct plans join the
+    # exploded user-day contrib frame to a day spine. AQE sizes the
+    # contrib side by its PRE-Generate shuffle stats (the x7/x30
+    # explode fan-out is invisible at the query-stage boundary) and
+    # broadcast the exploded USER-DAY frame — 68 MiB materialized
+    # under a 64 MiB ceiling at sf0.01 for dau_mau; the error scales
+    # with the corpus. The explicit hint must keep every
+    # BroadcastExchange input user-free (day spine only).
+    for q in ("events_rolling_distinct_users", "events_dau_mau_stickiness"):
+        plan = _formatted_plan(REGISTRY[q].fn(spark, sf_dir))
+        for m in re.finditer(r"\(\d+\) BroadcastExchange\nInput \[\d+\]: (\[[^\n]*\])", plan):
+            assert "user_id" not in m.group(1), (
+                f"{q}: user-scale frame on the broadcast side: {m.group(1)}"
+            )
+
+
 def test_survival_curve_broadcasts_month_histogram_not_customers(spark, sf_dir):
     # The k-point >= theta join plans as BroadcastNestedLoopJoin, and
     # for a LEFT join Spark must broadcast the RIGHT side. The right
