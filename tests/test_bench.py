@@ -129,3 +129,16 @@ def test_tail_line_carries_anchor_drift_flag():
     parsed = json.loads(tail_line(_base(times)))
     assert parsed["anchor_drift_suspect"] is True
     assert parsed["anchor_drift_vs_committed"] == 1.327
+
+
+# ---------------- broadcast audit metric parsing (r10) ----------------
+
+
+def test_broadcast_audit_parses_humanized_row_metrics():
+    from tools.broadcast_audit import parse_rows
+
+    assert parse_rows("6,800") == 6800
+    assert parse_rows("120,180") == 120180
+    # min/med/max multiline form: the largest value wins
+    assert parse_rows("total (min, med, max)\n1,000 (10, 50, 900)") == 1000
+    assert parse_rows("") == 0

@@ -162,6 +162,19 @@ PROBES = [
     "docs_dup_spans",
     "docs_vocab_growth",
     "emb_pair_sim_histogram",
+    # r11-queue probes (round 10, ahead of registration):
+    # - lineitem_shipdelay_trend: the one fact-fact equi-join in the
+    #   batch (lineitem⋈orders) reduced to nation-cardinality moments
+    #   — shuffle should track the join linearly, output fixed.
+    # - customer_survival_curve: re-probed on the round-10 reshape
+    #   (month-histogram build side) — time should be flat, shuffle at
+    #   customer-span aggregate cardinality, nothing broadcast-heavy.
+    # - orders_gdpr_erasure_audit: lakehouse copy-on-write erasure
+    #   commits at memo time + audited snapshot scans — prices the
+    #   erasure rewrite's growth with table size.
+    "lineitem_shipdelay_trend",
+    "customer_survival_curve",
+    "orders_gdpr_erasure_audit",
 ]
 
 
