@@ -20,5 +20,6 @@ from lakehouse_architecture_transaction_spark.plans import (  # noqa: F401
     queued_r8,
     queued_r9,
     queued_r10,
+    queued_r11,
 )
 from lakehouse_architecture_transaction_spark.plans.registry import REGISTRY, QuerySpec  # noqa: F401

@@ -132,7 +132,7 @@ WITH span AS (
                AS life_months
     FROM orders GROUP BY 1
 ),
-tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM span),
+tot AS (SELECT CAST(COUNT(life_months) AS BIGINT) AS n_total FROM span),
 k AS (SELECT unnest(generate_series(0, {_SURV_MAX_MONTHS})) AS months),
 surv AS (
     SELECT k.months, CAST(COUNT(s.o_custkey) AS BIGINT) AS n_surviving
@@ -180,7 +180,12 @@ def customer_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     many customers' observed lifetime (days between first and last
     order, floored to 30-day months) reaches k, and the surviving
     fraction — the retention curve drawn from customer_order_span's
-    raw spans. Exact integer lifetimes, one division per point.
+    raw spans. Exact integer lifetimes, one division per point. The
+    denominator is customers with an OBSERVABLE lifetime (non-null
+    order dates — oracle COUNT(life_months), Spark's months==0 row);
+    both engines exclude null-lifetime customers by the same
+    definition, so the parity does not lean on TPC-H's non-null
+    o_orderdate.
 
     Scale shape: the span aggregate runs at customer cardinality
     (map-side combined), then collapses to a LIFETIME HISTOGRAM at
@@ -717,3 +722,34 @@ def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_learn_merges(docs, id_col="doc_id", text_col="text", n_merges=8).orderBy(
         "rank"
     )
+
+
+# ------------------------------------------------------------------
+# Registration (round 11) — VERDICT r10 item 1: the full queued-r11
+# batch — A78 ship-delay trend, A79 survival curve (with the r10
+# month-histogram build-side pin), A80 touch attribution, L96 langid
+# confusion, L97 pair-sim histogram, E27 GDPR erasure audit, A81
+# Benford audit, and the L98 BPE-merge companion (rows-only: the
+# iterative argmax is not SQL-expressible). Eight, not the full ≤10
+# budget: 42 stale queries (5 r6 + the r7 tail) + 8 new fills the
+# driver's 50-slot staleness-first gate exactly.
+# ------------------------------------------------------------------
+
+from lakehouse_architecture_transaction_spark.plans.registry import register  # noqa: E402
+
+register("lineitem_shipdelay_trend", oracle=LINEITEM_SHIPDELAY_TREND_ORACLE)(
+    lineitem_shipdelay_trend
+)
+register("customer_survival_curve", oracle=CUSTOMER_SURVIVAL_ORACLE)(customer_survival_curve)
+register("events_touch_attribution", oracle=EVENTS_TOUCH_ATTRIBUTION_ORACLE)(
+    events_touch_attribution
+)
+register("docs_langid_confusion", oracle=DOCS_LANGID_CONFUSION_ORACLE)(docs_langid_confusion)
+register("emb_pair_sim_histogram", oracle=EMB_PAIR_SIM_HISTOGRAM_ORACLE)(
+    emb_pair_sim_histogram
+)
+register("orders_gdpr_erasure_audit", oracle=ORDERS_GDPR_ERASURE_ORACLE)(
+    orders_gdpr_erasure_audit
+)
+register("orders_benford_audit", oracle=ORDERS_BENFORD_ORACLE)(orders_benford_audit)
+register("docs_bpe_merges", oracle=None)(docs_bpe_merges)
