@@ -61,7 +61,9 @@ _EXACT_EQ_TYPES = (
 _QUANTILE_TYPES = _EXACT_EQ_TYPES + (T.DecimalType,)
 
 
-def _warn_bucket_collapse(uniq: list[float], num_buckets: int, where: str) -> None:
+def _warn_bucket_collapse(
+    uniq: list[float], num_buckets: int, where: str, stacklevel: int = 4
+) -> None:
     """Loudly flag a degenerate range-bucketing (r8 verdict item 6).
 
     The bucket is a function of the VALUE, so a massively tied value
@@ -77,19 +79,25 @@ def _warn_bucket_collapse(uniq: list[float], num_buckets: int, where: str) -> No
             f"{where}: value column collapsed to {effective} range bucket(s) "
             f"(requested {num_buckets}) — the values are massively tied, and "
             "each bucket's window runs as ONE task. Rank a mostly-continuous "
-            "column, or pre-collapse ties (grouped_percent_rank pattern)."
+            "column, or pre-collapse ties (grouped_percent_rank pattern).",
+            stacklevel=stacklevel,
         )
 
 
-def _emit_rank_warning(msg: str) -> None:
+def _emit_rank_warning(msg: str, stacklevel: int = 4) -> None:
     """Surface a ranking degradation through BOTH channels: a
     RuntimeWarning (test-capturable, but Python dedups repeats from
     the same call site, so a second offending query in the same
     process is silent) and a logger line, which fires on every
     operator call — i.e. once per offending QUERY — no matter how
-    many queries already warned (r9 verdict item 6)."""
+    many queries already warned (r9 verdict item 6).
+
+    ``stacklevel`` is threaded from each call site so the warning
+    always attributes to USER code: 4 for the operator-level
+    ``_warn_*`` callers, 5 when the warn fires one frame deeper
+    inside ``_tie_aware_bucket`` (r10 advice)."""
     _LOG.warning(msg)
-    warnings.warn(msg, RuntimeWarning, stacklevel=4)
+    warnings.warn(msg, RuntimeWarning, stacklevel=stacklevel)
 
 
 def _heavy_to_warn(bounds: list[float], num_buckets: int) -> list[float]:
@@ -105,7 +113,7 @@ def _heavy_to_warn(bounds: list[float], num_buckets: int) -> list[float]:
     return sorted(hv for hv, c in Counter(bounds).items() if c >= cut)
 
 
-def _warn_heavy_unsplit(heavy: list[float], where: str) -> None:
+def _warn_heavy_unsplit(heavy: list[float], where: str, stacklevel: int = 4) -> None:
     """Flag heavy tied mass that received NO exact-equality sub-split
     (ADVICE r9): a value repeating across >= num_buckets//8 quantile
     probes holds >= ~12.5% of ALL rows (``_heavy_to_warn``). A
@@ -121,7 +129,8 @@ def _warn_heavy_unsplit(heavy: list[float], where: str) -> None:
         "hold a large share (>= ~12.5%) of all rows but could not be "
         "sub-split by a tiebreaker — their buckets' windows each run as "
         "ONE task. Provide a numeric tiebreaker, or pre-collapse ties "
-        "(grouped_percent_rank pattern)."
+        "(grouped_percent_rank pattern).",
+        stacklevel=stacklevel,
     )
 
 
@@ -193,8 +202,8 @@ def _tie_aware_bucket(
         # plain chain — byte-identical plan to the pre-r9 operator
         heavy_warn = _heavy_to_warn(bounds, num_buckets)
         if heavy_warn:
-            _warn_heavy_unsplit(heavy_warn, where)
-        _warn_bucket_collapse(uniq, num_buckets, where)
+            _warn_heavy_unsplit(heavy_warn, where, stacklevel=5)
+        _warn_bucket_collapse(uniq, num_buckets, where, stacklevel=5)
         if uniq:
             chain = F.when(v >= uniq[-1], len(uniq))
             for i in range(len(uniq) - 2, -1, -1):
@@ -208,7 +217,7 @@ def _tie_aware_bucket(
             hv for hv in _heavy_to_warn(bounds, num_buckets) if hv not in set(heavy)
         ]
         if unsafe_warn:
-            _warn_heavy_unsplit(unsafe_warn, where)
+            _warn_heavy_unsplit(unsafe_warn, where, stacklevel=5)
 
     def _native_lit(hv: float):
         return F.lit(int(hv)) if integral else F.lit(hv)

@@ -99,6 +99,10 @@ def measure(spark, sf_dir: str) -> dict[str, int]:
         except Exception as e:  # noqa: BLE001 — audit everything else
             print(f"  ERROR {name}: {type(e).__name__}: {str(e)[:100]}", flush=True)
             sizes[name] = -1
+            # still advance past the failed query's partial SQL
+            # executions — otherwise its BroadcastExchange metrics
+            # get attributed to the NEXT query (r10 advice).
+            _, last = max_broadcast_rows(spark, last)
         finally:
             release_persisted()
     return sizes
