@@ -420,10 +420,31 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("part_a") < F.col("part_b"))
     )
-    o = e.select(
-        F.when(a_first, F.col("part_a")).otherwise(F.col("part_b")).alias("src"),
-        F.when(a_first, F.col("part_b")).otherwise(F.col("part_a")).alias("dst"),
-    ).localCheckpoint(eager=True)
+    # Pin the wedge stages at session parallelism: the oriented-edge
+    # shuffles move only a few MB (long pairs / long arrays), so AQE's
+    # byte-targeted coalescing folds them to a handful of tasks — but
+    # the array_intersect kernel is COMPUTE-dense per byte, and the
+    # r10→r11 driver captures showed the funnel costing 1.5× wall
+    # (2.99 → 4.47 s at sf0.1: heavy stages ran 4-wide on 32 cores).
+    # User-numbered repartition (REPARTITION_BY_NUM) is exempt from
+    # AQE coalescing, and sizing from spark.sql.shuffle.partitions
+    # keeps the pin cluster-proportional rather than hardcoded.
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # Two pins, two jobs: the PRE-checkpoint repartition parallelizes
+    # the materialization itself (AQE coalesced the orientation build
+    # to ONE task — a 1.2-1.8 s single-threaded write per run);
+    # localCheckpoint does NOT preserve outputPartitioning (measured:
+    # the downstream join re-exchanges both sides), so the POST-
+    # checkpoint repartition pins the wedge stages.
+    o = (
+        e.select(
+            F.when(a_first, F.col("part_a")).otherwise(F.col("part_b")).alias("src"),
+            F.when(a_first, F.col("part_b")).otherwise(F.col("part_a")).alias("dst"),
+        )
+        .repartition(n_shuffle, "src")
+        .localCheckpoint(eager=True)
+        .repartition(n_shuffle, "src")
+    )
     adj = o.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
     # For oriented edge u→v, adj[u] ∩ adj[v] is exactly the set of w
     # with u→w AND v→w: triangle (u, v, w) enumerated once, at its
@@ -434,6 +455,7 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             adj.select(F.col("src").alias("u_key"), F.col("nbrs").alias("nbrs_u")),
             F.col("src") == F.col("u_key"),
         )
+        .repartition(n_shuffle, "dst")
         .join(
             adj.select(F.col("src").alias("v_key"), F.col("nbrs").alias("nbrs_v")),
             F.col("dst") == F.col("v_key"),

@@ -194,6 +194,15 @@ def test_copurchase_graph_queries_materialize_shared_frames(spark, sf_dir):
     assert "SortMergeJoin" not in plan, "degree joins must broadcast from the materialized frame"
     plan = _formatted_plan(REGISTRY["part_copurchase_triangles"].fn(spark, sf_dir))
     assert len(re.findall(r"ReadSchema", plan)) == 0
+    # r11: the wedge stages' exchanges are byte-light but compute-dense
+    # (array_intersect), so AQE's byte-targeted coalescing folded them
+    # to 4 tasks on 32 cores (2.99 -> 4.47 s at sf0.1). The two pinned
+    # user-numbered repartitions are exempt from coalescing and must
+    # stay in the plan.
+    assert len(re.findall(r"REPARTITION_BY_NUM", plan)) >= 2, (
+        "wedge-stage parallelism pin lost — AQE will re-funnel the "
+        "intersect kernel onto a handful of tasks"
+    )
 
 
 def test_curation_pipeline_single_corpus_scan(spark, sf_dir):
