@@ -795,26 +795,34 @@ def events_stream_sessions_stateful(spark: SparkSession, sf_dir: str) -> DataFra
 
     from lakehouse_architecture_transaction_spark.streaming.pipeline import (
         EVENT_SCHEMA,
+        gate_state_partitions,
         sessionize_stateful,
     )
 
     src = _stateful_sessions_src(spark, sf_dir)
+    # maxFilesPerTrigger=2 pairs adjacent time-ordered slices: 4
+    # micro-batches (3 slice-pairs + sentinel) instead of 8, each still
+    # crossing a slice boundary mid-session — replay granularity is a
+    # harness knob (r10 verdict item 5: the oracle is cell-exact at any
+    # batching); the per-batch fixed cost (state commit + Arrow round
+    # trip) was 1.5 s/batch at gate SFs.
     raw = (
         spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", "2")
         .parquet(src)
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
     name = f"sessfn_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessionize_stateful(raw, event_time_gap_s=1800, watermark="2 hours")
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with gate_state_partitions(spark):
+        q = (
+            sessionize_stateful(raw, event_time_gap_s=1800, watermark="2 hours")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     out = (
         spark.table(name)
         .groupBy(F.col("n_events").cast("int").alias("session_size"))

@@ -436,21 +436,23 @@ def events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from lakehouse_architecture_transaction_spark.streaming.pipeline import (
+        gate_state_partitions,
         hourly_stream_agg,
         read_event_stream,
     )
 
     src = _stream_events_src(spark, sf_dir)
     name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
-    q = (
-        hourly_stream_agg(read_event_stream(spark, src))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with gate_state_partitions(spark):
+        q = (
+            hourly_stream_agg(read_event_stream(spark, src))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     out = (
         spark.table(name)
         .select(
@@ -514,6 +516,7 @@ def events_stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from lakehouse_architecture_transaction_spark.streaming.pipeline import (
+        gate_state_partitions,
         read_event_stream,
         sliding_stream_counts,
         top_k_per_window,
@@ -521,15 +524,16 @@ def events_stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _stream_events_src(spark, sf_dir)
     name = f"stream_trending_{uuid.uuid4().hex[:8]}"
-    q = (
-        sliding_stream_counts(read_event_stream(spark, src))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with gate_state_partitions(spark):
+        q = (
+            sliding_stream_counts(read_event_stream(spark, src))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     out = (
         top_k_per_window(spark.table(name), k=_TREND_K)
         .select(

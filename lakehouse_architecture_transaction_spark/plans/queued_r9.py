@@ -637,21 +637,23 @@ def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from lakehouse_architecture_transaction_spark.plans.queued_r8 import _stream_events_src
     from lakehouse_architecture_transaction_spark.streaming.pipeline import (
+        gate_state_partitions,
         read_event_stream,
         sessionize_native,
     )
 
     src = _stream_events_src(spark, sf_dir)
     name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessionize_native(read_event_stream(spark, src))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with gate_state_partitions(spark):
+        q = (
+            sessionize_native(read_event_stream(spark, src))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     out = (
         spark.table(name)
         .groupBy(F.col("n_events").cast("int").alias("session_size"))
@@ -749,20 +751,24 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from lakehouse_architecture_transaction_spark.streaming.pipeline import (
         dedup_stream,
+        gate_state_partitions,
         read_event_stream,
     )
 
     src = _redelivered_events_src(spark, sf_dir)
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        dedup_stream(read_event_stream(spark, src), keys=["event_id"], within="3650 days")
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with gate_state_partitions(spark):
+        q = (
+            dedup_stream(
+                read_event_stream(spark, src), keys=["event_id"], within="3650 days"
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     out = (
         spark.table(name)
         .groupBy("event_type")
@@ -826,20 +832,22 @@ def events_stream_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_architecture_transaction_spark.plans.queued_r8 import _stream_events_src
     from lakehouse_architecture_transaction_spark.streaming.pipeline import (
         click_purchase_join,
+        gate_state_partitions,
         read_event_stream,
     )
 
     src = _stream_events_src(spark, sf_dir)
     name = f"stream_clicks_{uuid.uuid4().hex[:8]}"
-    q = (
-        click_purchase_join(read_event_stream(spark, src), watermark="3650 days")
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with gate_state_partitions(spark):
+        q = (
+            click_purchase_join(read_event_stream(spark, src), watermark="3650 days")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     out = (
         spark.table(name)
         .select(
@@ -911,6 +919,7 @@ def events_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_architecture_transaction_spark.plans.queued_r8 import _stream_events_src
     from lakehouse_architecture_transaction_spark.streaming.pipeline import (
         enrich_stream_static,
+        gate_state_partitions,
         read_event_stream,
     )
 
@@ -919,15 +928,16 @@ def events_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
     name = f"stream_enriched_{uuid.uuid4().hex[:8]}"
-    q = (
-        enrich_stream_static(read_event_stream(spark, src), dim, on="user_id")
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with gate_state_partitions(spark):
+        q = (
+            enrich_stream_static(read_event_stream(spark, src), dim, on="user_id")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     out = (
         spark.table(name)
         .groupBy(F.col("c_mktsegment").alias("mktsegment"))
@@ -1000,9 +1010,17 @@ def _stream_upserted_orders(spark: SparkSession, sf_dir: str) -> str:
             .option("maxFilesPerTrigger", 3)
             .parquet(src)
         )
-        q = stream_upsert_into(stream, table, checkpoint_dir=f"{root}/ckpt")
-        q.processAllAvailable()
-        q.stop()
+        from lakehouse_architecture_transaction_spark.streaming.pipeline import (
+            gate_state_partitions,
+        )
+
+        # no stream state stores here (the table IS the state), but
+        # each micro-batch's merge join still shuffles at session
+        # width — pin the replay like the other bounded runs
+        with gate_state_partitions(spark):
+            q = stream_upsert_into(stream, table, checkpoint_dir=f"{root}/ckpt")
+            q.processAllAvailable()
+            q.stop()
         path = f"{root}/orders"
         _UPSERT_CDC_MEMO[key] = path
     return path

@@ -22,6 +22,7 @@ sessionizer keys state by user_id — its shuffle equals one groupBy.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Iterable
 
 import pandas as pd
@@ -30,6 +31,34 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 EVENT_SCHEMA = "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, value double, props string"
+
+#: State-partition width for BOUNDED gate replays (VERDICT r10 item
+#: 5). A streaming query locks spark.sql.shuffle.partitions at START
+#: as its state-store partition count, and every micro-batch then
+#: pays a fixed per-store cost (delta-file commit + snapshot per
+#: partition; a stream-stream join runs FOUR stores per partition).
+#: Measured at sf0.1 local[32]: the clicks join spent 4 s on a batch
+#: with ZERO input rows at width 32; the whole bounded run went
+#: 16.3 s -> 6.3 s at width 8 with an identical emitted rowset. This
+#: is a replay-harness knob, not semantics: emitted rows are exact at
+#: ANY width (state hash-partitioning is internal), which is why the
+#: oracle coverage is unchanged. Production sizes state width to
+#: cluster/state volume instead — 8 keeps the replay multi-partition
+#: so cross-partition state distribution stays exercised.
+GATE_STATE_PARTITIONS = 8
+
+
+@contextmanager
+def gate_state_partitions(spark: SparkSession, n: int = GATE_STATE_PARTITIONS):
+    """Pin shuffle/state partitions around a bounded replay's
+    ``start()``; the session width is restored for the batch
+    aggregates that follow."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
