@@ -179,6 +179,19 @@ HEADLINE_FAMILIES: dict[str, str] = {
     "docs_vocab_growth": "text",
     "docs_source_distinctive_terms": "text",
     "events_stream_sessions_stateful": "streaming",
+    # round-11 additions: the r11 registration batch — fulfilment-drift
+    # OLS trend, the survival curve (month-histogram build side),
+    # first/last-touch attribution, the langid confusion matrix, the
+    # LSH pair-similarity QA histogram, the GDPR erasure lifecycle, the
+    # Benford first-digit audit, and the BPE merge table (rows-only)
+    "lineitem_shipdelay_trend": "tpch",
+    "customer_survival_curve": "window",
+    "events_touch_attribution": "behavior",
+    "docs_langid_confusion": "text",
+    "emb_pair_sim_histogram": "dedup",
+    "orders_gdpr_erasure_audit": "etl",
+    "orders_benford_audit": "etl",
+    "docs_bpe_merges": "text",
 }
 
 HEADLINE = list(HEADLINE_FAMILIES)
