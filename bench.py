@@ -341,17 +341,29 @@ def main() -> None:
     times: dict[str, float] = {}
     dispersions: list[float] = []
     total = 0.0
+    # Sub-second queries get 2 extra runs (r10/r11 verdict note): the
+    # run-dispersion median sat at 1.39-1.42 two rounds running, and
+    # the spread lives almost entirely in the sub-second tail, where
+    # scheduler jitter is a large FRACTION of the measurement — two
+    # more samples tighten min-of-N where it's cheapest (< ~1 s each)
+    # and noisiest, without touching the multi-second heavyweights.
+    SUBSEC_EXTRA_RUNS = 2
     for name in HEADLINE:
         best, worst = float("inf"), 0.0
-        for _ in range(runs):
+        n_runs = runs
+        done = 0
+        while done < n_runs:
             t0 = time.perf_counter()
             REGISTRY[name].fn(spark, sf_dir).count()
             dt = time.perf_counter() - t0
             release_persisted()  # caches must not leak across queries
             best, worst = min(best, dt), max(worst, dt)
+            done += 1
+            if done == runs and best < 1.0:
+                n_runs = runs + SUBSEC_EXTRA_RUNS
         times[name] = round(best, 4)
         total += times[name]
-        if runs > 1 and best > 0:
+        if n_runs > 1 and best > 0:
             dispersions.append(worst / best)
 
     # Contention self-diagnosis (VERDICT r7 item 4): the BENCH_r07
