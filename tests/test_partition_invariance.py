@@ -103,6 +103,14 @@ _QUEUED_SAMPLE = [
     ("queued_r11", "lineitem_shipdelay_trend"),
     ("queued_r11", "events_touch_attribution"),
     ("queued_r11", "customer_survival_curve"),
+    # the rest of the r11 registrations (r11: all eight now registered;
+    # the gdpr audit is excluded — its LakeTable memo keys on
+    # (applicationId, sf_dir), so the second run reads the same staged
+    # table and the check would be vacuous)
+    ("queued_r11", "docs_langid_confusion"),
+    ("queued_r11", "emb_pair_sim_histogram"),
+    ("queued_r11", "orders_benford_audit"),
+    ("queued_r11", "docs_bpe_merges"),
 ]
 
 
