@@ -1081,3 +1081,35 @@ def test_stateful_sessionization_event_time_non_utc_session(spark, tmp_path):
             spark.catalog.dropTempView("et_tz_sessions")
     finally:
         spark.conf.set("spark.sql.session.timeZone", prior)
+
+
+def test_gate_state_partitions_restores_width_on_success_and_error(spark):
+    # The bounded-replay width pin mutates SESSION conf around
+    # start(); a leaked width would silently narrow every subsequent
+    # batch shuffle in the same session (r11). Must restore on both
+    # the clean path and an exception inside the context.
+    import pytest as _pytest
+
+    from lakehouse_architecture_transaction_spark.streaming.pipeline import (
+        GATE_STATE_PARTITIONS,
+        gate_state_partitions,
+    )
+
+    fixture_width = spark.conf.get("spark.sql.shuffle.partitions")
+    # pin a session width that provably differs from the gate width
+    # (the test session itself may run at 8)
+    sentinel = str(GATE_STATE_PARTITIONS + 5)
+    spark.conf.set("spark.sql.shuffle.partitions", sentinel)
+    try:
+        with gate_state_partitions(spark):
+            assert (
+                spark.conf.get("spark.sql.shuffle.partitions")
+                == str(GATE_STATE_PARTITIONS)
+            )
+        assert spark.conf.get("spark.sql.shuffle.partitions") == sentinel
+        with _pytest.raises(RuntimeError):
+            with gate_state_partitions(spark):
+                raise RuntimeError("replay blew up")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == sentinel
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", fixture_width)
