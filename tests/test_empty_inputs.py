@@ -182,6 +182,7 @@ def _queued_fns():
         queued_r11 as Q11,
         queued_r12 as Q12,
         queued_r13 as Q13,
+        queued_r14 as Q14,
     )
 
     return [
@@ -228,6 +229,12 @@ def _queued_fns():
         ("lineitem_discount_profile", Q13.lineitem_discount_profile),
         ("events_growth_accounting", Q13.events_growth_accounting),
         ("events_hourly_concentration", Q13.events_hourly_concentration),
+        # the r14 batch (empty catalog tables, empty/one-doc corpus with
+        # zero-token texts, single-vector embeddings, all-null langs)
+        ("catalog_fd_profile", Q14.catalog_fd_profile),
+        ("docs_dsir_select", Q14.docs_dsir_select),
+        ("emb_matryoshka_recall", Q14.emb_matryoshka_recall),
+        ("docs_quality_calibration", Q14.docs_quality_calibration),
     ]
 
 

@@ -652,6 +652,101 @@ def test_growth_accounting_ledger_identities(spark, sf_dir):
         )
 
 
+# ---------------- Round-14 registration previews (plans/queued_r14.py) --
+
+
+@pytest.mark.parametrize(
+    "fn_name,oracle_name",
+    [
+        ("catalog_fd_profile", "CATALOG_FD_ORACLE"),
+        ("docs_dsir_select", "DOCS_DSIR_ORACLE"),
+        ("emb_matryoshka_recall", "EMB_MATRYOSHKA_ORACLE"),
+        ("docs_quality_calibration", "DOCS_QUALITY_CALIBRATION_ORACLE"),
+    ],
+)
+def test_r14_ops_oracle_parity_preview(spark, sf_dir, fn_name, oracle_name):
+    from lakehouse_architecture_transaction_spark.plans import queued_r14 as Q
+
+    con = _duck(sf_dir)
+    got = _canon_rows(getattr(Q, fn_name)(spark, sf_dir))
+    want = _duck_rows(con, getattr(Q, oracle_name))
+    assert got == want
+
+
+def test_fd_profile_recovers_controls(spark, sf_dir):
+    # The profiler must recover the true TPC-H key FDs, reject the
+    # attribute negatives, and FLAG the raw zone's dirty composite PK
+    # (duplicated (l_orderkey, l_linenumber) — the E4 dedup rationale).
+    from lakehouse_architecture_transaction_spark.plans.queued_r14 import catalog_fd_profile
+
+    rows = {
+        (r["table_name"], r["determinant"], r["dependent"]): r
+        for r in catalog_fd_profile(spark, sf_dir).collect()
+    }
+    assert rows[("orders", "o_orderkey", "o_custkey")]["fd_holds"] == 1
+    assert rows[("customer", "c_custkey", "c_nationkey")]["fd_holds"] == 1
+    assert rows[("nation", "n_nationkey", "n_regionkey")]["fd_holds"] == 1
+    assert rows[("orders", "o_custkey", "o_orderpriority")]["fd_holds"] == 0
+    assert rows[("nation", "n_regionkey", "n_name")]["fd_holds"] == 0
+    dirty_pk = rows[("lineitem", "l_orderkey,l_linenumber", "l_partkey")]
+    assert dirty_pk["fd_holds"] == 0 and dirty_pk["n_violating_det"] > 0
+    for r in rows.values():
+        assert (r["fd_holds"] == 1) == (r["strength"] == 1.0)
+
+
+def test_dsir_selection_concentrates_target(spark, sf_dir):
+    # Importance resampling must shift the selected mix TOWARD the
+    # target language without degenerating into a hard lang filter.
+    from lakehouse_architecture_transaction_spark.plans.queued_r14 import (
+        _DSIR_TARGET_LANG,
+        docs_dsir_select,
+    )
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_transaction_spark.catalog import load_table
+
+    sel = docs_dsir_select(spark, sf_dir).collect()
+    assert sel, "selection must not be hollow"
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("lang") == _DSIR_TARGET_LANG).count() / docs.count()
+    got = sum(1 for r in sel if r["lang"] == _DSIR_TARGET_LANG) / len(sel)
+    assert got > base, f"selected target share {got:.2f} <= base rate {base:.2f}"
+    assert got < 1.0, "selection collapsed into a hard lang filter"
+
+
+def test_matryoshka_recall_bounds(spark, sf_dir):
+    from lakehouse_architecture_transaction_spark.plans.queued_r14 import (
+        _MT_K,
+        _MT_QMAX,
+        emb_matryoshka_recall,
+    )
+
+    rows = emb_matryoshka_recall(spark, sf_dir).collect()
+    assert len(rows) == _MT_QMAX
+    for r in rows:
+        assert 0 <= r["n_common"] <= r["n_full"] <= _MT_K
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["top1_preserved"] in (0, 1)
+
+
+def test_quality_calibration_partitions_corpus(spark, sf_dir):
+    # Deciles must partition the corpus exactly and carry disjoint,
+    # ascending score ranges (NTILE over a total order).
+    from lakehouse_architecture_transaction_spark.catalog import load_table
+    from lakehouse_architecture_transaction_spark.plans.queued_r14 import (
+        docs_quality_calibration,
+    )
+
+    rows = docs_quality_calibration(spark, sf_dir).orderBy("decile").collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert [r["decile"] for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_p"] <= b["min_p"]
+    for r in rows:
+        assert 0 <= r["n_pass"] <= r["n_docs"]
+
+
 #: the timezone-risk surface: NTZ→TIMESTAMP casts (streaming
 #: watermarks require TIMESTAMP), session/window arithmetic on the
 #: cast column, and calendar bucketing — one registered query per

@@ -111,6 +111,12 @@ _QUEUED_SAMPLE = [
     ("queued_r11", "emb_pair_sim_histogram"),
     ("queued_r11", "orders_benford_audit"),
     ("queued_r11", "docs_bpe_merges"),
+    # the r14 batch (per-call localCheckpoints only — no module memo,
+    # so the second run genuinely re-shuffles every stage)
+    ("queued_r14", "catalog_fd_profile"),
+    ("queued_r14", "docs_dsir_select"),
+    ("queued_r14", "emb_matryoshka_recall"),
+    ("queued_r14", "docs_quality_calibration"),
 ]
 
 

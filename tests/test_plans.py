@@ -314,6 +314,53 @@ def test_survival_curve_broadcasts_month_histogram_not_customers(spark, sf_dir):
         assert "life_months" in inputs
 
 
+def test_fd_profile_pruned_scans_no_row_joins(spark, sf_dir):
+    # The FD profiler is pure per-candidate aggregation: each of the 8
+    # candidates scans ONLY its determinant+dependent columns and the
+    # plan contains NO row-level join of any kind — a join (or an
+    # unpruned scan) means the distinct-aggregate shape regressed.
+    from lakehouse_architecture_transaction_spark.plans import queued_r14 as Q
+
+    plan = _formatted_plan(Q.catalog_fd_profile(spark, sf_dir))
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert len(schemas) == len(Q._FD_PAIRS), f"expected 8 pruned scans, saw {len(schemas)}"
+    widths = sorted(len(s.split(",")) for s in schemas)
+    want = sorted(len(det) + 1 for _, det, _ in Q._FD_PAIRS)
+    assert widths == want, f"scan widths {widths} != determinant+dependent {want}"
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+        assert join not in plan, f"FD profile must not plan a {join}"
+
+
+def test_dsir_broadcasts_bucket_marginals_not_docs(spark, sf_dir):
+    # DSIR's broadcast sides must stay at bucket cardinality (64-row
+    # weight/marginal frames) or 1-row totals; the per-doc count frame
+    # and the doc metadata join are corpus-sized and must NEVER sit
+    # under a BroadcastExchange (the doc-id join correctly plans as
+    # sort-merge — both sides scale with the corpus).
+    from lakehouse_architecture_transaction_spark.plans import queued_r14 as Q
+
+    plan = _formatted_plan(Q.docs_dsir_select(spark, sf_dir))
+    hits = re.findall(r"\(\d+\) BroadcastExchange\nInput \[\d+\]: (\[[^\n]*\])", plan)
+    assert hits, "no BroadcastExchange matched — explain format drifted?"
+    for inputs in hits:
+        assert "doc_id" not in inputs, f"doc-cardinality broadcast: {inputs}"
+    assert "TakeOrderedAndProject" in plan, "top-k must avoid a global sort"
+
+
+def test_r14_shared_topk_frames_materialized_once(spark, sf_dir):
+    # emb_matryoshka_recall consumes each top-k frame twice
+    # (intersection + top-1) and docs_quality_calibration's ranked
+    # frame feeds ntile bucketing + the decile rollup; the eager
+    # checkpoints must shield every downstream branch from re-scanning
+    # the corpus (a ReadSchema in the result plan means a branch
+    # replays the scan).
+    from lakehouse_architecture_transaction_spark.plans import queued_r14 as Q
+
+    for fn in (Q.emb_matryoshka_recall, Q.docs_quality_calibration):
+        plan = _formatted_plan(fn(spark, sf_dir))
+        assert plan.count("ReadSchema") == 0, f"{fn.__name__} re-scans past its checkpoint"
+
+
 def test_r13_dispersion_materializes_shared_frames(spark, sf_dir):
     # part_price_dispersion_by_type's cents/deviation frames feed five
     # branches; before the checkpoints the part scan replayed 8 times.

@@ -175,6 +175,22 @@ PROBES = [
     "lineitem_shipdelay_trend",
     "customer_survival_curve",
     "orders_gdpr_erasure_audit",
+    # r14-queue probes (round 11 second wave, ahead of registration):
+    # - catalog_fd_profile: 8 independent distinct-aggregates — shuffle
+    #   at distinct-(det,dep) cardinality (grows with the shifted key
+    #   spaces), zero joins; time should stay near-flat.
+    # - docs_dsir_select: (doc,bucket) count + 64-row broadcast weights
+    #   + top-k heaps — shuffle linear in token volume, nothing
+    #   corpus-sized broadcast.
+    # - emb_matryoshka_recall: two brute-force yardstick scans (full +
+    #   sliced projection) — linear corpus scans, Q×k result joins.
+    # - docs_quality_calibration: two map-only feature passes + doc-id
+    #   join + bucketed-prefix NTILE — the grouped-rank funnel shape at
+    #   corpus cardinality.
+    "catalog_fd_profile",
+    "docs_dsir_select",
+    "emb_matryoshka_recall",
+    "docs_quality_calibration",
 ]
 
 
@@ -189,9 +205,12 @@ def _fn(name: str):
         queued_r11,
         queued_r12,
         queued_r13,
+        queued_r14,
     )
 
-    for mod in (queued_r13, queued_r12, queued_r11, queued_r10, queued_r9, queued_r8):
+    for mod in (
+        queued_r14, queued_r13, queued_r12, queued_r11, queued_r10, queued_r9, queued_r8
+    ):
         if hasattr(mod, name):
             return getattr(mod, name)
     raise KeyError(name)
