@@ -4,16 +4,26 @@ metadata, decoded/feature-extracted via Arrow-batched mapInPandas.
 Design: media travels as a ``binary`` column plus a metadata struct
 (mime/width/height/duration); decode and feature extraction run as
 mapInPandas over size-rebalanced partitions so one executor batch
-holds a bounded number of payload bytes. The actual media decode is
-STUBBED (image/audio libs are not in this image): ``decode_image``
-raises NotImplementedError unless the deterministic fake decoder is
-requested — the Spark-side plumbing (schema, partitioning, UDF
-signature, batch shape) is real and tested either way.
+holds a bounded number of payload bytes.
+
+Decode coverage: container formats that need NO codec library are
+decoded FOR REAL with the stdlib — uncompressed 24-bit BMP and binary
+PPM (P6) images (struct/header parsing + numpy reshape) and RIFF/WAVE
+PCM audio (stdlib ``wave``). Codec formats (JPEG/PNG/WebP, MP3/AAC,
+any video) still raise NotImplementedError — those genuinely require
+imaging/audio libraries absent from this environment — and the
+deterministic fake decoder remains the corpus path for the registered
+oracle-hashed queries (the synthetic payloads are UTF-8 text, not
+media containers). Format is sniffed from magic bytes, never trusted
+from metadata.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from typing import Iterator
 
 import numpy as np
@@ -42,37 +52,170 @@ def make_binary_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     )
 
 
-def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Decode an encoded image payload to an HxWx3 array.
+def sniff_format(payload: bytes) -> str:
+    """Container format from magic bytes (never trusted metadata):
+    'bmp' / 'ppm' / 'wav' / 'unknown'."""
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return "unknown"
 
-    Real decode requires an imaging library not present in this
-    image; the deterministic fake expands the payload hash into a
-    fixed 8x8x3 array so downstream plumbing is testable.
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Parse an uncompressed 24-bit BITMAPINFOHEADER BMP into an
+    HxWx3 RGB uint8 array: 4-byte-aligned bottom-up BGR rows per the
+    format spec. Pure struct/numpy — no codec involved."""
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP decodes without a codec (bpp={bpp}, comp={compression})"
+        )
+    if width <= 0 or height == 0:
+        raise ValueError(f"bad BMP dimensions {width}x{height}")
+    bottom_up = height > 0
+    height = abs(height)
+    stride = ((width * 3 + 3) // 4) * 4
+    need = data_off + stride * height
+    if len(payload) < need:
+        raise ValueError(f"truncated BMP pixel data ({len(payload)} < {need})")
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * height, offset=data_off)
+    rows = rows.reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """Parse a binary PPM (P6, maxval <= 255) into HxWx3 RGB uint8:
+    whitespace/comment-tolerant header, then raw RGB triplets."""
+    pos = 2  # past 'P6'
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(payload) and payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if start == pos:
+            raise ValueError("malformed PPM header")
+        fields.append(int(payload[start:pos]))
+    width, height, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad PPM dimensions {width}x{height}")
+    pos += 1  # exactly one whitespace byte after maxval per the spec
+    need = width * height * 3
+    if len(payload) - pos < need:
+        raise ValueError(f"truncated PPM pixel data ({len(payload) - pos} < {need})")
+    return (
+        np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+        .reshape(height, width, 3)
+        .copy()
+    )
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Encode an HxWx3 RGB uint8 array as an uncompressed 24-bit BMP
+    (BITMAPINFOHEADER, bottom-up BGR rows, 4-byte-aligned) — the sink
+    half of the codec-free round trip."""
+    h, w = img.shape[0], img.shape[1]
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, RGB->BGR
+    pix = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0
+    )
+    return header + pix
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Encode an HxWx3 RGB uint8 array as binary PPM (P6)."""
+    h, w = img.shape[0], img.shape[1]
+    return f"P6\n{w} {h}\n255\n".encode() + img.astype(np.uint8).tobytes()
+
+
+def encode_wav(pcm: np.ndarray, rate: int = 8000) -> bytes:
+    """Encode int16 mono PCM samples as RIFF/WAVE via the stdlib."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(pcm.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Decode an encoded image payload to an HxWx3 uint8 RGB array.
+
+    Real decode covers the codec-free containers — uncompressed
+    24-bit BMP and binary PPM (P6), sniffed from magic bytes and
+    parsed with struct/numpy. Codec formats (JPEG/PNG/...) raise
+    NotImplementedError: those need an imaging library this
+    environment doesn't ship. The deterministic fake expands the
+    payload hash into a fixed 8x8x3 array — the corpus path for the
+    registered oracle-hashed queries, whose synthetic payloads are
+    UTF-8 text rather than media containers.
     """
-    if not fake:
-        raise NotImplementedError("image decode requires an imaging library (not in this environment)")
-    # 8*8*3 = 192 bytes = six repeats of the 32-byte digest.
-    digest = hashlib.sha256(payload).digest()
-    arr = np.frombuffer((digest * 6)[: 8 * 8 * 3], dtype=np.uint8)
-    return arr.reshape(8, 8, 3)
+    if fake:
+        # 8*8*3 = 192 bytes = six repeats of the 32-byte digest.
+        digest = hashlib.sha256(payload).digest()
+        arr = np.frombuffer((digest * 6)[: 8 * 8 * 3], dtype=np.uint8)
+        return arr.reshape(8, 8, 3)
+    kind = sniff_format(payload)
+    if kind == "bmp":
+        return _decode_bmp(payload)
+    if kind == "ppm":
+        return _decode_ppm(payload)
+    raise NotImplementedError(
+        "image decode beyond BMP/PPM requires an imaging library (not in this environment)"
+    )
 
 
 def resize_image(img: np.ndarray, size: tuple[int, int] = (4, 4), fake: bool = True) -> np.ndarray:
-    """Resize an HxWx3 array. The real path needs an imaging library
-    (not in this environment); the fake path is deterministic
-    nearest-neighbor subsampling, which keeps the plumbing (shapes,
-    dtypes, batch flow) faithful."""
-    if not fake:
-        raise NotImplementedError("high-quality resize requires an imaging library")
+    """Resize an HxWx3 array. The fake path is deterministic
+    nearest-neighbor subsampling (the registered-query path). The
+    real path is exact area-average (box) downsampling in numpy —
+    deterministic and codec-free; it requires the target to divide
+    the source (the thumbnail case) and refuses upscaling rather than
+    silently interpolating."""
     h, w = size
+    if not fake:
+        sh, sw = img.shape[0], img.shape[1]
+        if sh % h or sw % w:
+            raise NotImplementedError(
+                f"real resize is exact box-average only: {sh}x{sw} not divisible by {h}x{w}"
+            )
+        fy, fx = sh // h, sw // w
+        boxes = img.reshape(h, fy, w, fx, img.shape[2]).astype(np.float64)
+        return boxes.mean(axis=(1, 3)).astype(np.uint8)  # exact mean, floor to byte
     ys = (np.arange(h) * img.shape[0] // h).astype(int)
     xs = (np.arange(w) * img.shape[1] // w).astype(int)
     return img[np.ix_(ys, xs)]
 
 
-def extract_thumbnails(mm: DataFrame, size: tuple[int, int] = (4, 4)) -> DataFrame:
+def extract_thumbnails(mm: DataFrame, size: tuple[int, int] = (4, 4), fake: bool = True) -> DataFrame:
     """mapInPandas thumbnail pipeline: decode → resize → per-channel
-    mean. Output (doc_id, thumb_h, thumb_w, mean_r, mean_g, mean_b)."""
+    mean. Output (doc_id, thumb_h, thumb_w, mean_r, mean_g, mean_b).
+    ``fake=False`` really decodes BMP/PPM payloads and box-averages
+    the resize; the default fake path serves the synthetic corpus."""
     h, w = size
     out_schema = "doc_id bigint, thumb_h int, thumb_w int, mean_r double, mean_g double, mean_b double"
 
@@ -80,8 +223,8 @@ def extract_thumbnails(mm: DataFrame, size: tuple[int, int] = (4, 4)) -> DataFra
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                img = decode_image(bytes(payload), fake=True)
-                t = resize_image(img, (h, w), fake=True).astype(np.float64)
+                img = decode_image(bytes(payload), fake=fake)
+                t = resize_image(img, (h, w), fake=fake).astype(np.float64)
                 rows.append(
                     {
                         "doc_id": doc_id,
@@ -148,14 +291,44 @@ N_AUDIO_WINDOWS = 4
 AUDIO_WINDOW = 64  # samples per analysis window
 
 
+def _decode_wav(payload: bytes) -> np.ndarray:
+    """Parse RIFF/WAVE PCM with the stdlib ``wave`` module into int16
+    samples (first channel of multi-channel audio; 8-bit unsigned PCM
+    is centered to int16). Compressed WAVE encodings raise through
+    wave's own Error as NotImplementedError."""
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as f:
+            n_ch, sw, _rate, n_frames = (
+                f.getnchannels(), f.getsampwidth(), f.getframerate(), f.getnframes(),
+            )
+            raw = f.readframes(n_frames)
+    except wave.Error as e:
+        raise NotImplementedError(f"non-PCM WAVE needs an audio codec: {e}") from e
+    if sw == 2:
+        pcm = np.frombuffer(raw, dtype="<i2").astype(np.int16)
+    elif sw == 1:
+        pcm = (np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128) * 256
+    else:
+        raise NotImplementedError(f"{8 * sw}-bit PCM not supported")
+    return pcm[::n_ch].copy() if n_ch > 1 else pcm
+
+
 def decode_audio(payload: bytes, n_samples: int = N_AUDIO_WINDOWS * AUDIO_WINDOW, fake: bool = True) -> np.ndarray:
-    """Decode an audio payload to centered int16 PCM samples. Real
-    decode needs an audio library (not in this environment); the
-    deterministic fake chains sha256(content_sha || '-a' || i) digests
-    into a byte stream and centers to [-128, 127], so both the Spark
-    plumbing and the SQL oracle reproduce it exactly."""
+    """Decode an audio payload to centered int16 PCM samples.
+
+    Real decode covers RIFF/WAVE PCM via the stdlib ``wave`` module
+    (sniffed from magic bytes); compressed audio raises
+    NotImplementedError. The deterministic fake chains
+    sha256(content_sha || '-a' || i) digests into a byte stream and
+    centers to [-128, 127] — the corpus path for the registered
+    oracle-hashed queries, whose payloads are not audio containers."""
     if not fake:
-        raise NotImplementedError("audio decode requires an audio library (not in this environment)")
+        if sniff_format(payload) != "wav":
+            raise NotImplementedError(
+                "audio decode beyond WAVE/PCM requires an audio library (not in this environment)"
+            )
+        pcm = _decode_wav(payload)
+        return pcm[:n_samples] if n_samples else pcm
     content_sha = hashlib.sha256(payload).hexdigest()
     buf = b""
     i = 0
@@ -165,12 +338,14 @@ def decode_audio(payload: bytes, n_samples: int = N_AUDIO_WINDOWS * AUDIO_WINDOW
     return np.frombuffer(buf[:n_samples], dtype=np.uint8).astype(np.int16) - 128
 
 
-def extract_audio_features(mm: DataFrame, n_windows: int = N_AUDIO_WINDOWS) -> DataFrame:
+def extract_audio_features(mm: DataFrame, n_windows: int = N_AUDIO_WINDOWS, fake: bool = True) -> DataFrame:
     """mapInPandas audio featurizer: decode → fixed windows → per-
     window mean absolute amplitude (the audio-pipeline shape: decode →
     frame → featurize, one output row per (doc, window)). mean_abs is
     an exact power-of-two division of an integer sum, so the oracle
-    matches bit-for-bit."""
+    matches bit-for-bit. ``fake=False`` really decodes WAVE/PCM
+    payloads via the stdlib parser (short clips yield only the full
+    windows they cover)."""
     out_schema = "doc_id bigint, window_idx int, n_samples int, mean_abs double"
 
     def _audio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -179,8 +354,8 @@ def extract_audio_features(mm: DataFrame, n_windows: int = N_AUDIO_WINDOWS) -> D
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 if payload is None:  # corrupt/missing blob -> zero windows
                     continue
-                pcm = decode_audio(bytes(payload), n_windows * AUDIO_WINDOW, fake=True)
-                for w in range(n_windows):
+                pcm = decode_audio(bytes(payload), n_windows * AUDIO_WINDOW, fake=fake)
+                for w in range(len(pcm) // AUDIO_WINDOW if not fake else n_windows):
                     win = pcm[w * AUDIO_WINDOW : (w + 1) * AUDIO_WINDOW]
                     rows.append(
                         {
@@ -212,12 +387,8 @@ def extract_features(mm: DataFrame, batch_target_rows: int = 1024, fake_decode: 
                 if payload is None:  # corrupt/missing blob -> dropped
                     continue
                 b = bytes(payload)
-                if fake_decode:
-                    img = decode_image(b, fake=True)
-                    hist, _ = np.histogram(img, bins=FEATURE_DIM, range=(0, 256))
-                else:  # pragma: no cover - real decoder not in image
-                    img = decode_image(b, fake=False)
-                    hist, _ = np.histogram(img, bins=FEATURE_DIM, range=(0, 256))
+                img = decode_image(b, fake=fake_decode)
+                hist, _ = np.histogram(img, bins=FEATURE_DIM, range=(0, 256))
                 total = float(hist.sum()) or 1.0
                 rows.append(
                     {

@@ -414,6 +414,163 @@ def test_audio_decode_stub_and_features(spark, sf_dir):
         assert 0.0 <= r["mean_abs"] <= 128.0 and r["n_samples"] == AUDIO_WINDOW
 
 
+def test_real_bmp_decode_handcrafted_and_roundtrip():
+    # Hand-crafted 2x3 BMP pinned byte-for-byte against the spec
+    # (bottom-up rows, BGR order, 4-byte row padding): the decoder is
+    # checked against an INDEPENDENT construction, not just its own
+    # encoder's inverse.
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from lakehouse_architecture_transaction_spark.operators.multimodal import (
+        _decode_bmp,
+        decode_image,
+        encode_bmp,
+        sniff_format,
+    )
+
+    # 2 rows x 3 cols, RGB values chosen distinct per pixel
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    stride = ((3 * 3 + 3) // 4) * 4  # 12 bytes, 3 of padding
+    rows = b""
+    for y in (1, 0):  # bottom-up
+        row = b""
+        for x in range(3):
+            r, g, b = img[y, x]
+            row += bytes([b, g, r])  # BGR
+        rows += row + b"\x00" * (stride - len(row))
+    payload = (
+        struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0, len(rows), 0, 0, 0, 0)
+        + rows
+    )
+    assert sniff_format(payload) == "bmp"
+    assert np.array_equal(decode_image(payload, fake=False), img)
+    # encoder round-trip on odd widths (padding exercised) both row orders
+    for h, w in ((2, 3), (5, 7), (4, 4)):
+        a = (np.arange(h * w * 3, dtype=np.uint64) * 37 % 256).astype(np.uint8).reshape(h, w, 3)
+        assert np.array_equal(_decode_bmp(encode_bmp(a)), a)
+    # corrupt inputs fail loudly, codec formats are gated
+    with pytest.raises(ValueError):
+        _decode_bmp(payload[:40])
+    with pytest.raises(ValueError):
+        _decode_bmp(payload[:-4])
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish", fake=False)
+
+
+def test_real_ppm_decode_comment_tolerant_and_roundtrip():
+    import numpy as np
+    import pytest
+
+    from lakehouse_architecture_transaction_spark.operators.multimodal import (
+        _decode_ppm,
+        decode_image,
+        encode_ppm,
+    )
+
+    img = (np.arange(2 * 2 * 3, dtype=np.uint8) * 11 % 256).astype(np.uint8).reshape(2, 2, 3)
+    # header with a comment line — parsers must skip it per the spec
+    payload = b"P6\n# test comment\n2 2\n255\n" + img.tobytes()
+    assert np.array_equal(decode_image(payload, fake=False), img)
+    for h, w in ((1, 1), (3, 5)):
+        a = (np.arange(h * w * 3, dtype=np.uint64) * 53 % 256).astype(np.uint8).reshape(h, w, 3)
+        assert np.array_equal(_decode_ppm(encode_ppm(a)), a)
+    with pytest.raises(ValueError):
+        _decode_ppm(b"P6\n2 2\n255\n" + img.tobytes()[:-2])
+
+
+def test_real_wav_decode_pcm_variants():
+    import io
+    import wave as _wave
+
+    import numpy as np
+
+    from lakehouse_architecture_transaction_spark.operators.multimodal import (
+        _decode_wav,
+        decode_audio,
+        encode_wav,
+    )
+
+    pcm = (np.arange(256, dtype=np.int32) * 257 - 32768).astype(np.int16)
+    assert np.array_equal(_decode_wav(encode_wav(pcm)), pcm)
+    # decode_audio real path honors the sample budget
+    assert np.array_equal(decode_audio(encode_wav(pcm), 64, fake=False), pcm[:64])
+    # stereo: first channel taken
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as f:
+        f.setnchannels(2)
+        f.setsampwidth(2)
+        f.setframerate(8000)
+        inter = np.empty(64, dtype=np.int16)
+        inter[0::2] = np.arange(32, dtype=np.int16)          # L
+        inter[1::2] = -np.arange(32, dtype=np.int16) - 1     # R
+        f.writeframes(inter.astype("<i2").tobytes())
+    assert np.array_equal(_decode_wav(buf.getvalue()), np.arange(32, dtype=np.int16))
+    # 8-bit unsigned PCM centers and scales to int16
+    buf8 = io.BytesIO()
+    with _wave.open(buf8, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(1)
+        f.setframerate(8000)
+        f.writeframes(bytes([0, 128, 255]))
+    assert list(_decode_wav(buf8.getvalue())) == [-32768, 0, 32512]
+
+
+def test_real_decode_end_to_end_mapinpandas(spark):
+    # The real-decode paths through the SAME Arrow-batched plumbing the
+    # registered fake-decoder queries use: BMP payloads -> thumbnails
+    # with exact box-average channel means; WAV payloads -> windowed
+    # mean-abs; byte-histogram features over the real pixels.
+    import numpy as np
+
+    from lakehouse_architecture_transaction_spark.operators.multimodal import (
+        AUDIO_WINDOW,
+        extract_audio_features,
+        extract_features,
+        extract_thumbnails,
+        encode_bmp,
+        encode_wav,
+    )
+
+    imgs = {
+        i: (np.arange(8 * 8 * 3, dtype=np.uint64) * (i + 7) % 256)
+        .astype(np.uint8)
+        .reshape(8, 8, 3)
+        for i in range(3)
+    }
+    mm_img = spark.createDataFrame(
+        [(i, bytearray(encode_bmp(imgs[i]))) for i in imgs], "doc_id long, payload binary"
+    )
+    out = {r["doc_id"]: r for r in extract_thumbnails(mm_img, (4, 4), fake=False).collect()}
+    assert len(out) == 3
+    for i, img in imgs.items():
+        boxes = img.reshape(4, 2, 4, 2, 3).astype(np.float64).mean(axis=(1, 3))
+        expect = boxes.astype(np.uint8).astype(np.float64)
+        assert out[i]["mean_r"] == expect[:, :, 0].mean()
+        assert out[i]["mean_b"] == expect[:, :, 2].mean()
+
+    feats = {r["doc_id"]: r for r in extract_features(mm_img, fake_decode=False).collect()}
+    for i, img in imgs.items():
+        hist, _ = np.histogram(img, bins=16, range=(0, 256))
+        got = np.array(feats[i]["feature"], dtype=np.float64)
+        assert np.allclose(got, hist / hist.sum(), atol=1e-7)
+
+    pcm = {i: ((np.arange(2 * AUDIO_WINDOW) * (13 + i)) % 200 - 100).astype(np.int16) for i in range(2)}
+    mm_wav = spark.createDataFrame(
+        [(i, bytearray(encode_wav(pcm[i]))) for i in pcm], "doc_id long, payload binary"
+    )
+    rows = extract_audio_features(mm_wav, fake=False).collect()
+    # short clips: only the full windows the clip covers (2 here)
+    assert len(rows) == 2 * 2
+    for r in rows:
+        w, i = r["window_idx"], r["doc_id"]
+        win = pcm[i][w * AUDIO_WINDOW : (w + 1) * AUDIO_WINDOW]
+        assert r["mean_abs"] == float(np.abs(win).sum()) / AUDIO_WINDOW
+
+
 def test_multiprobe_radius_widens_recall_monotonically(spark, sf_dir):
     # A wider probe shell can only ADD candidates (corpus buckets
     # partition the data and the probe list is distinct), so on one
