@@ -121,6 +121,15 @@ AUDITED = [
     "orders_revenue_autocorr",
     "docs_vocab_growth",
     "docs_source_distinctive_terms",
+    # round 11
+    "lineitem_shipdelay_trend",
+    "customer_survival_curve",
+    "events_touch_attribution",
+    "docs_langid_confusion",
+    "emb_pair_sim_histogram",
+    "orders_gdpr_erasure_audit",
+    "orders_benford_audit",
+    "docs_bpe_merges",
 ]
 
 #: per-query audit notes appended under the stats line — used where
@@ -271,6 +280,64 @@ NOTES = {
         "segment; offsets come from a broadcast triangular join over "
         "the (segment × bucket) count table. `Scan ExistingRDD` is the "
         "checkpointed customer-spend aggregate."
+    ),
+    "lineitem_shipdelay_trend": (
+        "The lineitem⋈orders fact-fact join reduces immediately to "
+        "per-nation int64 OLS moments (map-side combine at ~25 "
+        "groups); supplier/nation dims broadcast by explicit hint "
+        "(the r11 broadcast-audit adjudication: the orders side may "
+        "only AQE-broadcast while its runtime size sits under the "
+        "ceiling — past it the same stats flip to shuffle join with "
+        "the moment shape unchanged)."
+    ),
+    "customer_survival_curve": (
+        "The k-point >= theta join is a BroadcastNestedLoopJoin whose "
+        "build side is the MONTH-cardinality lifetime histogram (13 "
+        "rows), never per-customer spans — the r10 pre-registration "
+        "fix; pinned by test_plans (every BroadcastExchange input must "
+        "carry life_months and no o_custkey)."
+    ),
+    "events_touch_attribution": (
+        "Purchase×touch pair space comes from the bucketed interval "
+        "join (hour-bucket equi-keys + range filter, never a raw "
+        "theta-join); first/last ranks window per purchase with "
+        "event_id tie-breaks; credits are exact integer counts with "
+        "one ÷2.0."
+    ),
+    "docs_langid_confusion": (
+        "Reuses the registered langid plan (broadcast lexicon join + "
+        "per-doc argmax); `Scan ExistingRDD` is the checkpointed "
+        "(true, predicted) matrix frame — the per-class totals and "
+        "shares re-aggregate it rather than replaying the corpus scan."
+    ),
+    "emb_pair_sim_histogram": (
+        "`Scan ExistingRDD` is the session-memoized capped LSH pair "
+        "frame (shared with L4/L17/L43/L59/L65/L67); the baseline is "
+        "an id-shifted self-join at corpus cardinality; both cosine "
+        "branches fold deterministically before the 0.1-bin floor, so "
+        "bins are exact."
+    ),
+    "orders_gdpr_erasure_audit": (
+        "The copy-on-write erasure (MERGE-delete of the heaviest "
+        "customer) committed at memo time; the audited plan unions "
+        "snapshot aggregate scans (pre/post/CDF diff) of the versioned "
+        "LakeTable — the audit reads manifests, not a replay of the "
+        "rewrite."
+    ),
+    "orders_benford_audit": (
+        "First significant digit via one map-side string expression "
+        "over the pruned o_totalprice scan, a 9-group aggregate, and "
+        "the Benford expectations as a broadcast 9-row literal frame "
+        "(log10 constants embedded from Python at plan build — no "
+        "runtime log in either engine)."
+    ),
+    "docs_bpe_merges": (
+        "The iterative trainer (operators/text.py bpe_learn_merges — "
+        "per-round pair-count aggregate + 1-row argmax broadcast + "
+        "merge apply, lineage-checkpointed per round) ran at build "
+        "time; the audited plan reads the checkpointed 8-row merge "
+        "table. No driver-side corpus collect at any round — pinned "
+        "by tests/test_properties.py against a Python reference."
     ),
 }
 
