@@ -161,6 +161,104 @@ def catalog_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------
+# 1b. catalog_column_stats — ANALYZE-style per-column profile
+# ------------------------------------------------------------------
+
+#: table → columns profiled (static schema from TESTDATA.md — the
+#: profiler is the ANALYZE pass that FEEDS a CBO, so it enumerates
+#: columns explicitly rather than discovering them at plan time).
+_STATS_COLS: list[tuple[str, tuple[str, ...]]] = [
+    ("orders", ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate", "o_orderpriority")),
+    ("customer", ("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")),
+    ("events", ("event_id", "ts", "user_id", "event_type", "value", "props")),
+]
+
+
+def _column_stats_oracle() -> str:
+    parts = []
+    for t, cols in _STATS_COLS:
+        for c in cols:
+            parts.append(f"""
+            SELECT '{t}' AS table_name, '{c}' AS column_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT({c}) AS BIGINT) AS n_nonnull,
+                   CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+            FROM {t}
+            """)
+    union = " UNION ALL ".join(parts)
+    return f"""
+    WITH u AS ({union})
+    SELECT table_name, column_name, n_rows, n_nonnull, n_nulls, n_distinct,
+           CASE WHEN n_rows = 0 THEN NULL
+                ELSE CAST(n_nulls AS DOUBLE) / CAST(n_rows AS DOUBLE) END AS null_frac,
+           CASE WHEN n_nonnull = 0 THEN NULL
+                ELSE CAST(n_distinct AS DOUBLE) / CAST(n_nonnull AS DOUBLE) END
+               AS distinct_ratio
+    FROM u
+    ORDER BY table_name ASC, column_name ASC
+    """
+
+
+CATALOG_COLUMN_STATS_ORACLE = _column_stats_oracle()
+
+
+def catalog_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column statistics — the third leg of the
+    catalog-profiling trio (E26 cross-table inclusion, E29
+    within-table FDs, and here the per-column stats a cost-based
+    optimizer and every data-discovery UI feed on): per column the
+    row count, non-null/null counts, EXACT distinct count, null
+    fraction, and distinct ratio (1.0 reads "key-like", ~0 reads
+    "category-like"; NULL not 0/0 on empty inputs). Counts are exact
+    BIGINTs; the two ratios are single double divisions.
+
+    Scale shape: one PRUNED single-column scan per profiled column
+    (the inclusion-profile precedent), each an independent two-stage
+    count_distinct aggregate — shuffle at the column's distinct
+    cardinality with map-side partial distinct, 1-row summaries
+    unioned at the end. At 100 TB you would batch columns of one
+    table into a shared scan when I/O dominates; per-column pruning
+    is the right default while distinct state dominates."""
+    frames = []
+    for t, cols in _STATS_COLS:
+        tbl = load_table(spark, sf_dir, t)
+        for c in cols:
+            agg = tbl.select(c).agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.count(c).cast("bigint").alias("n_nonnull"),
+                (F.count("*") - F.count(c)).cast("bigint").alias("n_nulls"),
+                F.count_distinct(F.col(c)).cast("bigint").alias("n_distinct"),
+            )
+            frames.append(
+                agg.select(
+                    F.lit(t).alias("table_name"),
+                    F.lit(c).alias("column_name"),
+                    "n_rows",
+                    "n_nonnull",
+                    "n_nulls",
+                    "n_distinct",
+                )
+            )
+    u = reduce(lambda a, b: a.unionAll(b), frames)
+    return (
+        u.select(
+            "*",
+            F.when(F.col("n_rows") == 0, F.lit(None).cast("double"))
+            .otherwise(F.col("n_nulls").cast("double") / F.col("n_rows").cast("double"))
+            .alias("null_frac"),
+            F.when(F.col("n_nonnull") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.col("n_distinct").cast("double") / F.col("n_nonnull").cast("double")
+            )
+            .alias("distinct_ratio"),
+        )
+        .orderBy("table_name", "column_name")
+    )
+
+
+# ------------------------------------------------------------------
 # 2. docs_dsir_select — importance-resampling data selection
 # ------------------------------------------------------------------
 

@@ -232,6 +232,7 @@ def _queued_fns():
         # the r14 batch (empty catalog tables, empty/one-doc corpus with
         # zero-token texts, single-vector embeddings, all-null langs)
         ("catalog_fd_profile", Q14.catalog_fd_profile),
+        ("catalog_column_stats", Q14.catalog_column_stats),
         ("docs_dsir_select", Q14.docs_dsir_select),
         ("emb_matryoshka_recall", Q14.emb_matryoshka_recall),
         ("docs_quality_calibration", Q14.docs_quality_calibration),

@@ -659,6 +659,7 @@ def test_growth_accounting_ledger_identities(spark, sf_dir):
     "fn_name,oracle_name",
     [
         ("catalog_fd_profile", "CATALOG_FD_ORACLE"),
+        ("catalog_column_stats", "CATALOG_COLUMN_STATS_ORACLE"),
         ("docs_dsir_select", "DOCS_DSIR_ORACLE"),
         ("emb_matryoshka_recall", "EMB_MATRYOSHKA_ORACLE"),
         ("docs_quality_calibration", "DOCS_QUALITY_CALIBRATION_ORACLE"),
@@ -692,6 +693,28 @@ def test_fd_profile_recovers_controls(spark, sf_dir):
     assert dirty_pk["fd_holds"] == 0 and dirty_pk["n_violating_det"] > 0
     for r in rows.values():
         assert (r["fd_holds"] == 1) == (r["strength"] == 1.0)
+
+
+def test_column_stats_semantics(spark, sf_dir):
+    # Key columns read key-like (distinct_ratio 1.0), enums read
+    # category-like, and the clean fixtures carry no nulls — the
+    # stats a CBO trusts must hold their defining invariants.
+    from lakehouse_architecture_transaction_spark.plans.queued_r14 import (
+        catalog_column_stats,
+    )
+
+    rows = {
+        (r["table_name"], r["column_name"]): r
+        for r in catalog_column_stats(spark, sf_dir).collect()
+    }
+    assert rows[("orders", "o_orderkey")]["distinct_ratio"] == 1.0
+    assert rows[("customer", "c_custkey")]["distinct_ratio"] == 1.0
+    assert rows[("orders", "o_orderpriority")]["n_distinct"] <= 5
+    assert rows[("customer", "c_mktsegment")]["n_distinct"] <= 5
+    for r in rows.values():
+        assert r["n_nonnull"] + r["n_nulls"] == r["n_rows"]
+        assert r["n_distinct"] <= r["n_nonnull"]
+        assert r["null_frac"] == 0.0
 
 
 def test_dsir_selection_concentrates_target(spark, sf_dir):

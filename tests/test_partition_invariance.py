@@ -114,6 +114,7 @@ _QUEUED_SAMPLE = [
     # the r14 batch (per-call localCheckpoints only — no module memo,
     # so the second run genuinely re-shuffles every stage)
     ("queued_r14", "catalog_fd_profile"),
+    ("queued_r14", "catalog_column_stats"),
     ("queued_r14", "docs_dsir_select"),
     ("queued_r14", "emb_matryoshka_recall"),
     ("queued_r14", "docs_quality_calibration"),

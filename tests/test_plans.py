@@ -331,6 +331,21 @@ def test_fd_profile_pruned_scans_no_row_joins(spark, sf_dir):
         assert join not in plan, f"FD profile must not plan a {join}"
 
 
+def test_column_stats_pruned_scans_no_joins(spark, sf_dir):
+    # ANALYZE-style stats: one single-column pruned scan per profiled
+    # column, no joins anywhere — 17 scans of width 1.
+    from lakehouse_architecture_transaction_spark.plans import queued_r14 as Q
+
+    plan = _formatted_plan(Q.catalog_column_stats(spark, sf_dir))
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    n_cols = sum(len(cols) for _, cols in Q._STATS_COLS)
+    assert len(schemas) == n_cols, f"expected {n_cols} single-column scans, saw {len(schemas)}"
+    multi = [s for s in schemas if "," in s]
+    assert not multi, f"scans must read exactly one column, saw: {multi[:3]}"
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+        assert join not in plan, f"column stats must not plan a {join}"
+
+
 def test_dsir_broadcasts_bucket_marginals_not_docs(spark, sf_dir):
     # DSIR's broadcast sides must stay at bucket cardinality (64-row
     # weight/marginal frames) or 1-row totals; the per-doc count frame

@@ -18,6 +18,13 @@ Replication model (how real scale-up behaves, not naive row copies):
   exact copies of the old one (which would degenerate every
   similarity bucket).
 
+Measured action: a noop-sink write of the full result (every column,
+executor-side discard). Earlier rounds used .count(), which Catalyst
+partially PRUNES — ungrouped-aggregate unions and map-only
+projections collapse to row-count shortcuts, so their rows measured
+less than the real query (fixed round 11; the whole table is
+regenerated under the noop action).
+
 Usage: python tools/scale_probe.py [--factors 1,2,4,8] [--update-md]
 Writes per-factor parquet to /tmp/spark_graft_scale/x{f}/ (reused if
 present) and, with --update-md, rewrites the table in SCALE.md.
@@ -191,6 +198,10 @@ PROBES = [
     "docs_dsir_select",
     "emb_matryoshka_recall",
     "docs_quality_calibration",
+    # - catalog_column_stats: 17 independent single-column
+    #   count_distinct aggregates — shuffle at per-column distinct
+    #   cardinality, zero joins.
+    "catalog_column_stats",
 ]
 
 
@@ -339,7 +350,17 @@ def main() -> None:
             sh0 = shuffle_write_bytes(spark)
             for _ in range(3):
                 t0 = time.perf_counter()
-                _fn(name)(spark, dirs[f_]).count()
+                # noop write, NOT .count(): count() lets Catalyst prune
+                # the measured work — a union of ungrouped aggregates
+                # has a row count independent of its aggregate
+                # expressions (catalog_column_stats read 0.0 MB shuffle
+                # under count() vs 8.9 MB real), and a map-only
+                # projection prunes to a parquet row-count pushdown
+                # (docs_token_stats' flat 0.26 s "scan" measured
+                # nothing). The noop sink executes the FULL plan, all
+                # columns, and discards rows executor-side — no driver
+                # transfer to distort big-output shapes.
+                _fn(name)(spark, dirs[f_]).write.format("noop").mode("overwrite").save()
                 times.append(time.perf_counter() - t0)
                 release_persisted()
             # 3 identical runs → per-run shuffle volume = delta / 3
@@ -430,7 +451,11 @@ def _update_md(table: str, cpus: int) -> None:
         f"a near-zero shuffle column is a broadcast/scan-agg plan confirmed.\n"
         f"Every factor, including ×1, is written by the same writer with the\n"
         f"same file count ({N_FILES}), so per-task row volume — not read\n"
-        f"parallelism — is what grows with the factor.\n\n{table}\n{END}"
+        f"parallelism — is what grows with the factor.\n"
+        f"Measured action: noop-sink write of the FULL result (r11 fix —\n"
+        f"the earlier .count() action let Catalyst prune ungrouped-\n"
+        f"aggregate unions and map-only projections down to row-count\n"
+        f"shortcuts, so those rows under-measured the real query).\n\n{table}\n{END}"
     )
     if os.path.exists(path):
         txt = open(path).read()
