@@ -303,7 +303,13 @@ def _decode_wav(payload: bytes) -> np.ndarray:
             )
             raw = f.readframes(n_frames)
     except wave.Error as e:
-        raise NotImplementedError(f"non-PCM WAVE needs an audio codec: {e}") from e
+        # capability gap (compressed encoding) vs data error (truncated
+        # or malformed container) are different failure classes
+        if "unknown format" in str(e):
+            raise NotImplementedError(f"non-PCM WAVE needs an audio codec: {e}") from e
+        raise ValueError(f"malformed WAVE container: {e}") from e
+    except EOFError as e:
+        raise ValueError(f"truncated WAVE container: {e}") from e
     if sw == 2:
         pcm = np.frombuffer(raw, dtype="<i2").astype(np.int16)
     elif sw == 1:

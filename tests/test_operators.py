@@ -517,6 +517,11 @@ def test_real_wav_decode_pcm_variants():
         f.setframerate(8000)
         f.writeframes(bytes([0, 128, 255]))
     assert list(_decode_wav(buf8.getvalue())) == [-32768, 0, 32512]
+    # truncated container is a DATA error, not a capability gap
+    import pytest
+
+    with pytest.raises(ValueError):
+        _decode_wav(encode_wav(pcm)[:30])
 
 
 def test_real_decode_end_to_end_mapinpandas(spark):
