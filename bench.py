@@ -2,13 +2,24 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
 ONE JSON line with per-query wall times.
 
-Each query is forced with a cheap count() action (results stay on the
-executors; no driver materialization skew). A warmup run of the
-flagship query pays JVM/codegen startup once so timings reflect the
-plans, not the JIT. Each query runs $SPARK_GRAFT_BENCH_RUNS times
-(default 3) and reports the per-query MIN — one noisy run on a shared
-driver machine can otherwise fake a multi-x regression (round 2
-recorded 8.68 s for a query the judge re-measured at 1.53 s).
+Each query is forced with a noop-sink write (the FULL result is
+computed, every column, and discarded executor-side; no driver
+materialization skew). Until round 11 the action was count(), which
+Catalyst partially PRUNES — OptimizeOneRowPlan collapses unions of
+ungrouped aggregates and map-only projections collapse to parquet
+row-count shortcuts, so those queries' times measured less than the
+real query (the scale probe caught the same bug: 0.0 MB "shuffle" vs
+8.9-25.9 MB real for the catalog profilers). The action switch makes
+affected queries READ SLOWER from r11-wave-2 on; the transition is
+quantified in README "Reading bench numbers" from a same-session
+count-vs-noop double capture, and bench_full.json carries an
+"action" field so cross-round deltas can refuse mixed-action
+comparisons. A warmup run of the flagship query pays JVM/codegen
+startup once so timings reflect the plans, not the JIT. Each query
+runs $SPARK_GRAFT_BENCH_RUNS times (default 3) and reports the
+per-query MIN — one noisy run on a shared driver machine can
+otherwise fake a multi-x regression (round 2 recorded 8.68 s for a
+query the judge re-measured at 1.53 s).
 """
 
 from __future__ import annotations
@@ -354,7 +365,7 @@ def main() -> None:
         done = 0
         while done < n_runs:
             t0 = time.perf_counter()
-            REGISTRY[name].fn(spark, sf_dir).count()
+            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             release_persisted()  # caches must not leak across queries
             best, worst = min(best, dt), max(worst, dt)
@@ -405,6 +416,7 @@ def main() -> None:
         "cpus": cpus,
         "runs_per_query": runs,
         "aggregation": "min",
+        "action": "noop_write",
         "anchor_s": anchor_s,
         "anchor_post_s": anchor_post_s,
         "anchor_mc_s": anchor_mc_s,

@@ -63,6 +63,18 @@ def main() -> None:
         if a == "--top" and i + 1 < len(sys.argv):
             top = int(sys.argv[i + 1])
     old, new = load(args[0]), load(args[1])
+    # action gate (r11 wave 2): captures before the count()->noop_write
+    # action fix measured PRUNED plans for some queries — a mixed-action
+    # delta confounds the action change with real regressions.
+    act_old = old.get("action", "count")
+    act_new = new.get("action", "count")
+    if act_old != act_new:
+        print(
+            f"WARNING: mixed bench actions ({act_old} vs {act_new}) — affected "
+            "queries read slower under noop_write because count() under-measured "
+            "them (pruned plans). Compare same-action captures, or read the "
+            "transition table in README 'Reading bench numbers'."
+        )
     raw = "--raw" in sys.argv
     anchor_field = "none"
     if raw:
