@@ -276,11 +276,22 @@ def events_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("__n_le") >= lo_rank, F.col("value"))).alias("p50_lo"),
         F.min(F.when(F.col("__n_le") >= hi_rank, F.col("value"))).alias("p50_hi"),
     )
-    sk = events.groupBy("event_type").agg(
+    # Two aggregates joined on the 10-row type key, NOT one mixed agg:
+    # count_distinct alongside the object-typed sketch functions plans
+    # an Expand (every fact row duplicated per aggregate group) with a
+    # sort-agg fallback for the sketches — measured 4.96 s vs 0.45 s
+    # split at sf0.1, and at 100 TB the Expand would double the fact
+    # shuffle. Found by the r11 noop-action audit: the old count()
+    # bench action pruned the aggregate expressions, so this cost was
+    # invisible to every earlier capture.
+    sketches = events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.expr("approx_percentile(value, 0.5, 10000)").alias("approx_p50"),
-        F.count_distinct("user_id").cast("bigint").alias("exact_users"),
     )
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_users")
+    )
+    sk = sketches.join(exact, "event_type")
     return (
         sk.join(bands, "event_type")
         .select(

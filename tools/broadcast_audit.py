@@ -94,7 +94,7 @@ def measure(spark, sf_dir: str) -> dict[str, int]:
     _, last = max_broadcast_rows(spark, -1)  # drain pre-existing
     for name, spec in REGISTRY.items():
         try:
-            spec.fn(spark, sf_dir).count()
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # full plan, not count-pruned (r11 bench-action fix)
             sizes[name], last = max_broadcast_rows(spark, last)
         except Exception as e:  # noqa: BLE001 — audit everything else
             print(f"  ERROR {name}: {type(e).__name__}: {str(e)[:100]}", flush=True)

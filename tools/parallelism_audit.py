@@ -75,7 +75,7 @@ def audit(spark, sf_dir: str, only: set[str]) -> list[tuple[str, int, int, int]]
         if name.startswith(SKIP_PREFIXES):
             continue
         try:
-            spec.fn(spark, sf_dir).count()
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # full plan, not count-pruned (r11 bench-action fix)
         except Exception as e:  # noqa: BLE001 — audit everything else
             print(f"  ERROR {name}: {type(e).__name__}: {str(e)[:100]}", flush=True)
             last = _max_stage_id(spark)

@@ -182,7 +182,7 @@ def main() -> None:
             s0 = shuffle_write_bytes(spark)
             for _ in range(3):
                 t0 = time.perf_counter()
-                _fn(name)(spark, d).count()
+                _fn(name)(spark, d).write.format("noop").mode("overwrite").save()  # full plan, not count-pruned (r11 bench-action fix)
                 best = min(best, time.perf_counter() - t0)
                 release_persisted()
             s1 = shuffle_write_bytes(spark)

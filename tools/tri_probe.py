@@ -31,7 +31,7 @@ def main() -> None:
         ts = []
         for _ in range(runs):
             t0 = time.perf_counter()
-            REGISTRY[name].fn(spark, sf_dir).count()
+            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # full plan, not count-pruned (r11 bench-action fix)
             ts.append(round(time.perf_counter() - t0, 3))
             release_persisted()
         print(f"{name:32s} {ts}  min={min(ts)}", flush=True)
