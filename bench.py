@@ -33,6 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from lakehouse_architecture_transaction_spark.plans import REGISTRY
 from lakehouse_architecture_transaction_spark.session import get_spark
+from lakehouse_architecture_transaction_spark.measure import force_full_result
 
 #: The headline set, each query tagged with its operator family so the
 #: bench JSON carries per-family subtotals (regressions attributable at
@@ -341,7 +342,10 @@ def main() -> None:
     # Warmup: JVM + codegen + parquet footer caches, plus the Python
     # worker pool (Arrow-batched ops otherwise pay ~3s of daemon
     # spin-up on their first query — boot cost, not plan cost).
-    REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).count()
+    # warm up through the MEASUREMENT action so the noop sink's own
+    # one-time init (datasource lookup, write-path codegen) is paid
+    # here, not inside the first timed run
+    force_full_result(REGISTRY["q1_pricing_summary"].fn(spark, sf_dir))
     spark.range(cpus).repartition(cpus).mapInPandas(lambda it: it, "id long").count()
 
     from lakehouse_architecture_transaction_spark.operators.dedup import release_persisted
@@ -365,7 +369,7 @@ def main() -> None:
         done = 0
         while done < n_runs:
             t0 = time.perf_counter()
-            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            force_full_result(REGISTRY[name].fn(spark, sf_dir))
             dt = time.perf_counter() - t0
             release_persisted()  # caches must not leak across queries
             best, worst = min(best, dt), max(worst, dt)

@@ -83,6 +83,10 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
         )
     if width <= 0 or height == 0:
         raise ValueError(f"bad BMP dimensions {width}x{height}")
+    if data_off < 14 + hdr_size:
+        # pixel data cannot start inside the headers — a data_off of 0
+        # would silently decode the header bytes as pixels
+        raise ValueError(f"BMP data offset {data_off} inside the {14 + hdr_size}-byte headers")
     bottom_up = height > 0
     height = abs(height)
     stride = ((width * 3 + 3) // 4) * 4
@@ -117,17 +121,23 @@ def _decode_ppm(payload: bytes) -> np.ndarray:
     width, height, maxval = fields
     if maxval > 255:
         raise NotImplementedError("16-bit PPM not supported")
+    if maxval <= 0:
+        raise ValueError(f"bad PPM maxval {maxval}")
     if width <= 0 or height <= 0:
         raise ValueError(f"bad PPM dimensions {width}x{height}")
     pos += 1  # exactly one whitespace byte after maxval per the spec
     need = width * height * 3
     if len(payload) - pos < need:
         raise ValueError(f"truncated PPM pixel data ({len(payload) - pos} < {need})")
-    return (
-        np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
-        .reshape(height, width, 3)
-        .copy()
+    img = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos).reshape(
+        height, width, 3
     )
+    if maxval != 255:
+        # spec: sample values are fractions of maxval — rescale to the
+        # uint8 range (half-up integer rounding), else a maxval=15
+        # white (15) would silently read near-black
+        img = ((img.astype(np.uint32) * 255 + maxval // 2) // maxval).astype(np.uint8)
+    return img.copy()
 
 
 def encode_bmp(img: np.ndarray) -> bytes:
@@ -223,6 +233,8 @@ def extract_thumbnails(mm: DataFrame, size: tuple[int, int] = (4, 4), fake: bool
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # corrupt/missing blob -> dropped
+                    continue
                 img = decode_image(bytes(payload), fake=fake)
                 t = resize_image(img, (h, w), fake=fake).astype(np.float64)
                 rows.append(
@@ -235,7 +247,9 @@ def extract_thumbnails(mm: DataFrame, size: tuple[int, int] = (4, 4), fake: bool
                         "mean_b": float(t[:, :, 2].mean()),
                     }
                 )
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "thumb_h", "thumb_w", "mean_r", "mean_g", "mean_b"]
+            )
 
     return mm.select("doc_id", "payload").mapInPandas(_thumb, schema=out_schema)
 
@@ -333,8 +347,9 @@ def decode_audio(payload: bytes, n_samples: int = N_AUDIO_WINDOWS * AUDIO_WINDOW
             raise NotImplementedError(
                 "audio decode beyond WAVE/PCM requires an audio library (not in this environment)"
             )
-        pcm = _decode_wav(payload)
-        return pcm[:n_samples] if n_samples else pcm
+        # always slice: n_samples=0 means zero samples on BOTH paths
+        # (the fake path's budget loop runs zero times)
+        return _decode_wav(payload)[:n_samples]
     content_sha = hashlib.sha256(payload).hexdigest()
     buf = b""
     i = 0

@@ -6,6 +6,9 @@ classifier calibration.
   E26's cross-table inclusion profile, and the profiler that
   DISCOVERS the raw zone's dirty composite PK (the E4 dedup
   rationale) instead of assuming it.
+- catalog_column_stats — ANALYZE-style per-column row/null/exact-
+  distinct statistics over a curated 17-column set: the CBO /
+  data-discovery feed completing the catalog-profiling trio.
 - docs_dsir_select — DSIR-style data selection (Xie et al. 2023,
   "Data Selection for Language Models via Importance Resampling"):
   hashed-unigram importance weights of a target slice vs the raw
@@ -19,7 +22,7 @@ classifier calibration.
   is-my-cheap-model-ranked-like-my-rules eval, per-decile pass rates
   over exact NTILE deciles.
 
-All four oracle-previewed cell-exact at sf0.001/0.01/0.1
+All five oracle-previewed cell-exact at sf0.001/0.01/0.1
 (tests/test_oracle_parity.py) and degenerate-input pinned
 (tests/test_empty_inputs.py).
 """
@@ -268,13 +271,13 @@ _DSIR_TARGET_LANG = "en"
 
 DOCS_DSIR_ORACLE = f"""
 WITH tok AS (
-    SELECT doc_id, lang, source,
+    SELECT doc_id, lang,
            (('0x' || substr(md5(lower(unnest({_TOKENS}))), 1, 8))::BIGINT) % {_DSIR_BUCKETS} AS bkt
     FROM documents
 ),
 c AS (
-    SELECT doc_id, lang, source, bkt, CAST(COUNT(*) AS BIGINT) AS cnt
-    FROM tok GROUP BY 1, 2, 3, 4
+    SELECT doc_id, lang, bkt, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM tok GROUP BY 1, 2, 3
 ),
 r AS (SELECT bkt, CAST(SUM(cnt) AS BIGINT) AS rcnt FROM c GROUP BY 1),
 tb AS (SELECT bkt, CAST(SUM(cnt) AS BIGINT) AS tcnt
@@ -342,18 +345,19 @@ def docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, and TakeOrderedAndProject for the top-k — no global
     sort, no row-level self-join."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
+    # lang rides the explode (needed for the target marginal); source
+    # does NOT — it re-joins from the doc-level frame at the end, so
+    # the widest shuffle of the query carries no dead string column
     tok = docs.select(
         "doc_id",
         "lang",
-        "source",
         F.explode(tokens_expr("text")).alias("__t"),
     ).select(
         "doc_id",
         "lang",
-        "source",
         (h32_col(F.lower(F.col("__t"))) % _DSIR_BUCKETS).alias("bkt"),
     )
-    c = tok.groupBy("doc_id", "lang", "source", "bkt").agg(
+    c = tok.groupBy("doc_id", "lang", "bkt").agg(
         F.count("*").cast("bigint").alias("cnt")
     )
     c = c.localCheckpoint(eager=True)  # marginals + score join both consume it
@@ -412,9 +416,12 @@ def docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(_DSIR_K)
 
 
-docs_dsir_select.__doc__ = docs_dsir_select.__doc__.format(
-    b=_DSIR_BUCKETS, k=_DSIR_K, tl=_DSIR_TARGET_LANG
-)
+# guard None: python -OO strips docstrings, and an AttributeError here
+# would kill every import of the plans package
+if docs_dsir_select.__doc__:
+    docs_dsir_select.__doc__ = docs_dsir_select.__doc__.format(
+        b=_DSIR_BUCKETS, k=_DSIR_K, tl=_DSIR_TARGET_LANG
+    )
 
 
 # ------------------------------------------------------------------
@@ -529,9 +536,10 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-emb_matryoshka_recall.__doc__ = emb_matryoshka_recall.__doc__.format(
-    k=_MT_K, d=64, d2=_MT_DIM, q=_MT_QMAX
-)
+if emb_matryoshka_recall.__doc__:  # None under python -OO
+    emb_matryoshka_recall.__doc__ = emb_matryoshka_recall.__doc__.format(
+        k=_MT_K, d=64, d2=_MT_DIM, q=_MT_QMAX
+    )
 
 
 # ------------------------------------------------------------------

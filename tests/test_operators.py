@@ -457,6 +457,11 @@ def test_real_bmp_decode_handcrafted_and_roundtrip():
         _decode_bmp(payload[:40])
     with pytest.raises(ValueError):
         _decode_bmp(payload[:-4])
+    # a data offset pointing INSIDE the headers must not silently
+    # decode header bytes as pixels
+    bad_off = payload[:10] + struct.pack("<I", 0) + payload[14:]
+    with pytest.raises(ValueError):
+        _decode_bmp(bad_off)
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish", fake=False)
 
@@ -480,6 +485,13 @@ def test_real_ppm_decode_comment_tolerant_and_roundtrip():
         assert np.array_equal(_decode_ppm(encode_ppm(a)), a)
     with pytest.raises(ValueError):
         _decode_ppm(b"P6\n2 2\n255\n" + img.tobytes()[:-2])
+    # maxval < 255: samples are FRACTIONS of maxval per the spec —
+    # full intensity 15/15 must decode white, not near-black
+    small = b"P6\n2 1\n15\n" + bytes([15, 0, 7, 15, 15, 15])
+    got = _decode_ppm(small)
+    assert got.tolist() == [[[255, 0, 119], [255, 255, 255]]]
+    with pytest.raises(ValueError):
+        _decode_ppm(b"P6\n1 1\n0\n" + bytes([0, 0, 0]))
 
 
 def test_real_wav_decode_pcm_variants():
@@ -496,8 +508,11 @@ def test_real_wav_decode_pcm_variants():
 
     pcm = (np.arange(256, dtype=np.int32) * 257 - 32768).astype(np.int16)
     assert np.array_equal(_decode_wav(encode_wav(pcm)), pcm)
-    # decode_audio real path honors the sample budget
+    # decode_audio real path honors the sample budget; n_samples=0
+    # means ZERO samples on both paths (fake path agrees)
     assert np.array_equal(decode_audio(encode_wav(pcm), 64, fake=False), pcm[:64])
+    assert len(decode_audio(encode_wav(pcm), 0, fake=False)) == 0
+    assert len(decode_audio(b"payload", 0, fake=True)) == 0
     # stereo: first channel taken
     buf = io.BytesIO()
     with _wave.open(buf, "wb") as f:
@@ -549,8 +564,13 @@ def test_real_decode_end_to_end_mapinpandas(spark):
     mm_img = spark.createDataFrame(
         [(i, bytearray(encode_bmp(imgs[i]))) for i in imgs], "doc_id long, payload binary"
     )
-    out = {r["doc_id"]: r for r in extract_thumbnails(mm_img, (4, 4), fake=False).collect()}
-    assert len(out) == 3
+    # a NULL payload row is DROPPED (corrupt blob), like the sibling
+    # extractors — it must not crash the whole job
+    mm_with_null = mm_img.unionByName(
+        spark.createDataFrame([(99, None)], "doc_id long, payload binary")
+    )
+    out = {r["doc_id"]: r for r in extract_thumbnails(mm_with_null, (4, 4), fake=False).collect()}
+    assert len(out) == 3 and 99 not in out
     for i, img in imgs.items():
         boxes = img.reshape(4, 2, 4, 2, 3).astype(np.float64).mean(axis=(1, 3))
         expect = boxes.astype(np.uint8).astype(np.float64)

@@ -70,11 +70,15 @@ def main() -> None:
     act_new = new.get("action", "count")
     if act_old != act_new:
         print(
-            f"WARNING: mixed bench actions ({act_old} vs {act_new}) — affected "
+            f"REFUSED: mixed bench actions ({act_old} vs {act_new}) — affected "
             "queries read slower under noop_write because count() under-measured "
-            "them (pruned plans). Compare same-action captures, or read the "
-            "transition table in README 'Reading bench numbers'."
+            "them (pruned plans), so the per-query table would show artifact "
+            "regressions. Compare same-action captures, read the transition "
+            "table in README 'Reading bench numbers', or pass --mixed-action "
+            "to proceed anyway."
         )
+        if "--mixed-action" not in sys.argv:
+            raise SystemExit(2)
     raw = "--raw" in sys.argv
     anchor_field = "none"
     if raw:

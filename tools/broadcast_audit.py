@@ -36,6 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from lakehouse_architecture_transaction_spark.plans import REGISTRY  # noqa: E402
 from lakehouse_architecture_transaction_spark.session import get_spark  # noqa: E402
+from lakehouse_architecture_transaction_spark.measure import force_full_result  # noqa: E402
 
 GROWTH_FLOOR_ROWS = 5_000  # ignore smaller broadcasts at sfB
 GROWTH_RATIO = 4.0  # flag when rows(sfB) > 4x rows(sfA) for 10x rows
@@ -94,7 +95,7 @@ def measure(spark, sf_dir: str) -> dict[str, int]:
     _, last = max_broadcast_rows(spark, -1)  # drain pre-existing
     for name, spec in REGISTRY.items():
         try:
-            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # full plan, not count-pruned (r11 bench-action fix)
+            force_full_result(spec.fn(spark, sf_dir))
             sizes[name], last = max_broadcast_rows(spark, last)
         except Exception as e:  # noqa: BLE001 — audit everything else
             print(f"  ERROR {name}: {type(e).__name__}: {str(e)[:100]}", flush=True)

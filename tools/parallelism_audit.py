@@ -37,6 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from lakehouse_architecture_transaction_spark.plans import REGISTRY  # noqa: E402
 from lakehouse_architecture_transaction_spark.session import get_spark  # noqa: E402
+from lakehouse_architecture_transaction_spark.measure import force_full_result  # noqa: E402
 
 #: a stage is "slow" when its tasks together burned this much CPU-ms —
 #: below it, narrowness is noise (tiny finals, 1-row aggregates)
@@ -75,7 +76,7 @@ def audit(spark, sf_dir: str, only: set[str]) -> list[tuple[str, int, int, int]]
         if name.startswith(SKIP_PREFIXES):
             continue
         try:
-            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # full plan, not count-pruned (r11 bench-action fix)
+            force_full_result(spec.fn(spark, sf_dir))
         except Exception as e:  # noqa: BLE001 — audit everything else
             print(f"  ERROR {name}: {type(e).__name__}: {str(e)[:100]}", flush=True)
             last = _max_stage_id(spark)

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from lakehouse_architecture_transaction_spark.catalog import load_table  # noqa: E402
 from lakehouse_architecture_transaction_spark.plans import REGISTRY  # noqa: E402
 from lakehouse_architecture_transaction_spark.session import get_spark  # noqa: E402
+from lakehouse_architecture_transaction_spark.measure import force_full_result  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
 OUT = "/tmp/spark_graft_scale"
@@ -360,7 +361,7 @@ def main() -> None:
                 # nothing). The noop sink executes the FULL plan, all
                 # columns, and discards rows executor-side — no driver
                 # transfer to distort big-output shapes.
-                _fn(name)(spark, dirs[f_]).write.format("noop").mode("overwrite").save()
+                force_full_result(_fn(name)(spark, dirs[f_]))
                 times.append(time.perf_counter() - t0)
                 release_persisted()
             # 3 identical runs → per-run shuffle volume = delta / 3

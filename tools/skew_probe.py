@@ -29,6 +29,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from lakehouse_architecture_transaction_spark.catalog import TABLES  # noqa: E402
 from lakehouse_architecture_transaction_spark.plans import REGISTRY  # noqa: E402
 from lakehouse_architecture_transaction_spark.session import get_spark  # noqa: E402
+from lakehouse_architecture_transaction_spark.measure import force_full_result  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
 OUT = "/tmp/spark_graft_skew"
@@ -182,7 +183,7 @@ def main() -> None:
             s0 = shuffle_write_bytes(spark)
             for _ in range(3):
                 t0 = time.perf_counter()
-                _fn(name)(spark, d).write.format("noop").mode("overwrite").save()  # full plan, not count-pruned (r11 bench-action fix)
+                force_full_result(_fn(name)(spark, d))
                 best = min(best, time.perf_counter() - t0)
                 release_persisted()
             s1 = shuffle_write_bytes(spark)

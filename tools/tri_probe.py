@@ -16,6 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from lakehouse_architecture_transaction_spark.plans import REGISTRY
 from lakehouse_architecture_transaction_spark.session import get_spark
+from lakehouse_architecture_transaction_spark.measure import force_full_result
 
 
 def main() -> None:
@@ -31,7 +32,7 @@ def main() -> None:
         ts = []
         for _ in range(runs):
             t0 = time.perf_counter()
-            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # full plan, not count-pruned (r11 bench-action fix)
+            force_full_result(REGISTRY[name].fn(spark, sf_dir))
             ts.append(round(time.perf_counter() - t0, 3))
             release_persisted()
         print(f"{name:32s} {ts}  min={min(ts)}", flush=True)
