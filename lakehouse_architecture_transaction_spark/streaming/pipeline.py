@@ -333,7 +333,21 @@ def click_purchase_join(
     match them. ``watermark`` is the lateness horizon on both sides —
     production uses a small one (bounded state); bounded availableNow
     replays pass one larger than the data's time span so no state is
-    evicted mid-replay and the result is exactly the batch join."""
+    evicted mid-replay and the result is exactly the batch join.
+
+    HOT-KEY SHAPE (r11 skew probe): the equi key is
+    (user, within_seconds-wide time bucket), NOT bare user — the same
+    bucketed-interval-join trick as the batch touch attribution. The
+    streaming state store hash-partitions on the equi key, so a
+    celebrity user with 30 % of all events funnelled their ENTIRE
+    click history through one task (measured 3.9× wall / 10× max-task
+    under the skew layout); bucketing splits that user's state across
+    the time axis. Each purchase probes its own bucket and the
+    previous one (a click within the lookback lives in exactly one of
+    the two, so every true pair matches EXACTLY once — no dedup
+    needed); the probe-side duplication costs 2× purchase state,
+    bounded by the same watermark."""
+    bucket_us = within_seconds * 1_000_000
     clicks = (
         events.filter(F.col("event_type") == "click")
         .select(
@@ -341,6 +355,7 @@ def click_purchase_join(
             F.col("ts").alias("click_ts"),
             F.col("event_id").alias("click_id"),
         )
+        .withColumn("c_bucket", F.floor(F.unix_micros("click_ts") / F.lit(bucket_us)))
         .withWatermark("click_ts", watermark)
     )
     purchases = (
@@ -351,10 +366,20 @@ def click_purchase_join(
             F.col("event_id").alias("purchase_id"),
             F.col("value"),
         )
+        .withColumn(
+            "p_bucket",
+            F.explode(
+                F.array(
+                    F.floor(F.unix_micros("purchase_ts") / F.lit(bucket_us)) - 1,
+                    F.floor(F.unix_micros("purchase_ts") / F.lit(bucket_us)),
+                )
+            ),
+        )
         .withWatermark("purchase_ts", watermark)
     )
     cond = (
         (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_bucket") == F.col("p_bucket"))
         & (F.col("click_ts") <= F.col("purchase_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within_seconds} SECONDS"))
     )
