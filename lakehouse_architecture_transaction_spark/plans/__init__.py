@@ -21,5 +21,7 @@ from lakehouse_architecture_transaction_spark.plans import (  # noqa: F401
     queued_r9,
     queued_r10,
     queued_r11,
+    queued_r12,
+    queued_r13,
 )
 from lakehouse_architecture_transaction_spark.plans.registry import REGISTRY, QuerySpec  # noqa: F401

@@ -298,3 +298,20 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# ------------------------------------------------------------------
+# Registration (round 12 drain — all four preview-verified at
+# sf0.001/0.01/0.1 in tests/test_oracle_parity.py before this point)
+# ------------------------------------------------------------------
+
+from lakehouse_architecture_transaction_spark.plans.registry import register  # noqa: E402
+
+register("orders_order_size_histogram", oracle=ORDERS_SIZE_HISTOGRAM_ORACLE)(
+    orders_order_size_histogram
+)
+register("supplier_part_degree_profile", oracle=SUPPLIER_PART_DEGREE_ORACLE)(
+    supplier_part_degree_profile
+)
+register("customer_order_value_cv", oracle=CUSTOMER_ORDER_CV_ORACLE)(customer_order_value_cv)
+register("nation_trade_balance", oracle=NATION_TRADE_BALANCE_ORACLE)(nation_trade_balance)

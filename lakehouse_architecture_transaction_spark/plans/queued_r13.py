@@ -505,3 +505,27 @@ def events_hourly_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_of_day")
     )
+
+
+# ------------------------------------------------------------------
+# Registration (round 12 drain — all five preview-verified at
+# sf0.001/0.01/0.1 in tests/test_oracle_parity.py before this point)
+# ------------------------------------------------------------------
+
+from lakehouse_architecture_transaction_spark.plans.registry import register  # noqa: E402
+
+register("part_price_dispersion_by_type", oracle=PART_PRICE_DISPERSION_ORACLE)(
+    part_price_dispersion_by_type
+)
+register("events_usertype_overlap", oracle=EVENTS_USERTYPE_OVERLAP_ORACLE)(
+    events_usertype_overlap
+)
+register("lineitem_discount_profile", oracle=LINEITEM_DISCOUNT_PROFILE_ORACLE)(
+    lineitem_discount_profile
+)
+register("events_growth_accounting", oracle=EVENTS_GROWTH_ACCOUNTING_ORACLE)(
+    events_growth_accounting
+)
+register("events_hourly_concentration", oracle=EVENTS_HOURLY_CONCENTRATION_ORACLE)(
+    events_hourly_concentration
+)
