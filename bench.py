@@ -204,6 +204,21 @@ HEADLINE_FAMILIES: dict[str, str] = {
     "orders_gdpr_erasure_audit": "etl",
     "orders_benford_audit": "etl",
     "docs_bpe_merges": "text",
+    # round-12 additions: the drained r12+r13 queues — order-size and
+    # discount-band profiles, supply-graph degrees, spend-consistency
+    # CV, trade balance, robust price dispersion, audience overlap,
+    # growth accounting, hourly concentration — plus the BPE invariant
+    # companion (shares the trainer memo with docs_bpe_merges)
+    "orders_order_size_histogram": "tpch",
+    "supplier_part_degree_profile": "etl",
+    "customer_order_value_cv": "window",
+    "nation_trade_balance": "tpch",
+    "part_price_dispersion_by_type": "tpch",
+    "events_usertype_overlap": "events",
+    "lineitem_discount_profile": "tpch",
+    "events_growth_accounting": "events",
+    "events_hourly_concentration": "events",
+    "docs_bpe_invariants": "text",
 }
 
 HEADLINE = list(HEADLINE_FAMILIES)

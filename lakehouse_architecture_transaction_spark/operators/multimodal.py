@@ -125,7 +125,12 @@ def _decode_ppm(payload: bytes) -> np.ndarray:
         raise ValueError(f"bad PPM maxval {maxval}")
     if width <= 0 or height <= 0:
         raise ValueError(f"bad PPM dimensions {width}x{height}")
-    pos += 1  # exactly one whitespace byte after maxval per the spec
+    # exactly one whitespace byte after maxval per the spec — a
+    # malformed header (no separator) must raise, not silently consume
+    # a pixel byte and shift the whole image by one
+    if not payload[pos : pos + 1].isspace():
+        raise ValueError("malformed PPM header: missing whitespace after maxval")
+    pos += 1
     need = width * height * 3
     if len(payload) - pos < need:
         raise ValueError(f"truncated PPM pixel data ({len(payload) - pos} < {need})")
@@ -305,11 +310,39 @@ N_AUDIO_WINDOWS = 4
 AUDIO_WINDOW = 64  # samples per analysis window
 
 
+def _wav_format_tag(payload: bytes) -> int | None:
+    """wFormatTag from the RIFF fmt chunk, or None when the container
+    is too malformed to carry one. Parsed directly from the bytes so
+    the PCM-vs-compressed decision never depends on the stdlib
+    ``wave`` error-message WORDING (which varies across CPython
+    versions)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"fmt " and pos + 10 <= len(payload):
+            (tag,) = struct.unpack_from("<H", payload, pos + 8)
+            return tag
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    return None
+
+
+#: wFormatTag 1 = integer PCM; 0xFFFE = WAVE_FORMAT_EXTENSIBLE, whose
+#: subformat may still be PCM — let ``wave`` decide for that one.
+_WAV_TAG_PCM, _WAV_TAG_EXTENSIBLE = 1, 0xFFFE
+
+
 def _decode_wav(payload: bytes) -> np.ndarray:
     """Parse RIFF/WAVE PCM with the stdlib ``wave`` module into int16
     samples (first channel of multi-channel audio; 8-bit unsigned PCM
-    is centered to int16). Compressed WAVE encodings raise through
-    wave's own Error as NotImplementedError."""
+    is centered to int16). Compressed WAVE encodings (wFormatTag read
+    from the fmt chunk, not from error text) raise
+    NotImplementedError; malformed containers raise ValueError."""
+    tag = _wav_format_tag(payload)
+    if tag is not None and tag not in (_WAV_TAG_PCM, _WAV_TAG_EXTENSIBLE):
+        raise NotImplementedError(f"non-PCM WAVE (wFormatTag={tag}) needs an audio codec")
     try:
         with wave.open(io.BytesIO(payload), "rb") as f:
             n_ch, sw, _rate, n_frames = (
@@ -317,10 +350,11 @@ def _decode_wav(payload: bytes) -> np.ndarray:
             )
             raw = f.readframes(n_frames)
     except wave.Error as e:
-        # capability gap (compressed encoding) vs data error (truncated
-        # or malformed container) are different failure classes
-        if "unknown format" in str(e):
-            raise NotImplementedError(f"non-PCM WAVE needs an audio codec: {e}") from e
+        # tag said PCM (or was unreadable), so a wave failure here is a
+        # DATA error — except the extensible case, where wave is the
+        # authority on whether the subformat is decodable
+        if tag == _WAV_TAG_EXTENSIBLE:
+            raise NotImplementedError(f"extensible WAVE needs an audio codec: {e}") from e
         raise ValueError(f"malformed WAVE container: {e}") from e
     except EOFError as e:
         raise ValueError(f"truncated WAVE container: {e}") from e

@@ -1021,6 +1021,16 @@ def bpe_learn_merges(
     return out
 
 
+def bpe_apply_expr(syms: str, merges_array: str) -> str:
+    """SQL fragment: replay a rank-ordered merge array (structs with
+    fields l/r/m, as built by ``bpe_segment``'s collect_list) over a
+    symbol array ``{syms}`` — outer fold over merges, inner the same
+    greedy scan used during training, so application and training
+    tokenize identically."""
+    inner = _merge_fold("acc2", "m.l", "m.r", "m.m")
+    return f"aggregate({merges_array}, {syms}, (acc2, m) -> {inner})"
+
+
 def bpe_segment(
     docs: DataFrame, id_col: str, text_col: str, merges: DataFrame
 ) -> DataFrame:
@@ -1031,32 +1041,42 @@ def bpe_segment(
     is retrained). Returns (id, n_words, n_bpe_tokens).
 
     The merge table collapses to ONE broadcast row (an array ordered
-    by rank) and applies as a nested fold — outer over merges, inner
-    the same greedy scan used during training — entirely map-side:
-    zero shuffles besides the merges' own tiny collect_list aggregate.
+    by rank) and the nested fold — outer over merges, inner the same
+    greedy scan used during training — runs once per DISTINCT
+    lowercased word, not per occurrence: the interpreted
+    higher-order-function cost scales with the vocabulary (Heaps-law
+    sublinear) while the corpus-sized stages are plain
+    count-aggregates and one word-keyed join AQE can broadcast when
+    the vocabulary is small. At 100 TB this is the difference between
+    folding ~10^7 vocab entries and folding ~10^11 occurrences.
     """
     table = merges.groupBy().agg(
         F.expr(
             "array_sort(collect_list(struct(rank, left AS l, right AS r, merged AS m)))"
         ).alias("__merges")
     )
-    inner = _merge_fold("acc2", "m.l", "m.r", "m.m")
-    apply_all = (
-        f"aggregate(__merges, wsyms, (acc2, m) -> {inner})"
+    apply_all = bpe_apply_expr("wsyms", "__merges")
+    word_counts = (
+        docs.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("w"))
+        .select(F.col(id_col), F.lower(F.col("w")).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count("*").cast("bigint").alias("__n_occ"))
     )
-    words = docs.select(
-        F.col(id_col),
-        F.explode(tokens_expr(text_col)).alias("w"),
-    ).select(F.col(id_col), F.expr("transform(split(lower(w), ''), c -> c)").alias("wsyms"))
-    segmented = words.crossJoin(F.broadcast(table)).select(
-        F.col(id_col), F.size(F.expr(apply_all)).alias("__n")
+    word_sizes = (
+        word_counts.select("w")
+        .distinct()
+        .select("w", F.expr("transform(split(w, ''), c -> c)").alias("wsyms"))
+        .crossJoin(F.broadcast(table))
+        .select("w", F.size(F.expr(apply_all)).cast("bigint").alias("__n_bpe"))
     )
     return (
         docs.select(F.col(id_col))
         .join(
-            segmented.groupBy(id_col).agg(
-                F.count("*").cast("bigint").alias("n_words"),
-                F.sum("__n").cast("bigint").alias("n_bpe_tokens"),
+            word_counts.join(word_sizes, "w")
+            .groupBy(id_col)
+            .agg(
+                F.sum("__n_occ").cast("bigint").alias("n_words"),
+                F.sum(F.col("__n_occ") * F.col("__n_bpe")).cast("bigint").alias("n_bpe_tokens"),
             ),
             id_col,
             "left",

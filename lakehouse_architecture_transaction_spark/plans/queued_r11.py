@@ -706,6 +706,25 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------
 
 
+#: Learned merge table per (applicationId, sf_dir) — docs_bpe_merges
+#: and docs_bpe_invariants consume the SAME 8-round training run, so
+#: registering the invariant companion does not double the iterative
+#: cost (house memo pattern, plans/pipeline_ops.py:143).
+_BPE_MERGES_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _BPE_MERGES_MEMO.get(key)
+    if got is None:
+        from lakehouse_architecture_transaction_spark.operators.text import bpe_learn_merges
+
+        docs = load_table(spark, sf_dir, "documents", spread=True)
+        got = bpe_learn_merges(docs, id_col="doc_id", text_col="text", n_merges=8)
+        _BPE_MERGES_MEMO[key] = got
+    return got
+
+
 def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BPE merge table learned from the corpus (operators/text.py
     bpe_learn_merges — Sennrich et al. 2016): 8 merges, each row
@@ -715,12 +734,147 @@ def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a mutating vocabulary) is not SQL-expressible, so this entry
     registers WITHOUT an oracle (rows-only driver check); the full
     trainer is pinned against a from-scratch Python reference under
-    hypothesis fuzzing in tests/test_properties.py instead."""
-    from lakehouse_architecture_transaction_spark.operators.text import bpe_learn_merges
+    hypothesis fuzzing in tests/test_properties.py, and the registered
+    docs_bpe_invariants companion gives the driver a VALUE-checkable
+    hash over the table's engine-checkable invariants."""
+    return _bpe_merges(spark, sf_dir).orderBy("rank")
 
+
+# ------------------------------------------------------------------
+# 9. docs_bpe_invariants — value-checkable guard for the BPE trainer
+# ------------------------------------------------------------------
+
+#: The oracle recomputes merge #1 from first principles (one
+#: pair-count argmax over the character pairs of the lowercased
+#: whitespace vocabulary — the only training round that IS
+#: SQL-expressible) and states the remaining invariants as the
+#: constants a correct trainer must produce, so a BPE regression
+#: flips the driver hash instead of only a pytest.
+DOCS_BPE_INVARIANTS_ORACLE = """
+WITH toks AS (
+    SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS w
+    FROM documents
+),
+words AS (
+    SELECT lower(w) AS w, CAST(COUNT(*) AS BIGINT) AS freq FROM toks GROUP BY 1
+),
+expanded AS (
+    SELECT w, freq, unnest(range(1, length(w))) AS i FROM words WHERE length(w) >= 2
+),
+pairs AS (
+    SELECT substr(w, CAST(i AS INT), 1) AS l,
+           substr(w, CAST(i AS INT) + 1, 1) AS r,
+           CAST(SUM(freq) AS BIGINT) AS weight
+    FROM expanded GROUP BY 1, 2
+),
+best AS (SELECT l, r, weight FROM pairs ORDER BY weight DESC, l ASC, r ASC LIMIT 1)
+SELECT CAST(8 AS BIGINT) AS n_merges,
+       1 AS ranks_contiguous,
+       1 AS compose_ok,
+       1 AS weights_positive,
+       1 AS weights_nonincreasing,
+       (SELECT l FROM best) AS first_left,
+       (SELECT r FROM best) AS first_right,
+       (SELECT weight FROM best) AS first_weight,
+       1 AS vocab_reconstruct_ok,
+       1 AS segment_consistent,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM words) AS n_vocab,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM toks) AS n_word_occurrences
+"""
+
+
+def docs_bpe_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-checkable invariants of the learned BPE merge table
+    (the A16-sketches precedent applied to L98): one row whose hash
+    the driver CAN check. From the table alone: exactly 8 contiguous
+    ranks, every merged token composes from its pair, weights are
+    positive and non-increasing in rank (each round's best pair count
+    is bounded by the previous round's — every post-merge pair
+    occurrence maps to a pre-merge one). Against the corpus: merge #1
+    equals the SQL-recomputable pair-count argmax; replaying the full
+    table over the vocabulary reconstructs every word on concat
+    (guards the greedy-scan slice arithmetic); and bpe_segment's
+    corpus totals equal the vocabulary-weighted totals (ties the
+    applier to the trainer). All map-side over the vocabulary plus
+    one 8-row broadcast."""
+    from lakehouse_architecture_transaction_spark.operators.text import (
+        bpe_apply_expr,
+        bpe_segment,
+        tokens_expr,
+    )
+
+    merges = _bpe_merges(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    return bpe_learn_merges(docs, id_col="doc_id", text_col="text", n_merges=8).orderBy(
-        "rank"
+
+    tbl = merges.agg(
+        F.count("*").cast("bigint").alias("n_merges"),
+        F.expr(
+            "CAST(array_sort(collect_list(rank)) = sequence(1, count(*)) AS INT)"
+        ).alias("ranks_contiguous"),
+        F.expr(
+            "CAST(min(CASE WHEN merged = concat(`left`, `right`) THEN 1 ELSE 0 END) = 1 AS INT)"
+        ).alias("compose_ok"),
+        F.expr("CAST(min(weight) > 0 AS INT)").alias("weights_positive"),
+        F.expr(
+            "CAST(aggregate(array_sort(collect_list(struct(rank, weight))), "
+            "named_struct('ok', true, 'prev', CAST(NULL AS BIGINT)), "
+            "(acc, x) -> named_struct("
+            "'ok', acc.ok AND (acc.prev IS NULL OR x.weight <= acc.prev), "
+            "'prev', x.weight)).ok AS INT)"
+        ).alias("weights_nonincreasing"),
+        F.expr("min(CASE WHEN rank = 1 THEN `left` END)").alias("first_left"),
+        F.expr("min(CASE WHEN rank = 1 THEN `right` END)").alias("first_right"),
+        F.expr("min(CASE WHEN rank = 1 THEN weight END)").cast("bigint").alias("first_weight"),
+    )
+
+    table = merges.groupBy().agg(
+        F.expr(
+            "array_sort(collect_list(struct(rank, `left` AS l, `right` AS r, merged AS m)))"
+        ).alias("__merges")
+    )
+    vocab = (
+        docs.select(F.explode(tokens_expr("text")).alias("w"))
+        .select(F.lower(F.col("w")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    vstats = (
+        vocab.select("w", "freq", F.expr("transform(split(w, ''), c -> c)").alias("wsyms"))
+        .crossJoin(F.broadcast(table))
+        .select("w", "freq", F.expr(bpe_apply_expr("wsyms", "__merges")).alias("after"))
+        .agg(
+            F.expr(
+                "CAST(min(CASE WHEN concat_ws('', after) = w THEN 1 ELSE 0 END) = 1 AS INT)"
+            ).alias("vocab_reconstruct_ok"),
+            F.sum(F.col("freq") * F.size("after")).cast("bigint").alias("__vocab_bpe_total"),
+            F.count("*").cast("bigint").alias("n_vocab"),
+            F.sum("freq").cast("bigint").alias("n_word_occurrences"),
+        )
+    )
+    seg = bpe_segment(docs, id_col="doc_id", text_col="text", merges=merges).agg(
+        F.sum("n_bpe_tokens").cast("bigint").alias("__seg_bpe_total"),
+        F.sum("n_words").cast("bigint").alias("__seg_word_total"),
+    )
+    return (
+        tbl.crossJoin(vstats)
+        .crossJoin(seg)
+        .select(
+            "n_merges",
+            "ranks_contiguous",
+            "compose_ok",
+            "weights_positive",
+            "weights_nonincreasing",
+            "first_left",
+            "first_right",
+            "first_weight",
+            "vocab_reconstruct_ok",
+            F.expr(
+                "CAST(__seg_bpe_total = __vocab_bpe_total "
+                "AND __seg_word_total = n_word_occurrences AS INT)"
+            ).alias("segment_consistent"),
+            "n_vocab",
+            "n_word_occurrences",
+        )
     )
 
 
@@ -753,3 +907,6 @@ register("orders_gdpr_erasure_audit", oracle=ORDERS_GDPR_ERASURE_ORACLE)(
 )
 register("orders_benford_audit", oracle=ORDERS_BENFORD_ORACLE)(orders_benford_audit)
 register("docs_bpe_merges", oracle=None)(docs_bpe_merges)
+# r12: the VERDICT-r11 item-2 companion — docs_bpe_merges stays
+# rows-only, but its invariants now carry a driver-checkable hash.
+register("docs_bpe_invariants", oracle=DOCS_BPE_INVARIANTS_ORACLE)(docs_bpe_invariants)

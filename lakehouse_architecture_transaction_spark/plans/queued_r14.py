@@ -89,7 +89,8 @@ def _fd_oracle() -> str:
     WITH u AS ({union})
     SELECT table_name, determinant, dependent, n_det, n_pairs,
            n_violating_det, max_dep_per_det,
-           CAST(CASE WHEN n_violating_det = 0 THEN 1 ELSE 0 END AS BIGINT) AS fd_holds,
+           CAST(CASE WHEN n_det = 0 THEN NULL
+                     WHEN n_violating_det = 0 THEN 1 ELSE 0 END AS BIGINT) AS fd_holds,
            CASE WHEN n_pairs = 0 THEN NULL
                 ELSE CAST(n_det AS DOUBLE) / CAST(n_pairs AS DOUBLE) END AS strength
     FROM u
@@ -107,7 +108,9 @@ def catalog_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinant → dependent candidate, the distinct determinant
     count, distinct (determinant, dependent) pair count, how many
     determinant values map to MORE than one dependent (violations),
-    the worst fan-out, the 0/1 verdict, and strength = n_det/n_pairs
+    the worst fan-out, the 0/1 verdict (NULL when the relation is
+    empty — zero observations is no evidence, not a pass), and
+    strength = n_det/n_pairs
     (1.0 iff the FD holds exactly). Rows with a NULL determinant or
     dependent are excluded — NULL-key rows are RI validation's (E3)
     failure class, not a dependency vote. The profile recovers every
@@ -151,7 +154,12 @@ def catalog_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         u.select(
             "*",
-            F.when(F.col("n_violating_det") == 0, F.lit(1))
+            # n_det = 0 is vacuous truth (the FD was never observed on
+            # any row): emit NULL, not 1, so a catalog crawler cannot
+            # promote an FD with zero evidence — same NULL-not-0/0
+            # discipline as strength below (ADVICE r11).
+            F.when(F.col("n_det") == 0, F.lit(None))
+            .when(F.col("n_violating_det") == 0, F.lit(1))
             .otherwise(F.lit(0))
             .cast("bigint")
             .alias("fd_holds"),

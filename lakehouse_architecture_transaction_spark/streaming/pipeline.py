@@ -347,6 +347,12 @@ def click_purchase_join(
     the two, so every true pair matches EXACTLY once — no dedup
     needed); the probe-side duplication costs 2× purchase state,
     bounded by the same watermark."""
+    if within_seconds <= 0:
+        # bucket_us=0 would divide by zero: under non-ANSI Spark that
+        # yields NULL buckets, so the bucket-equality condition would
+        # silently emit ZERO rows where exact-timestamp matches were
+        # intended — refuse loudly instead.
+        raise ValueError(f"within_seconds must be positive, got {within_seconds}")
     bucket_us = within_seconds * 1_000_000
     clicks = (
         events.filter(F.col("event_type") == "click")

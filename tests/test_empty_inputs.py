@@ -253,3 +253,17 @@ def test_queued_queries_survive_degenerate_inputs(spark, degenerate_dirs, varian
         finally:
             release_persisted()
     assert not failures, f"queued queries crashed on {variant} input:\n" + "\n".join(failures)
+
+
+def test_fd_profile_empty_relation_gives_null_not_pass(spark, degenerate_dirs):
+    # Vacuous truth guard (ADVICE r11): an EMPTY relation has zero
+    # observations of the FD — the verdict must be NULL (no evidence),
+    # never 1, so a catalog crawler cannot promote an unobserved FD.
+    from lakehouse_architecture_transaction_spark.plans import queued_r14 as Q
+
+    rows = Q.catalog_fd_profile(spark, degenerate_dirs["empty"]).collect()
+    assert rows, "profile must still emit one row per candidate"
+    for r in rows:
+        assert r["n_det"] == 0
+        assert r["fd_holds"] is None
+        assert r["strength"] is None

@@ -492,6 +492,10 @@ def test_real_ppm_decode_comment_tolerant_and_roundtrip():
     assert got.tolist() == [[[255, 0, 119], [255, 255, 255]]]
     with pytest.raises(ValueError):
         _decode_ppm(b"P6\n1 1\n0\n" + bytes([0, 0, 0]))
+    # missing whitespace after maxval must raise, not silently consume
+    # a pixel byte and shift the whole image by one (ADVICE r11)
+    with pytest.raises(ValueError):
+        _decode_ppm(b"P6\n1 1\n255" + bytes([65, 0, 0, 0]))
 
 
 def test_real_wav_decode_pcm_variants():
@@ -537,6 +541,22 @@ def test_real_wav_decode_pcm_variants():
 
     with pytest.raises(ValueError):
         _decode_wav(encode_wav(pcm)[:30])
+    # non-PCM wFormatTag is a CAPABILITY gap, classified by parsing
+    # the fmt chunk — never by matching wave's error-message wording,
+    # which varies across CPython versions (ADVICE r11). Tag 0x55 is
+    # MPEG Layer 3; craft the container by patching a valid PCM one.
+    import struct as _struct
+
+    good = bytearray(encode_wav(pcm))
+    fmt_at = bytes(good).index(b"fmt ")
+    _struct.pack_into("<H", good, fmt_at + 8, 0x55)
+    with pytest.raises(NotImplementedError):
+        _decode_wav(bytes(good))
+    from lakehouse_architecture_transaction_spark.operators.multimodal import _wav_format_tag
+
+    assert _wav_format_tag(encode_wav(pcm)) == 1
+    assert _wav_format_tag(bytes(good)) == 0x55
+    assert _wav_format_tag(b"nonsense") is None
 
 
 def test_real_decode_end_to_end_mapinpandas(spark):

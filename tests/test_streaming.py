@@ -1113,3 +1113,19 @@ def test_gate_state_partitions_restores_width_on_success_and_error(spark):
         assert spark.conf.get("spark.sql.shuffle.partitions") == sentinel
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", fixture_width)
+
+
+def test_click_purchase_join_refuses_nonpositive_window(spark, sf_dir):
+    # within_seconds=0 would make bucket_us=0: under non-ANSI Spark the
+    # division yields NULL buckets and the bucket-equality condition
+    # silently emits zero rows where exact-timestamp matches were
+    # intended — the guard must refuse loudly instead (ADVICE r11).
+    import pytest
+
+    from lakehouse_architecture_transaction_spark.streaming.pipeline import click_purchase_join
+
+    ev = load_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError, match="within_seconds"):
+        click_purchase_join(ev, within_seconds=0)
+    with pytest.raises(ValueError, match="within_seconds"):
+        click_purchase_join(ev, within_seconds=-5)

@@ -69,15 +69,21 @@ def main() -> None:
     act_old = old.get("action", "count")
     act_new = new.get("action", "count")
     if act_old != act_new:
-        print(
-            f"REFUSED: mixed bench actions ({act_old} vs {act_new}) — affected "
-            "queries read slower under noop_write because count() under-measured "
-            "them (pruned plans), so the per-query table would show artifact "
-            "regressions. Compare same-action captures, read the transition "
-            "table in README 'Reading bench numbers', or pass --mixed-action "
-            "to proceed anyway."
-        )
-        if "--mixed-action" not in sys.argv:
+        if "--mixed-action" in sys.argv:
+            print(
+                f"WARNING: mixed bench actions ({act_old} vs {act_new}), proceeding "
+                "on --mixed-action — formerly count()-pruned queries will read as "
+                "artifact regressions (see README 'Reading bench numbers')."
+            )
+        else:
+            print(
+                f"REFUSED: mixed bench actions ({act_old} vs {act_new}) — affected "
+                "queries read slower under noop_write because count() under-measured "
+                "them (pruned plans), so the per-query table would show artifact "
+                "regressions. Compare same-action captures, read the transition "
+                "table in README 'Reading bench numbers', or pass --mixed-action "
+                "to proceed anyway."
+            )
             raise SystemExit(2)
     raw = "--raw" in sys.argv
     anchor_field = "none"

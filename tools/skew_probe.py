@@ -78,6 +78,16 @@ PROBES = [
     # (dedup/hourly/trending key on event_id / (window, type) — user
     # skew cannot reach their state keys, so they are not probed.)
     "events_stream_sessions",
+    # r12 registrations with skew-model keys: hot l_partkey's fan-out
+    # lands in ONE degree row (distinct agg absorbs map-side); hot
+    # o_custkey's orders collapse into one CV row; hot user_id adds
+    # one distinct vote per event type (overlap) and one lifecycle row
+    # (growth accounting) — flat is the expected honest reading, the
+    # probe verifies the aggregates actually absorb the hot key.
+    "supplier_part_degree_profile",
+    "customer_order_value_cv",
+    "events_usertype_overlap",
+    "events_growth_accounting",
     # r9: hot user_id in the STREAM-STREAM interval join — the join
     # state partitions by user, so the hot user's clicks all land in
     # one state partition, AND the output itself is quadratic per
