@@ -1262,7 +1262,11 @@ def events_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY 1, 2
     ),
     stats AS (
-        SELECT event_type, SUM(n) AS sx, SUM(n * n) AS sxx, COUNT(*) AS nd
+        -- HUGEINT squares mirror the engine's DECIMAL(38,0): daily
+        -- counts past ~3e9 square out of 64 bits (the r12 CV class)
+        SELECT event_type, SUM(n) AS sx,
+               SUM(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS sxx,
+               COUNT(*) AS nd
         FROM daily GROUP BY event_type
     )
     SELECT d.event_type, d.day, d.n AS n_events,
@@ -1270,7 +1274,8 @@ def events_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM daily d JOIN stats s USING (event_type)
     WHERE s.nd > 1
       AND CAST(s.nd - 1 AS DOUBLE) * CAST(s.nd * d.n - s.sx AS DOUBLE) * CAST(s.nd * d.n - s.sx AS DOUBLE)
-          > 4.0 * CAST(s.nd AS DOUBLE) * CAST(s.nd * s.sxx - s.sx * s.sx AS DOUBLE)
+          > 4.0 * CAST(s.nd AS DOUBLE)
+                * CAST(s.nd * s.sxx - CAST(s.sx AS HUGEINT) * CAST(s.sx AS HUGEINT) AS DOUBLE)
     ORDER BY d.event_type ASC, d.day ASC
     """,
 )
@@ -1291,9 +1296,14 @@ def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = events.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(F.count("*").alias("n"))
+    # DECIMAL(38,0) squares, not int64: a type whose daily count
+    # passes ~3e9 squares out of 64 bits, and sx² follows (the r12
+    # skew-probe CV overflow class); nd·x − sx stays comfortably
+    # inside int64 (days-per-type × daily count).
+    n_dec = F.col("n").cast("decimal(19,0)")
     stats = daily.groupBy("event_type").agg(
         F.sum("n").alias("sx"),
-        F.sum(F.col("n") * F.col("n")).alias("sxx"),
+        F.sum(n_dec * n_dec).alias("sxx"),
         F.count("*").alias("nd"),
     )
     d, s = F.col, F.col
@@ -1302,7 +1312,14 @@ def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (s("nd") * d("n") - s("sx")).cast("double")
         * (s("nd") * d("n") - s("sx")).cast("double")
     )
-    rhs = F.lit(4.0) * s("nd").cast("double") * (s("nd") * s("sxx") - s("sx") * s("sx")).cast("double")
+    rhs = (
+        F.lit(4.0)
+        * s("nd").cast("double")
+        * (
+            s("nd").cast("decimal(38,0)") * s("sxx")
+            - s("sx").cast("decimal(38,0)") * s("sx").cast("decimal(38,0)")
+        ).cast("double")
+    )
     return (
         daily.join(F.broadcast(stats), on="event_type")
         .filter((s("nd") > 1) & (lhs > rhs))

@@ -53,16 +53,20 @@ def orders_order_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     The profile that sets expectations for every orderkey-keyed join's
     group sizes downstream.
 
-    Scale shape: one orderkey-keyed left join + count (the shuffle any
-    per-order metric pays), then a histogram aggregate at order-size
-    cardinality; the total is a re-aggregation of the
-    localCheckpoint-ed histogram frame."""
+    Scale shape: lineitem pre-aggregates to per-order counts FIRST
+    (map-side partial combine collapses the ~4-6 lines per order
+    before the shuffle — the r12 broadcast audit caught the original
+    join-then-count shape moving full lineitem rows), then an
+    order-cardinality left join restores the zero-item orders, a
+    histogram aggregate at order-size cardinality, and the total as a
+    re-aggregation of the localCheckpoint-ed histogram frame."""
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
-    per_order = (
-        orders.join(li, orders["o_orderkey"] == li["l_orderkey"], "left")
-        .groupBy("o_orderkey")
-        .agg(F.count("l_orderkey").cast("bigint").alias("n_items"))
+    counts = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.count("*").cast("bigint").alias("__n")
+    )
+    per_order = orders.join(counts, "o_orderkey", "left").select(
+        "o_orderkey", F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n_items")
     )
     hist = (
         per_order.groupBy("n_items")
@@ -150,15 +154,18 @@ WITH cents AS (
     FROM orders
 ),
 m AS (
+    -- HUGEINT moments mirror the engine's DECIMAL(38,0) discipline:
+    -- a hot customer overflows Sum(x*x) in 64 bits (r12 skew probe)
     SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx
+           SUM(CAST(x AS HUGEINT)) AS sx,
+           SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
     FROM cents GROUP BY 1
 ),
 scored AS (
     SELECT o_custkey, n_orders,
            CAST(sx AS DOUBLE) / CAST(n_orders AS DOUBLE) / 100.0 AS mean_order_value,
-           sqrt(CAST(n_orders * sxx - sx * sx AS DOUBLE)
-                / CAST(n_orders * (n_orders - 1) AS DOUBLE))
+           sqrt(CAST(CAST(n_orders AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                / CAST(CAST(n_orders AS HUGEINT) * (n_orders - 1) AS DOUBLE))
                / (CAST(sx AS DOUBLE) / CAST(n_orders AS DOUBLE)) AS cv
     FROM m WHERE n_orders >= {_CV_MIN_ORDERS} AND sx > 0
 ),
@@ -177,10 +184,14 @@ def customer_order_value_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ {mn} orders — the spend-consistency axis RFM doesn't capture
     (same total spend can be steady subscriptions or one spike; CV
     separates them for forecasting and fraud review). Moments are
-    exact BIGINT cent sums (n·Σx² − Σx² stays inside int64 at bench
-    scales); mean, sd and cv are one fixed chain of IEEE ops per
-    customer. mean_order_value is reported in dollars (one extra
-    division by 100 — still deterministic).
+    exact DECIMAL(38,0) cent sums — NOT int64: the r12 skew probe
+    measured a 30%-hot customer overflowing Σx² (x ≤ ~5.5e7 cents,
+    x² ≈ 3e15, 45k hot orders ≈ 1.4e20 > 2^63; ANSI raises). In
+    38-digit decimals the worst term n·Σx² stays exact to ~1e7
+    orders per customer at full corpus price ranges (~1e30 ≪ 1e38);
+    mean, sd and cv are one fixed chain of IEEE ops per customer.
+    mean_order_value is reported in dollars (one extra division by
+    100 — still deterministic).
 
     Scale shape: ONE map-side-combinable moment aggregate at customer
     cardinality, then the top-k rank (TakeOrdered at k={top}, no
@@ -190,16 +201,18 @@ def customer_order_value_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("x"),
     )
+    xd = F.col("x").cast("decimal(19,0)")
     m = cents.groupBy("o_custkey").agg(
         F.count("*").cast("bigint").alias("n_orders"),
-        F.sum("x").alias("__sx"),
-        F.sum(F.col("x") * F.col("x")).alias("__sxx"),
+        F.sum(xd).alias("__sx"),
+        F.sum(xd * xd).alias("__sxx"),
     )
     n = F.col("n_orders")
+    nd = n.cast("decimal(38,0)")
     mean_cents = F.col("__sx").cast("double") / n.cast("double")
     sd = F.sqrt(
-        (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
-        / (n * (n - 1)).cast("double")
+        (nd * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+        / (nd * (nd - F.lit(1))).cast("double")
     )
     scored = (
         m.filter((n >= _CV_MIN_ORDERS) & (F.col("__sx") > 0))

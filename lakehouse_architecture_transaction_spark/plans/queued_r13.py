@@ -433,9 +433,11 @@ WITH c AS (
     FROM events GROUP BY 1, 2
 ),
 h AS (
+    -- HUGEINT square-sum mirrors the engine's DECIMAL(38,0): a cell
+    -- past ~3e9 events squares out of 64 bits (the CV-overflow class)
     SELECT hour_of_day,
            CAST(SUM(n) AS BIGINT) AS n_events,
-           CAST(SUM(n * n) AS BIGINT) AS sum_sq,
+           SUM(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS sum_sq,
            CAST(COUNT(*) AS BIGINT) AS n_types
     FROM c GROUP BY 1
 ),
@@ -463,8 +465,8 @@ def events_hourly_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the "effective number of types" — 1.0 means one behavior owns
     the hour, n_types means a perfectly even mix). The
     when-does-the-traffic-mix-narrow diagnostic behind alerting
-    thresholds that vary by hour; Simpson (exact rational Σc²/T²,
-    two exact-int products and ONE division each way) rather than
+    thresholds that vary by hour; Simpson (exact rational Σc²/T² in
+    DECIMAL(38,0) squares and ONE division each way) rather than
     entropy — ln is a libm call the engine boundary forbids, and the
     docs_char_diversity precedent applies verbatim.
 
@@ -481,9 +483,13 @@ def events_hourly_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n"))
         .localCheckpoint(eager=True)
     )
+    # DECIMAL(38,0) square-sum, not int64: an hour-type cell past
+    # ~3e9 events squares out of 64 bits (the r12 skew-probe CV
+    # overflow class); exact to ~1e19 events per cell in 38 digits
+    nd = F.col("n").cast("decimal(19,0)")
     h = c.groupBy("hour_of_day").agg(
         F.sum("n").cast("bigint").alias("n_events"),
-        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sum_sq"),
+        F.sum(nd * nd).alias("sum_sq"),
         F.count("*").cast("bigint").alias("n_types"),
     )
     w = Window.partitionBy("hour_of_day").orderBy(F.col("n").desc(), F.col("event_type").asc())

@@ -203,6 +203,45 @@ PROBES = [
     #   count_distinct aggregates — shuffle at per-column distinct
     #   cardinality, zero joins.
     "catalog_column_stats",
+    # r12 registrations (VERDICT r11 item 5 — scale rows at
+    # registration time). Expected shapes: orderkey-grouped count →
+    # 14-bucket histogram (map-side combine); distinct-(supp,part)
+    # degree aggregates; per-customer decimal moment aggregate +
+    # top-100 TakeOrdered; two nation-keyed decimal rollups; per-type
+    # robust-median over part; distinct-user pair overlap at type-pair
+    # cardinality; 11-bucket discount rollup; 24-row hourly
+    # concentration; and the BPE invariant companion (vocab-sized
+    # folds + the shared trainer memo).
+    "orders_order_size_histogram",
+    "supplier_part_degree_profile",
+    "customer_order_value_cv",
+    "nation_trade_balance",
+    "part_price_dispersion_by_type",
+    "events_usertype_overlap",
+    "lineitem_discount_profile",
+    "events_hourly_concentration",
+    "docs_bpe_invariants",
+    # r7-stale cohort (VERDICT r11 item 6): none of these had a
+    # noop-era scale row. Expected shapes: map-only chunkers/redaction/
+    # quantize/projections (flat time, near-zero shuffle); chunk-hash
+    # dup groupBy; cluster-size recount; bigram-LM join; weighted
+    # reservoir TakeOrdered; per-source mixture sample; SQ8 rerank on
+    # the memoized index; per-dim moment aggregate; 7-day rolling
+    # distinct via explode (shuffle linear in days×users); Arrow
+    # mapInPandas feature extraction (flat per-row cost).
+    "docs_char_chunks",
+    "docs_chunk_dup_docs",
+    "docs_dup_cluster_sizes",
+    "docs_lm_familiarity",
+    "docs_pii_redaction",
+    "docs_reservoir_sample",
+    "docs_source_mixture_sample",
+    "emb_ann_sq8",
+    "emb_dim_stats",
+    "emb_int8_quantize",
+    "events_rolling_distinct_users",
+    "mm_features",
+    "mm_frame_features",
 ]
 
 
