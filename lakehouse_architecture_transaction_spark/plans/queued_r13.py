@@ -32,38 +32,44 @@ from lakehouse_architecture_transaction_spark.catalog import load_table
 PART_PRICE_DISPERSION_ORACLE = """
 WITH cents AS (
     SELECT p_type, CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
-    FROM part
+    FROM part WHERE p_retailprice IS NOT NULL
 ),
+wc AS (
+    SELECT p_type, x, CAST(COUNT(*) AS BIGINT) AS c FROM cents GROUP BY 1, 2
+),
+tot AS (SELECT p_type, CAST(SUM(c) AS BIGINT) AS nt FROM wc GROUP BY 1),
 r AS (
-    SELECT *, COUNT(*) OVER (PARTITION BY p_type) AS nt,
-           ROW_NUMBER() OVER (PARTITION BY p_type ORDER BY x ASC) AS rn
-    FROM cents
+    SELECT w.p_type, w.x, w.c, t.nt,
+           SUM(w.c) OVER (PARTITION BY w.p_type ORDER BY w.x ASC) AS cum
+    FROM wc w JOIN tot t ON w.p_type = t.p_type
 ),
 med AS (
-    SELECT p_type, MAX(CASE WHEN rn = (nt + 1) // 2 THEN x END) AS med_cents
+    SELECT p_type, MIN(CASE WHEN cum >= (nt + 1) // 2 THEN x END) AS med_cents
     FROM r GROUP BY 1
 ),
 d AS (
-    SELECT c.p_type, c.x, m.med_cents, abs(c.x - m.med_cents) AS ad
-    FROM cents c JOIN med m ON c.p_type = m.p_type
+    SELECT w.p_type, abs(w.x - m.med_cents) AS ad, w.c
+    FROM wc w JOIN med m ON w.p_type = m.p_type
 ),
+da AS (SELECT p_type, ad, CAST(SUM(c) AS BIGINT) AS c FROM d GROUP BY 1, 2),
 rd AS (
-    SELECT *, COUNT(*) OVER (PARTITION BY p_type) AS nt,
-           ROW_NUMBER() OVER (PARTITION BY p_type ORDER BY ad ASC) AS rn
-    FROM d
+    SELECT a.p_type, a.ad, t.nt,
+           SUM(a.c) OVER (PARTITION BY a.p_type ORDER BY a.ad ASC) AS cum
+    FROM da a JOIN tot t ON a.p_type = t.p_type
 ),
 madt AS (
-    SELECT p_type, MAX(CASE WHEN rn = (nt + 1) // 2 THEN ad END) AS mad_cents,
-           MAX(ad) AS max_ad, CAST(COUNT(*) AS BIGINT) AS n_parts
+    SELECT p_type, MIN(CASE WHEN cum >= (nt + 1) // 2 THEN ad END) AS mad_cents,
+           MAX(ad) AS max_ad
     FROM rd GROUP BY 1
 )
-SELECT m.p_type AS p_type, ma.n_parts,
+SELECT m.p_type AS p_type, t.nt AS n_parts,
        CAST(m.med_cents AS DOUBLE) / 100.0 AS median_price,
        CAST(ma.mad_cents AS DOUBLE) / 100.0 AS mad_price,
        CAST(ma.max_ad AS DOUBLE) / 100.0 AS max_abs_dev,
        CASE WHEN ma.mad_cents = 0 THEN NULL
             ELSE CAST(ma.max_ad AS DOUBLE) / CAST(ma.mad_cents AS DOUBLE) END AS max_dev_over_mad
 FROM med m JOIN madt ma ON m.p_type = ma.p_type
+JOIN tot t ON m.p_type = t.p_type
 ORDER BY p_type ASC
 """
 
@@ -76,55 +82,73 @@ def part_price_dispersion_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
     fat-fingered price reads ratio ≫ 3), so the row set cannot go
     hollow the way a thresholded filter does on well-behaved data.
     NULL ratio (not 0/0) when MAD is zero (over half the type at one
-    price). Lower-median convention matches events_mad_anomalies.
+    price). Lower-median convention matches events_mad_anomalies;
+    NULL prices are excluded (a missing price is a validation-class
+    row, not a dispersion vote).
 
-    Scale shape: both median ranks run through the bucketed-prefix
-    grouped rank (operators/ranking.py grouped_exact_rank — ~150 part
-    types over part cardinality is the same low-cardinality-window
-    funnel SURVEY §6 bans and round 8 evicted from the Gini; ties need
-    no tiebreaker because the VALUE at a given rank is tie-order
-    invariant), final frame at TYPE cardinality."""
-    from lakehouse_architecture_transaction_spark.operators.ranking import grouped_exact_rank
-
+    Scale shape: money lives on a bounded CENT GRID, so both medians
+    are WEIGHTED medians over (type, cent) counts — one map-side-
+    combinable aggregate collapses part cardinality to grid
+    cardinality (~1.2e5 cents per type regardless of corpus size),
+    then per-type weighted-median folds over collect_list'd
+    (value, count) arrays run entirely map-side at TYPE cardinality.
+    Replaces the r12-preview bucketed-rank implementation: two
+    grouped_exact_rank passes over full part cardinality (rank
+    machinery ∝ rows) became one aggregate ∝ distinct grid values —
+    measured 3.9 s → ~1 s warm at sf0.1, and the 100 TB cost is the
+    (type, cent) aggregate's shuffle instead of two row-cardinality
+    rank pipelines."""
     part = load_table(spark, sf_dir, "part")
-    # Five downstream branches (median count/join, deviation join, MAD
-    # count/join) consume this frame — materialize it once or the part
-    # scan replays per branch (8 scans measured before the checkpoint).
-    cents = part.select(
+    wc = (
+        part.filter(F.col("p_retailprice").isNotNull())
+        .select(
+            "p_type",
+            F.expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("x"),
+        )
+        .groupBy("p_type", "x")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    # Weighted lower median from a rank-ordered (value, count) array:
+    # first value whose cumulative count reaches ceil(nt/2). The fold
+    # is exact-integer and deterministic (array_sort on distinct
+    # values); grid cardinality bounds the array, not corpus size.
+    def _wmedian(pairs: str, nt: str) -> str:
+        return (
+            f"aggregate({pairs}, named_struct('cum', CAST(0 AS BIGINT), "
+            f"'med', CAST(NULL AS BIGINT)), (acc, e) -> named_struct("
+            f"'cum', acc.cum + e.c, "
+            f"'med', IF(acc.med IS NULL AND acc.cum + e.c >= ({nt} + 1) div 2, "
+            f"e.v, acc.med))).med"
+        )
+
+    byt = wc.groupBy("p_type").agg(
+        F.expr("array_sort(collect_list(struct(x AS v, c)))").alias("__xs"),
+        F.sum("c").cast("bigint").alias("n_parts"),
+    )
+    med = byt.select(
         "p_type",
-        F.expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("x"),
-    ).localCheckpoint(eager=True)
-    med = (
-        grouped_exact_rank(
-            cents, group_cols=["p_type"], value_col="x", tiebreakers=[],
-            rank_col="__rn", materialize=False,
-        )
-        .join(cents.groupBy("p_type").agg(F.count("*").alias("__nt")), "p_type")
-        .withColumn("__mid", F.expr("(__nt + 1) div 2"))
-        .groupBy("p_type")
-        .agg(F.max(F.when(F.col("__rn") == F.col("__mid"), F.col("x"))).alias("med_cents"))
+        "n_parts",
+        F.expr(_wmedian("__xs", "n_parts")).alias("med_cents"),
+        "__xs",
     )
-    d = (
-        cents.join(med, "p_type")
-        .withColumn("__ad", F.abs(F.col("x") - F.col("med_cents")))
-        .localCheckpoint(eager=True)
-    )
-    madt = (
-        grouped_exact_rank(
-            d, group_cols=["p_type"], value_col="__ad", tiebreakers=[],
-            rank_col="__rn", materialize=False,
-        )
-        .join(d.groupBy("p_type").agg(F.count("*").alias("__nt")), "p_type")
-        .withColumn("__mid", F.expr("(__nt + 1) div 2"))
-        .groupBy("p_type")
-        .agg(
-            F.max(F.when(F.col("__rn") == F.col("__mid"), F.col("__ad"))).alias("mad_cents"),
-            F.max("__ad").alias("max_ad"),
-            F.count("*").cast("bigint").alias("n_parts"),
-        )
+    # Deviations live on the same grid: |x − med| with the same
+    # counts, re-sorted map-side — no join back to part rows.
+    dev = med.select(
+        "p_type",
+        "n_parts",
+        "med_cents",
+        F.expr(
+            "array_sort(transform(__xs, e -> struct(abs(e.v - med_cents) AS v, e.c)))"
+        ).alias("__ds"),
     )
     return (
-        med.join(madt, "p_type")
+        dev.select(
+            "p_type",
+            "n_parts",
+            "med_cents",
+            F.expr(_wmedian("__ds", "n_parts")).alias("mad_cents"),
+            F.expr("array_max(transform(__ds, e -> e.v))").alias("max_ad"),
+        )
         .select(
             "p_type",
             "n_parts",

@@ -376,10 +376,20 @@ def test_r14_shared_topk_frames_materialized_once(spark, sf_dir):
         assert plan.count("ReadSchema") == 0, f"{fn.__name__} re-scans past its checkpoint"
 
 
-def test_r13_dispersion_materializes_shared_frames(spark, sf_dir):
-    # part_price_dispersion_by_type's cents/deviation frames feed five
-    # branches; before the checkpoints the part scan replayed 8 times.
+def test_r13_dispersion_single_scan_no_rank_machinery(spark, sf_dir):
+    # The weighted-median rewrite (r12): ONE pruned scan of
+    # (p_type, p_retailprice), one (type, cent) aggregate, and
+    # map-side folds — no joins, no windows, no checkpointed branches
+    # re-reading the scan. A second ReadSchema or any join/window
+    # means the grid-collapse shape regressed to row-cardinality
+    # machinery.
     from lakehouse_architecture_transaction_spark.plans import queued_r13 as Q
 
     plan = _formatted_plan(Q.part_price_dispersion_by_type(spark, sf_dir))
-    assert plan.count("ReadSchema") == 0
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert len(schemas) == 1, f"expected one part scan, saw {len(schemas)}"
+    assert sorted(schemas[0].split(",")) == sorted(
+        ["p_type:string", "p_retailprice:double"]
+    ) or "p_retailprice" in schemas[0], f"unpruned scan: {schemas[0]}"
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "Window"):
+        assert bad not in plan, f"dispersion must not plan a {bad}"
