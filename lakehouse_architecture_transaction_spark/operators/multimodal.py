@@ -310,21 +310,30 @@ N_AUDIO_WINDOWS = 4
 AUDIO_WINDOW = 64  # samples per analysis window
 
 
-def _wav_format_tag(payload: bytes) -> int | None:
-    """wFormatTag from the RIFF fmt chunk, or None when the container
-    is too malformed to carry one. Parsed directly from the bytes so
-    the PCM-vs-compressed decision never depends on the stdlib
-    ``wave`` error-message WORDING (which varies across CPython
-    versions)."""
+def _wav_format_tag(payload: bytes) -> tuple[int, int | None] | None:
+    """(wFormatTag, extensible SubFormat tag or None) from the RIFF
+    fmt chunk, or None when the container is too malformed to carry
+    one. Parsed directly from the bytes so the PCM-vs-compressed
+    decision never depends on the stdlib ``wave`` error-message
+    WORDING (which varies across CPython versions). The declared
+    chunk size gates every read — a size-0 fmt chunk must return
+    None, not the next chunk's header bytes."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     pos = 12
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
-        if cid == b"fmt " and pos + 10 <= len(payload):
+        if cid == b"fmt ":
+            if size < 2 or pos + 10 > len(payload):
+                return None
             (tag,) = struct.unpack_from("<H", payload, pos + 8)
-            return tag
+            sub = None
+            # WAVE_FORMAT_EXTENSIBLE: the real codec is the first two
+            # bytes of the 16-byte SubFormat GUID at fmt offset 24
+            if tag == _WAV_TAG_EXTENSIBLE and size >= 26 and pos + 8 + 26 <= len(payload):
+                (sub,) = struct.unpack_from("<H", payload, pos + 8 + 24)
+            return (tag, sub)
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     return None
 
@@ -340,9 +349,14 @@ def _decode_wav(payload: bytes) -> np.ndarray:
     is centered to int16). Compressed WAVE encodings (wFormatTag read
     from the fmt chunk, not from error text) raise
     NotImplementedError; malformed containers raise ValueError."""
-    tag = _wav_format_tag(payload)
+    parsed = _wav_format_tag(payload)
+    tag, sub = parsed if parsed is not None else (None, None)
     if tag is not None and tag not in (_WAV_TAG_PCM, _WAV_TAG_EXTENSIBLE):
         raise NotImplementedError(f"non-PCM WAVE (wFormatTag={tag}) needs an audio codec")
+    if tag == _WAV_TAG_EXTENSIBLE and sub is not None and sub != _WAV_TAG_PCM:
+        raise NotImplementedError(
+            f"extensible WAVE with non-PCM SubFormat ({sub}) needs an audio codec"
+        )
     try:
         with wave.open(io.BytesIO(payload), "rb") as f:
             n_ch, sw, _rate, n_frames = (
@@ -350,11 +364,15 @@ def _decode_wav(payload: bytes) -> np.ndarray:
             )
             raw = f.readframes(n_frames)
     except wave.Error as e:
-        # tag said PCM (or was unreadable), so a wave failure here is a
-        # DATA error — except the extensible case, where wave is the
-        # authority on whether the subformat is decodable
         if tag == _WAV_TAG_EXTENSIBLE:
-            raise NotImplementedError(f"extensible WAVE needs an audio codec: {e}") from e
+            # the SubFormat GUID said PCM, but this CPython's wave
+            # module may not read WAVE_FORMAT_EXTENSIBLE at all — a
+            # reader gap, not data corruption
+            raise NotImplementedError(
+                f"extensible-PCM WAVE not readable by stdlib wave: {e}"
+            ) from e
+        # the fmt chunk said plain PCM or was unreadable — either way
+        # a wave failure here is a DATA error, never a capability gap
         raise ValueError(f"malformed WAVE container: {e}") from e
     except EOFError as e:
         raise ValueError(f"truncated WAVE container: {e}") from e

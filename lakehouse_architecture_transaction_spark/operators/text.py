@@ -1021,6 +1021,15 @@ def bpe_learn_merges(
     return out
 
 
+#: SQL fragment building the one-row rank-ordered merge array that
+#: ``bpe_apply_expr`` replays — shared by the segmenter and the
+#: invariant companion so the struct field names can never drift
+#: between the two (review find).
+BPE_MERGES_TABLE_EXPR = (
+    "array_sort(collect_list(struct(rank, left AS l, right AS r, merged AS m)))"
+)
+
+
 def bpe_apply_expr(syms: str, merges_array: str) -> str:
     """SQL fragment: replay a rank-ordered merge array (structs with
     fields l/r/m, as built by ``bpe_segment``'s collect_list) over a
@@ -1050,11 +1059,7 @@ def bpe_segment(
     the vocabulary is small. At 100 TB this is the difference between
     folding ~10^7 vocab entries and folding ~10^11 occurrences.
     """
-    table = merges.groupBy().agg(
-        F.expr(
-            "array_sort(collect_list(struct(rank, left AS l, right AS r, merged AS m)))"
-        ).alias("__merges")
-    )
+    table = merges.groupBy().agg(F.expr(BPE_MERGES_TABLE_EXPR).alias("__merges"))
     apply_all = bpe_apply_expr("wsyms", "__merges")
     word_counts = (
         docs.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("w"))

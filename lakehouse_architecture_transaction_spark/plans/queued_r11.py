@@ -749,7 +749,12 @@ def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: whitespace vocabulary — the only training round that IS
 #: SQL-expressible) and states the remaining invariants as the
 #: constants a correct trainer must produce, so a BPE regression
-#: flips the driver hash instead of only a pytest.
+#: flips the driver hash instead of only a pytest. ASSUMPTION: the
+#: corpus supports >= 8 learnable merges (n_merges is pinned at 8) —
+#: true of every gate corpus (31-word vocabulary, ample pair mass,
+#: trainer-pinned in pytest); a corpus whose pairs run dry earlier
+#: would hash-mismatch here by design, because a sub-8 merge table
+#: IS a retraining-relevant corpus change.
 DOCS_BPE_INVARIANTS_ORACLE = """
 WITH toks AS (
     SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS w
@@ -798,6 +803,7 @@ def docs_bpe_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     applier to the trainer). All map-side over the vocabulary plus
     one 8-row broadcast."""
     from lakehouse_architecture_transaction_spark.operators.text import (
+        BPE_MERGES_TABLE_EXPR,
         bpe_apply_expr,
         bpe_segment,
         tokens_expr,
@@ -808,8 +814,12 @@ def docs_bpe_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tbl = merges.agg(
         F.count("*").cast("bigint").alias("n_merges"),
+        # NULL (not 0) on an empty merge table: sequence(1, 0) yields
+        # [1, 0], so the equality would read FALSE on a vacuously
+        # empty table — same no-evidence discipline as the FD profile
         F.expr(
-            "CAST(array_sort(collect_list(rank)) = sequence(1, count(*)) AS INT)"
+            "CASE WHEN count(*) = 0 THEN CAST(NULL AS INT) "
+            "ELSE CAST(array_sort(collect_list(rank)) = sequence(1, count(*)) AS INT) END"
         ).alias("ranks_contiguous"),
         F.expr(
             "CAST(min(CASE WHEN merged = concat(`left`, `right`) THEN 1 ELSE 0 END) = 1 AS INT)"
@@ -827,11 +837,13 @@ def docs_bpe_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("min(CASE WHEN rank = 1 THEN weight END)").cast("bigint").alias("first_weight"),
     )
 
-    table = merges.groupBy().agg(
-        F.expr(
-            "array_sort(collect_list(struct(rank, `left` AS l, `right` AS r, merged AS m)))"
-        ).alias("__merges")
-    )
+    table = merges.groupBy().agg(F.expr(BPE_MERGES_TABLE_EXPR).alias("__merges"))
+    # Deliberately a SECOND corpus tokenization alongside the one
+    # inside bpe_segment below: the consistency flag compares two
+    # INDEPENDENT routes (vocabulary-weighted vs the production
+    # applier), so sharing the frame would reduce the check to x == x.
+    # Both routes aggregate to vocabulary cardinality before the fold
+    # — the duplicated cost is one extra map-side tokenize pass.
     vocab = (
         docs.select(F.explode(tokens_expr("text")).alias("w"))
         .select(F.lower(F.col("w")).alias("w"))

@@ -554,9 +554,26 @@ def test_real_wav_decode_pcm_variants():
         _decode_wav(bytes(good))
     from lakehouse_architecture_transaction_spark.operators.multimodal import _wav_format_tag
 
-    assert _wav_format_tag(encode_wav(pcm)) == 1
-    assert _wav_format_tag(bytes(good)) == 0x55
+    assert _wav_format_tag(encode_wav(pcm)) == (1, None)
+    assert _wav_format_tag(bytes(good)) == (0x55, None)
     assert _wav_format_tag(b"nonsense") is None
+    # a size-0 fmt chunk must parse as None (malformed), never read
+    # the NEXT chunk's header bytes as the tag (review find)
+    zero_fmt = b"RIFF" + b"\x24\x00\x00\x00" + b"WAVE" + b"fmt " + b"\x00\x00\x00\x00" + b"data" + b"\x00\x00\x00\x00"
+    assert _wav_format_tag(zero_fmt) is None
+    # EXTENSIBLE with a non-PCM SubFormat is a codec gap, classified
+    # from the GUID, not from wave's error text
+    ext = bytearray(encode_wav(pcm))
+    fmt_at2 = bytes(ext).index(b"fmt ")
+    old_size = _struct.unpack_from("<I", ext, fmt_at2 + 4)[0]
+    body = bytes(ext[fmt_at2 + 8 : fmt_at2 + 8 + old_size])
+    # rebuild: extensible tag + padded body + cbSize/valid-bits/mask + GUID(sub=0x55)
+    guid = _struct.pack("<H", 0x55) + b"\x00\x00" + b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    new_body = _struct.pack("<H", 0xFFFE) + body[2:16].ljust(14, b"\x00") + _struct.pack("<HHI", 22, 16, 1) + guid
+    rebuilt = bytes(ext[:fmt_at2]) + b"fmt " + _struct.pack("<I", len(new_body)) + new_body + bytes(ext[fmt_at2 + 8 + old_size + (old_size & 1):])
+    assert _wav_format_tag(rebuilt) == (0xFFFE, 0x55)
+    with pytest.raises(NotImplementedError):
+        _decode_wav(rebuilt)
 
 
 def test_real_decode_end_to_end_mapinpandas(spark):
