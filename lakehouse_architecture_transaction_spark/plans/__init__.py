@@ -23,5 +23,6 @@ from lakehouse_architecture_transaction_spark.plans import (  # noqa: F401
     queued_r11,
     queued_r12,
     queued_r13,
+    queued_r14,
 )
 from lakehouse_architecture_transaction_spark.plans.registry import REGISTRY, QuerySpec  # noqa: F401

@@ -1,5 +1,5 @@
-"""Queued round-14 registrations: catalog FDs, data selection, ANN QA,
-classifier calibration.
+"""Round-14 queue, registered in round 13 (queue drained): catalog FDs,
+data selection, ANN QA, classifier calibration.
 
 - catalog_fd_profile — functional-dependency discovery over curated
   determinant → dependent candidates: the within-table companion to
@@ -620,3 +620,24 @@ def docs_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ------------------------------------------------------------------
+# Registration (round 13 drain — all five preview-verified at
+# sf0.001/0.01/0.1 in tests/test_oracle_parity.py before this point;
+# this EMPTIES the registration queue)
+# ------------------------------------------------------------------
+
+from lakehouse_architecture_transaction_spark.plans.registry import register  # noqa: E402
+
+register("catalog_fd_profile", oracle=CATALOG_FD_ORACLE)(catalog_fd_profile)
+register("catalog_column_stats", oracle=CATALOG_COLUMN_STATS_ORACLE)(
+    catalog_column_stats
+)
+register("docs_dsir_select", oracle=DOCS_DSIR_ORACLE)(docs_dsir_select)
+register("emb_matryoshka_recall", oracle=EMB_MATRYOSHKA_ORACLE)(
+    emb_matryoshka_recall
+)
+register("docs_quality_calibration", oracle=DOCS_QUALITY_CALIBRATION_ORACLE)(
+    docs_quality_calibration
+)
