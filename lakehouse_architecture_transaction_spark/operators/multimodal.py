@@ -343,6 +343,25 @@ def _wav_format_tag(payload: bytes) -> tuple[int, int | None] | None:
 _WAV_TAG_PCM, _WAV_TAG_EXTENSIBLE = 1, 0xFFFE
 
 
+def _wav_data_chunk_intact(payload: bytes) -> bool:
+    """True iff the container carries a ``data`` chunk whose declared
+    size fits inside the payload. Separates the two reasons ``wave``
+    can fail on a WAVE_FORMAT_EXTENSIBLE container: a structurally
+    intact file the stdlib reader simply does not understand (a
+    capability gap) vs a truncated/corrupted data chunk (a data
+    error) — the error object itself does not say which."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return False
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"data":
+            return pos + 8 + size <= len(payload)
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    return False
+
+
 def _decode_wav(payload: bytes) -> np.ndarray:
     """Parse RIFF/WAVE PCM with the stdlib ``wave`` module into int16
     samples (first channel of multi-channel audio; 8-bit unsigned PCM
@@ -364,10 +383,13 @@ def _decode_wav(payload: bytes) -> np.ndarray:
             )
             raw = f.readframes(n_frames)
     except wave.Error as e:
-        if tag == _WAV_TAG_EXTENSIBLE:
-            # the SubFormat GUID said PCM, but this CPython's wave
-            # module may not read WAVE_FORMAT_EXTENSIBLE at all — a
-            # reader gap, not data corruption
+        if tag == _WAV_TAG_EXTENSIBLE and _wav_data_chunk_intact(payload):
+            # the SubFormat GUID said PCM and the data chunk is
+            # structurally intact, but this CPython's wave module may
+            # not read WAVE_FORMAT_EXTENSIBLE at all — a reader gap,
+            # not data corruption. A truncated/corrupted data chunk
+            # falls through to the ValueError path below even under
+            # the EXTENSIBLE tag (ADVICE r12).
             raise NotImplementedError(
                 f"extensible-PCM WAVE not readable by stdlib wave: {e}"
             ) from e

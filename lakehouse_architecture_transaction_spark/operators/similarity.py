@@ -850,9 +850,15 @@ def pca_power_project(
 
     The iterative-linear-algebra shape, kept fully deterministic so a
     SQL oracle can replay it:
-    - covariance numerators are EXACT int64 sums of HALF_UP-1e6
-      quantized values — the d²-cell aggregate sees only BIGINTs, so
-      accumulation order is irrelevant;
+    - covariance numerators are EXACT: int64 partial sums of
+      HALF_UP-1e6 quantized products per INPUT PARTITION (the hot
+      map-side MACs stay long-typed inside codegen), merged in
+      DECIMAL(38,0) — a corpus-wide int64 Σqi·qj would exit 64 bits
+      past ~6e8 unit-norm vectors (r13 moment-discipline sweep, the
+      customer_order_value_cv class), while a partition's partial is
+      bounded by maxPartitionBytes (~5e5 vectors → ~8e15 ≪ 2^63) and
+      the decimal merge is exact at d×P cardinality. Accumulation
+      order is irrelevant either way — every term is an integer;
     - each matrix·vector product is a left fold from a 0.0 seed over
       index order (== DuckDB's seedless list_reduce), normalization is
       one correctly-rounded sqrt and one division per element;
@@ -882,14 +888,30 @@ def pca_power_project(
     # same O(d²) volume (d groups × d sum columns of partials per
     # partition), but the map side does d² fused multiply-adds per row
     # inside whole-stage codegen instead of materializing d² rows.
+    # Two-level exact accumulation (r13): level 1 groups by
+    # (i, input partition) so the d bigint SUM columns stay inside
+    # int64 (bounded by rows-per-partition × max-product); level 2
+    # merges the d×P partial rows in DECIMAL(38,0). Map-side cost is
+    # unchanged — the d² MACs per vector remain long-typed codegen —
+    # and the shuffle volume is the same d×P partial rows the
+    # single-level hash aggregate already moved.
     sums = (
         emb.select(qarr.alias("__q"))
-        .select(F.posexplode("__q").alias("i", "qi"), "__q")
+        .select(F.posexplode("__q").alias("i", "qi"), "__q", F.spark_partition_id().alias("__p"))
+        .groupBy("i", "__p")
+        .agg(
+            *[F.sum(F.expr(f"qi * __q[{j}]")).alias(f"s{j}") for j in range(dim)],
+            F.sum("qi").alias("sx"),
+            F.count("*").alias("n"),
+        )
         .groupBy("i")
         .agg(
-            *[F.sum(F.expr(f"qi * __q[{j}]")).cast("bigint").alias(f"s{j}") for j in range(dim)],
-            F.sum("qi").cast("bigint").alias("sx"),
-            F.count("*").cast("bigint").alias("n"),
+            *[
+                F.sum(F.col(f"s{j}").cast("decimal(38,0)")).cast("decimal(38,0)").alias(f"s{j}")
+                for j in range(dim)
+            ],
+            F.sum("sx").cast("bigint").alias("sx"),
+            F.sum("n").cast("bigint").alias("n"),
         )
         .localCheckpoint(eager=True)
     )

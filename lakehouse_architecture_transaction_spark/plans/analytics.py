@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_architecture_transaction_spark.catalog import load_table
+from lakehouse_architecture_transaction_spark.functions.moments import m2_numerator, sum_sq_dec
 from lakehouse_architecture_transaction_spark.operators.asof import asof_join
 from lakehouse_architecture_transaction_spark.plans.registry import register
 
@@ -1296,14 +1297,15 @@ def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = events.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(F.count("*").alias("n"))
-    # DECIMAL(38,0) squares, not int64: a type whose daily count
-    # passes ~3e9 squares out of 64 bits, and sx² follows (the r12
-    # skew-probe CV overflow class); nd·x − sx stays comfortably
-    # inside int64 (days-per-type × daily count).
-    n_dec = F.col("n").cast("decimal(19,0)")
+    # DECIMAL squares via the shared moment helpers, not int64: a
+    # type whose daily count passes ~3e9 squares out of 64 bits, and
+    # sx² follows (the r12 skew-probe CV overflow class); nd·x − sx
+    # stays comfortably inside int64 (days-per-type × daily count).
+    # m2_numerator also guards the non-ANSI silent-NULL overflow path
+    # (ADVICE r12) — see functions/moments.py.
     stats = daily.groupBy("event_type").agg(
         F.sum("n").alias("sx"),
-        F.sum(n_dec * n_dec).alias("sxx"),
+        sum_sq_dec(F.col("n")).alias("sxx"),
         F.count("*").alias("nd"),
     )
     d, s = F.col, F.col
@@ -1315,10 +1317,7 @@ def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     rhs = (
         F.lit(4.0)
         * s("nd").cast("double")
-        * (
-            s("nd").cast("decimal(38,0)") * s("sxx")
-            - s("sx").cast("decimal(38,0)") * s("sx").cast("decimal(38,0)")
-        ).cast("double")
+        * m2_numerator(s("nd"), s("sx"), s("sxx")).cast("double")
     )
     return (
         daily.join(F.broadcast(stats), on="event_type")

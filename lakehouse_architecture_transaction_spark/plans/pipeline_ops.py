@@ -2064,8 +2064,11 @@ def _pca_oracle() -> str:
         f"flat AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos, "
         f"CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)",
         f"q AS (SELECT vec_id, pos, {_V6_HALF_UP} AS q FROM flat)",
+        # sxy stays in DuckDB's native HUGEINT sum (the engine merges
+        # int64 partials in DECIMAL(38,0)): a BIGINT cast would raise
+        # past 2^63 where the engine now stays exact (r13 sweep)
         "agg AS (SELECT a.pos AS i, b.pos AS j, CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(a.q * b.q) AS BIGINT) AS sxy, CAST(SUM(a.q) AS BIGINT) AS sx, "
+        "SUM(CAST(a.q AS HUGEINT) * CAST(b.q AS HUGEINT)) AS sxy, CAST(SUM(a.q) AS BIGINT) AS sx, "
         "CAST(SUM(b.q) AS BIGINT) AS sy "
         "FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY a.pos, b.pos)",
         "cmat0 AS (SELECT i, list((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / n / 1e12 "

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_architecture_transaction_spark.catalog import load_table
+from lakehouse_architecture_transaction_spark.functions.moments import sum_sq_dec
 from lakehouse_architecture_transaction_spark.functions.hashing import MERSENNE_P, perm_coeffs
 from lakehouse_architecture_transaction_spark.operators import dedup as D
 from lakehouse_architecture_transaction_spark.operators import text as T
@@ -374,8 +375,11 @@ def docs_rare_shingle_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: power-of-two HALF_UP quantization: x·256 is EXACT in double (the
 #: scale is a power of two), so the only rounding is the defined
-#: half-up — and q ≤ 148 keeps Σq² per vector ≤ 1.4e6 and Σ(Σq²)²
-#: corpus-wide inside int64 up to ~4.6e6 vectors.
+#: half-up — q ≤ 148 keeps Σq² per vector ≤ 1.4e6 (int64-safe
+#: per-row), while the CORPUS-wide Σ(Σq²)² would exit int64 past
+#: ~4.6e6 vectors, so that moment accumulates in DECIMAL(38,0)
+#: (functions/moments.py; r13 moment-discipline sweep — the oracle
+#: mirrors with HUGEINT).
 _Q256 = "(CASE WHEN {x} < 0 THEN -1 ELSE 1 END) * CAST(floor(abs(CAST({x} AS DOUBLE)) * 256 + 0.5) AS BIGINT)"
 
 
@@ -389,7 +393,7 @@ _Q256 = "(CASE WHEN {x} < 0 THEN -1 ELSE 1 END) * CAST(floor(abs(CAST({x} AS DOU
         FROM embeddings
     ),
     s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n2q) AS BIGINT) AS s1,
-                 CAST(SUM(n2q * n2q) AS BIGINT) AS s2 FROM n)
+                 SUM(CAST(n2q AS HUGEINT) * CAST(n2q AS HUGEINT)) AS s2 FROM n)
     SELECT vec_id,
            CAST(n2q AS DOUBLE) / 65536 AS norm2,
            CASE WHEN CAST(n2q AS DOUBLE) * s.n > CAST(s.s1 AS DOUBLE) THEN 'high' ELSE 'low' END AS side
@@ -403,7 +407,8 @@ def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-norm outliers (|z| > 2 on the quantized squared norm)
     — the dead/exploding-vector QA gate. Norms are exact int64 sums of
     half-up 256-scaled squares; mean/variance come from exact corpus
-    sums (all inside int64 — see _Q256), and the z-test is the
+    sums (per-vector norms inside int64, the corpus square-sum in
+    DECIMAL(38,0) — see _Q256), and the z-test is the
     CROSS-MULTIPLIED comparison on doubles converted from those exact
     integers, so both engines evaluate identical IEEE expressions. No
     sqrt, no per-row division."""
@@ -418,7 +423,7 @@ def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = n.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("n2q").cast("bigint").alias("s1"),
-        F.sum(F.col("n2q") * F.col("n2q")).cast("bigint").alias("s2"),
+        sum_sq_dec(F.col("n2q")).alias("s2"),
     )
     dev = F.col("n2q").cast("double") * F.col("n") - F.col("s1").cast("double")
     spread = (

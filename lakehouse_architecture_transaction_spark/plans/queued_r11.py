@@ -709,8 +709,29 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Learned merge table per (applicationId, sf_dir) — docs_bpe_merges
 #: and docs_bpe_invariants consume the SAME 8-round training run, so
 #: registering the invariant companion does not double the iterative
-#: cost (house memo pattern, plans/pipeline_ops.py:143).
+#: cost (house memo pattern, plans/pipeline_ops.py:143). Bounded LRU
+#: (ADVICE r12): the values are localCheckpoint-backed, so an
+#: unbounded memo would pin checkpoint storage for every (app,
+#: sf_dir) pair a long-lived session ever touches; eviction drops the
+#: reference (ContextCleaner reclaims the blocks once the RDD is
+#: collected) after a best-effort unpersist. Cap 4 covers every gate/
+#: bench sweep (one app × ≤3 sf dirs) without re-training thrash.
 _BPE_MERGES_MEMO: dict[tuple[str, str], DataFrame] = {}
+_BPE_MERGES_MEMO_CAP = 4
+
+
+def _lru_touch(memo: dict, key, value, cap: int):
+    """Insert/refresh ``key`` (insertion order = recency) and evict
+    past ``cap``, best-effort unpersisting evicted frames."""
+    memo.pop(key, None)
+    memo[key] = value
+    while len(memo) > cap:
+        old = memo.pop(next(iter(memo)))
+        try:
+            old.unpersist()
+        except Exception:  # noqa: BLE001 — eviction is best-effort
+            pass
+    return value
 
 
 def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -721,8 +742,7 @@ def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         docs = load_table(spark, sf_dir, "documents", spread=True)
         got = bpe_learn_merges(docs, id_col="doc_id", text_col="text", n_merges=8)
-        _BPE_MERGES_MEMO[key] = got
-    return got
+    return _lru_touch(_BPE_MERGES_MEMO, key, got, _BPE_MERGES_MEMO_CAP)
 
 
 def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -839,11 +859,18 @@ def docs_bpe_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     table = merges.groupBy().agg(F.expr(BPE_MERGES_TABLE_EXPR).alias("__merges"))
     # Deliberately a SECOND corpus tokenization alongside the one
-    # inside bpe_segment below: the consistency flag compares two
-    # INDEPENDENT routes (vocabulary-weighted vs the production
-    # applier), so sharing the frame would reduce the check to x == x.
-    # Both routes aggregate to vocabulary cardinality before the fold
-    # — the duplicated cost is one extra map-side tokenize pass.
+    # inside bpe_segment below. Scope of the flag (ADVICE r12): since
+    # the bpe_segment vocab-fold rewrite, BOTH routes apply the same
+    # bpe_apply_expr fold over the same vocabulary shape, so
+    # segment_consistent guards the per-doc join/weighting arithmetic
+    # around the fold — NOT the fold internals, which are covered
+    # independently by the Python-reference fuzz
+    # (tests/test_properties.py::
+    # test_bpe_learn_and_segment_match_python_reference). Sharing the
+    # tokenized frame itself would still reduce even the arithmetic
+    # check to x == x, hence the second tokenize pass; both routes
+    # aggregate to vocabulary cardinality before the fold, so the
+    # duplicated cost is one extra map-side pass.
     vocab = (
         docs.select(F.explode(tokens_expr("text")).alias("w"))
         .select(F.lower(F.col("w")).alias("w"))

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_architecture_transaction_spark.catalog import load_table
+from lakehouse_architecture_transaction_spark.functions.moments import m2_numerator, sum_sq_dec
 
 # ------------------------------------------------------------------
 # 1. orders_order_size_histogram
@@ -205,13 +206,15 @@ def customer_order_value_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = cents.groupBy("o_custkey").agg(
         F.count("*").cast("bigint").alias("n_orders"),
         F.sum(xd).alias("__sx"),
-        F.sum(xd * xd).alias("__sxx"),
+        sum_sq_dec(F.col("x")).alias("__sxx"),
     )
     n = F.col("n_orders")
     nd = n.cast("decimal(38,0)")
     mean_cents = F.col("__sx").cast("double") / n.cast("double")
+    # m2_numerator = exact nd·Σx² − (Σx)² with the non-ANSI
+    # silent-overflow guard (ADVICE r12) — functions/moments.py
     sd = F.sqrt(
-        (nd * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+        m2_numerator(n, F.col("__sx"), F.col("__sxx")).cast("double")
         / (nd * (nd - F.lit(1))).cast("double")
     )
     scored = (

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_architecture_transaction_spark.catalog import load_table
+from lakehouse_architecture_transaction_spark.functions.moments import sum_sq_dec
 
 # ------------------------------------------------------------------
 # 1. part_price_dispersion_by_type
@@ -507,13 +508,13 @@ def events_hourly_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n"))
         .localCheckpoint(eager=True)
     )
-    # DECIMAL(38,0) square-sum, not int64: an hour-type cell past
-    # ~3e9 events squares out of 64 bits (the r12 skew-probe CV
-    # overflow class); exact to ~1e19 events per cell in 38 digits
-    nd = F.col("n").cast("decimal(19,0)")
+    # DECIMAL square-sum via the shared moment helper, not int64: an
+    # hour-type cell past ~3e9 events squares out of 64 bits (the r12
+    # skew-probe CV overflow class); exact to ~1e19 events per cell
+    # in 38 digits (functions/moments.py)
     h = c.groupBy("hour_of_day").agg(
         F.sum("n").cast("bigint").alias("n_events"),
-        F.sum(nd * nd).alias("sum_sq"),
+        sum_sq_dec(F.col("n")).alias("sum_sq"),
         F.count("*").cast("bigint").alias("n_types"),
     )
     w = Window.partitionBy("hour_of_day").orderBy(F.col("n").desc(), F.col("event_type").asc())

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_architecture_transaction_spark.catalog import load_table
+from lakehouse_architecture_transaction_spark.functions.moments import sum_sq_dec
 from lakehouse_architecture_transaction_spark.operators import dedup as D
 
 # ------------------------------------------------------------------
@@ -183,7 +184,7 @@ p AS (
     SELECT l_partkey,
            CAST(COUNT(*) AS BIGINT) AS n_suppliers,
            CAST(SUM(qty) AS BIGINT) AS total_qty,
-           CAST(SUM(qty * qty) AS BIGINT) AS sq
+           SUM(CAST(qty AS HUGEINT) * CAST(qty AS HUGEINT)) AS sq
     FROM q GROUP BY 1
 )
 SELECT l_partkey, n_suppliers, total_qty,
@@ -202,7 +203,12 @@ def part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked by concentration: HHI → 1 means one supplier dominates a
     nominally multi-sourced part — the procurement-risk flag.
     Quantities are integral, so the DECIMAL→BIGINT boundary is exact;
-    HHI is one fixed double chain over exact sums.
+    HHI is one fixed double chain over exact sums. Σqty² accumulates
+    in DECIMAL(38,0), not int64 (r13 moment-discipline sweep): a
+    30%-hot l_partkey at corpus scale pushes one (part, supplier)
+    qty past ~3e9, whose square exits 64 bits — the exact
+    customer_order_value_cv class the skew probe crashed in r12; the
+    oracle mirrors with HUGEINT.
 
     Scale shape: two map-side-combined aggregates — (part, supplier)
     then part — and a TakeOrdered top-k. Nothing wider than the
@@ -217,7 +223,7 @@ def part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = q.groupBy("l_partkey").agg(
         F.count("*").cast("bigint").alias("n_suppliers"),
         F.sum("qty").cast("bigint").alias("total_qty"),
-        F.sum(F.col("qty") * F.col("qty")).cast("bigint").alias("sq"),
+        sum_sq_dec(F.col("qty")).alias("sq"),
     )
     tot = F.col("total_qty").cast("double")
     return (

@@ -574,6 +574,25 @@ def test_real_wav_decode_pcm_variants():
     assert _wav_format_tag(rebuilt) == (0xFFFE, 0x55)
     with pytest.raises(NotImplementedError):
         _decode_wav(rebuilt)
+    # EXTENSIBLE with a PCM SubFormat and an INTACT data chunk: stdlib
+    # wave cannot open tag 0xFFFE, and that is a reader capability gap
+    guid_pcm = _struct.pack("<H", 1) + b"\x00\x00" + b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    pcm_body = _struct.pack("<H", 0xFFFE) + body[2:16].ljust(14, b"\x00") + _struct.pack("<HHI", 22, 16, 1) + guid_pcm
+    ext_pcm = bytes(ext[:fmt_at2]) + b"fmt " + _struct.pack("<I", len(pcm_body)) + pcm_body + bytes(ext[fmt_at2 + 8 + old_size + (old_size & 1):])
+    assert _wav_format_tag(ext_pcm) == (0xFFFE, 1)
+    with pytest.raises(NotImplementedError):
+        _decode_wav(ext_pcm)
+    # ... but the SAME extensible-PCM container with a TRUNCATED data
+    # chunk is a DATA error: the EXTENSIBLE tag must not reclassify
+    # corruption as a capability gap (ADVICE r12)
+    from lakehouse_architecture_transaction_spark.operators.multimodal import (
+        _wav_data_chunk_intact,
+    )
+
+    assert _wav_data_chunk_intact(ext_pcm)
+    assert not _wav_data_chunk_intact(ext_pcm[:-10])
+    with pytest.raises(ValueError):
+        _decode_wav(ext_pcm[:-10])
 
 
 def test_real_decode_end_to_end_mapinpandas(spark):
@@ -1146,3 +1165,28 @@ def test_gopher_quality_flags_semantics(spark):
     assert out[0]["n_words"] == 65 and out[0]["n_stop_hits"] >= 2
     assert out[1]["passes_gopher"] == 0 and out[1]["symbol_ratio"] > 0.1
     assert out[2]["passes_gopher"] == 0 and out[2]["n_words"] == 2
+
+
+def test_bpe_merges_memo_lru_eviction():
+    # ADVICE r12: the trainer memo must not pin checkpoint storage for
+    # every (app, sf_dir) pair forever — oldest entries evict past the
+    # cap, with a best-effort unpersist, and a touch refreshes recency
+    from lakehouse_architecture_transaction_spark.plans.queued_r11 import _lru_touch
+
+    class Frame:
+        def __init__(self):
+            self.released = False
+
+        def unpersist(self):
+            self.released = True
+
+    memo: dict = {}
+    frames = {k: Frame() for k in "abcde"}
+    for k in "abcd":
+        _lru_touch(memo, k, frames[k], cap=4)
+    _lru_touch(memo, "a", frames["a"], cap=4)  # touch refreshes 'a'
+    _lru_touch(memo, "e", frames["e"], cap=4)  # evicts 'b', not 'a'
+    assert set(memo) == {"c", "d", "a", "e"}
+    assert frames["b"].released and not frames["a"].released
+    # cache hit returns the SAME object (no retrain)
+    assert _lru_touch(memo, "c", memo["c"], cap=4) is frames["c"]

@@ -96,6 +96,22 @@ PROBES = [
     # O(hot_rows × rows_per_hour), not O(hot_rows²) — this probe
     # measures that bound holding under a 30%-hot user.
     "events_stream_clicks",
+    # r13 registrations (the r14-queue drain) with skew-model keys:
+    # hot l_partkey makes ONE determinant value carry ~30% of lineitem
+    # in the (l_partkey)→l_suppkey FD candidate — the distinct
+    # aggregate dedups it map-side before the determinant groupBy, so
+    # flat is the honest expected reading; hot o_custkey / user_id
+    # shrink count_distinct inputs (two-stage partial distinct absorbs
+    # the repeats map-side); hot documents.source concentrates the
+    # corpus into one source whose tokens still spread across the 64
+    # hash buckets (dsir) and whose docs still spread across value
+    # deciles (calibration) — the probe verifies no per-source funnel
+    # appears. (emb_matryoshka_recall reads only embeddings, which the
+    # skew model does not rewrite — not probed.)
+    "catalog_fd_profile",
+    "catalog_column_stats",
+    "docs_dsir_select",
+    "docs_quality_calibration",
 ]
 
 
