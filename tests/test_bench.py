@@ -39,6 +39,9 @@ def _base(times: dict) -> dict:
         "anchor_mc_s": 1.7947,
         "anchor_mc_post_s": 1.8292,
         "run_dispersion_median": 1.406,
+        "dispersion_def": "warm worst/best per query (cold run 1 excluded), median",
+        "quiesce_ratio": 1.212,
+        "quiesce_attempts": 1,
         "contention_suspect": False,
         # the r10 cross-capture weather gate rides every payload too
         "anchor_drift_vs_committed": 1.327,
