@@ -86,21 +86,32 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-day, ordered by time, joined with '>' — the path-analysis
     query behind every funnel-discovery UI.
 
-    Scale shape: one shuffle keyed by (user, day) builds the ordered
-    sequence via sort_array(collect_list(struct)) — per-group state is
-    bounded by a user's single-day volume, not corpus size — then the
-    path frequency count is a map-side-combining groupBy at path
-    cardinality, and the top-k executes as TakeOrdered (per-partition
-    heaps, no global sort). Ties break on path text.
+    Scale shape (r13 bounded-state rewrite): the path needs only the
+    FIRST 5 events of each (user, day), so the prefix comes from the
+    house grouped-top-k pattern (row_number ≤ 5 over the (user, day)
+    window, the same shape as top3_orders_per_customer — WindowExec's
+    per-group buffer is a disk-spillable UnsafeRowArray, so a
+    celebrity user-day spills instead of OOMing), and ONLY the ≤ 5
+    surviving rows per group reach the collect — the collect group is
+    hard-bounded by the constant 5, not by a user's event volume (the
+    collect_list OOM class the previous single-level shape carried).
+    Then the path frequency count is a map-side-combining groupBy at
+    path cardinality, and the top-k executes as TakeOrdered
+    (per-partition heaps, no global sort). Ties break on path text.
     """
     events = load_table(spark, sf_dir, "events")
-    grp = (
-        events.groupBy("user_id", F.to_date("ts").alias("day"))
-        .agg(F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))).alias("seq"))
+    w = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
     )
-    path = F.array_join(
-        F.slice(F.expr("transform(seq, s -> s.event_type)"), 1, _PATH_LEN), ">"
-    ).alias("path")
+    first5 = (
+        events.select("user_id", F.to_date("ts").alias("day"), "ts", "event_id", "event_type")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= _PATH_LEN)
+    )
+    grp = first5.groupBy("user_id", "day").agg(
+        F.expr("array_sort(collect_list(struct(__rn, event_type)))").alias("seq")
+    )
+    path = F.array_join(F.expr("transform(seq, s -> s.event_type)"), ">").alias("path")
     return (
         grp.select(path)
         .groupBy("path")

@@ -118,6 +118,10 @@ _QUEUED_SAMPLE = [
     ("queued_r14", "docs_dsir_select"),
     ("queued_r14", "emb_matryoshka_recall"),
     ("queued_r14", "docs_quality_calibration"),
+    # r13 bounded-state rewrite (grouped-top-k window + constant-5
+    # collect): pins that the path result is independent of shuffle
+    # width/partitioning
+    ("behavior", "events_top_paths"),
 ]
 
 

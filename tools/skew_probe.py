@@ -112,6 +112,11 @@ PROBES = [
     "catalog_column_stats",
     "docs_dsir_select",
     "docs_quality_calibration",
+    # r13 bounded-state rewrite: hot user_id concentrates 30% of
+    # events on one user's (user, day) groups — the exact layout the
+    # two-level prefix collect exists for (level-1 state bounded per
+    # input partition, level-2 groups carry ≤ 5·P structs)
+    "events_top_paths",
 ]
 
 
