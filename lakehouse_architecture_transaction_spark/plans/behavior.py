@@ -89,10 +89,14 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (r13 bounded-state rewrite): the path needs only the
     FIRST 5 events of each (user, day), so the prefix comes from the
     house grouped-top-k pattern (row_number ≤ 5 over the (user, day)
-    window, the same shape as top3_orders_per_customer — WindowExec's
-    per-group buffer is a disk-spillable UnsafeRowArray, so a
-    celebrity user-day spills instead of OOMing), and ONLY the ≤ 5
-    surviving rows per group reach the collect — the collect group is
+    window, the same shape as top3_orders_per_customer). Catalyst
+    pushes the rank limit below the shuffle — the plan carries
+    `WindowGroupLimit` on BOTH sides of the exchange (PLANS.md), so
+    each map partition forwards ≤ 5 rows per (user, day) and the
+    sort/exchange volume is bounded by 5·groups·partitions, not raw
+    event volume; the reduce side's per-group buffer is a
+    disk-spillable UnsafeRowArray besides. ONLY the ≤ 5 surviving
+    rows per group reach the collect — the collect group is
     hard-bounded by the constant 5, not by a user's event volume (the
     collect_list OOM class the previous single-level shape carried).
     Then the path frequency count is a map-side-combining groupBy at

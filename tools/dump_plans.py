@@ -136,6 +136,15 @@ AUDITED = [
 #: the final plan alone would mislead (e.g. memo-fed queries whose
 #: upstream stages ran eagerly at checkpoint time).
 NOTES = {
+    "events_top_paths": (
+        "The r13 bounded-state shape: `WindowGroupLimit` appears on BOTH "
+        "sides of the exchange — Catalyst pushes the row_number<=5 rank "
+        "limit below the shuffle, so each map partition forwards at most "
+        "5 rows per (user, day) and the sort/exchange volume is bounded "
+        "by 5 x groups x partitions, not raw event volume; the path "
+        "collect then sees <=5-row groups (the collect_list OOM class "
+        "the pre-r13 whole-group collect carried)."
+    ),
     "orders_market_basket": (
         "`Scan ExistingRDD` is the session-memoized co-purchase pair frame "
         "(behavior.py `_copurchase_pairs`): the fact scan + distinct + "
