@@ -19,6 +19,14 @@ corpus scale:
    aggregated to calendar/dimension cardinality; anything row-scaled
    takes the bucketed prefix-sum pattern (operators/ranking.py).
 
+3. ``crossJoin`` multiplies cardinalities — a data x data cross join
+   is quadratic output. Every site in the tree is the broadcast-
+   yardstick pattern (one side a 1-row aggregate or a constant-
+   cardinality frame: a quantile threshold, a corpus total, the d-row
+   covariance matrix, the 8-row merge table); the audit pins the
+   per-file counts so a new site gets reviewed for which side is
+   constant-bounded.
+
 The audit is per-file occurrence counts (coarser than the
 moment-discipline per-expression keys, but every new occurrence still
 forces a review); justifications name each site's bound.
@@ -70,6 +78,34 @@ GLOBAL_WINDOW_ALLOWED: dict[str, tuple[int, str]] = {
 }
 
 
+#: relpath -> (expected .crossJoin( count). Audited 2026-08-16: every
+#: site joins a 1-row aggregate (corpus totals, thresholds, shift/tau
+#: yardsticks, funnel counts) or a constant-cardinality broadcast
+#: frame (d-row covariance/eigenvector iterates, k centroids, 256-code
+#: distance maps, the 8-row BPE merge table, dangling-mass 1-row in
+#: pagerank) — no data x data cross join exists in the tree.
+CROSSJOIN_ALLOWED: dict[str, int] = {
+    "plans/analytics.py": 2,
+    "plans/analytics3.py": 2,
+    "plans/analytics_tpch2.py": 2,
+    "plans/behavior.py": 1,
+    "plans/customer_value.py": 2,
+    "plans/pipeline_ops2.py": 4,
+    "plans/pipeline_ops4.py": 1,
+    "plans/queued_r11.py": 6,
+    "plans/queued_r12.py": 1,
+    "plans/queued_r13.py": 1,
+    "plans/queued_r14.py": 3,
+    "plans/queued_r8.py": 1,
+    "plans/queued_r9.py": 2,
+    "operators/graph.py": 1,
+    "operators/ranking.py": 1,
+    "operators/sampling.py": 1,
+    "operators/similarity.py": 11,
+    "operators/text.py": 4,
+}
+
+
 def _scan(pattern: str) -> dict[str, int]:
     found: dict[str, int] = {}
     rx = re.compile(pattern)
@@ -104,6 +140,21 @@ def test_no_unaudited_collect_groups():
 
 def test_no_unaudited_global_windows():
     _check(_scan(r"Window\.orderBy\s*\("), GLOBAL_WINDOW_ALLOWED, "global-window")
+
+
+def test_no_unaudited_cross_joins():
+    found = _scan(r"\.crossJoin\s*\(")
+    new = {k: c for k, c in found.items() if k not in CROSSJOIN_ALLOWED}
+    assert not new, (
+        "unaudited crossJoin site(s) — verify one side is a 1-row/"
+        f"constant-cardinality frame and add to the allowlist: {new}"
+    )
+    drifted = {
+        k: (c, CROSSJOIN_ALLOWED[k]) for k, c in found.items() if c != CROSSJOIN_ALLOWED[k]
+    }
+    assert not drifted, f"crossJoin count changed (found, expected): {drifted}"
+    gone = {k for k in CROSSJOIN_ALLOWED if k not in found}
+    assert not gone, f"stale crossJoin allowlist entries: {gone}"
 
 
 def test_top_paths_collect_group_is_bounded(spark):
