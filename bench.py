@@ -349,6 +349,49 @@ def _committed_capture(repo_dir: str) -> dict | None:
         return None
 
 
+#: Sub-second queries run min-of-(runs+4) — min-of-7 at the default
+#: 3-run config (r13 verdict item 4): three rounds of rotating-tail
+#: adjudication (r11-r13) all resolved to scheduler jitter on < 1 s
+#: queries — 0.1-0.15 s ABSOLUTE swings that read as 1.1-1.5× ratios
+#: and consumed a hand min-of-7 probe each round. The spread lives
+#: almost entirely in that tail, where jitter is a large FRACTION of
+#: the measurement — four extra samples tighten min-of-N where it's
+#: cheapest (< ~1 s each) and noisiest, without touching the
+#: multi-second heavyweights. This encodes the PLANS.md hand protocol
+#: so tail arbitration stops being a per-round manual task.
+SUBSEC_EXTRA_RUNS = 4
+
+
+def total_runs_for(best_so_far: float, runs: int) -> int:
+    """Samples to take for a query whose min after ``runs`` runs is
+    ``best_so_far``: the sub-second class gets SUBSEC_EXTRA_RUNS more
+    (min-of-7 at the default config)."""
+    return runs + SUBSEC_EXTRA_RUNS if best_so_far < 1.0 else runs
+
+
+def dispersion_sample(samples: list[float]) -> tuple[float | None, bool]:
+    """Per-query worst/best ratio feeding the contention gate's
+    dispersion leg, as (ratio, cold_inclusive).
+
+    Dispersion is a MACHINE-CHURN signal, so it reads the WARM runs
+    only (r12 verdict item 5): run 1 pays each query's one-time
+    Catalyst analysis + first-touch costs and measures cold/warm ≈
+    1.9-3.1× on this VM even on an idle machine — including it pinned
+    the median at ~1.5 regardless of weather, while the warm-run
+    spread (the actual churn signal) sits at 1.15-1.3 when quiet.
+    With a 2-run config a >= 1 s query has ONE warm sample and no
+    warm ratio — fall back to the all-runs ratio, flagged
+    cold_inclusive=True, rather than letting the dispersion leg go
+    silently blind at the 1.0 default (ADVICE r13). A single-sample
+    query yields (None, False): no ratio is honest there."""
+    warm = samples[1:]
+    if len(warm) > 1 and min(warm) > 0:
+        return max(warm) / min(warm), False
+    if len(samples) > 1 and min(samples) > 0:
+        return max(samples) / min(samples), True
+    return None, False
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -387,13 +430,7 @@ def main() -> None:
     times: dict[str, float] = {}
     dispersions: list[float] = []
     total = 0.0
-    # Sub-second queries get 2 extra runs (r10/r11 verdict note): the
-    # run-dispersion median sat at 1.39-1.42 two rounds running, and
-    # the spread lives almost entirely in the sub-second tail, where
-    # scheduler jitter is a large FRACTION of the measurement — two
-    # more samples tighten min-of-N where it's cheapest (< ~1 s each)
-    # and noisiest, without touching the multi-second heavyweights.
-    SUBSEC_EXTRA_RUNS = 2
+    dispersion_cold_inclusive = False
     for name in HEADLINE:
         n_runs = runs
         done = 0
@@ -404,20 +441,14 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
             release_persisted()  # caches must not leak across queries
             done += 1
-            if done == runs and min(samples) < 1.0:
-                n_runs = runs + SUBSEC_EXTRA_RUNS
+            if done == runs:
+                n_runs = total_runs_for(min(samples), runs)
         times[name] = round(min(samples), 4)
         total += times[name]
-        # Dispersion is a MACHINE-CHURN signal, so it reads the WARM
-        # runs only (r12 verdict item 5): run 1 pays each query's
-        # one-time Catalyst analysis + first-touch costs and measures
-        # cold/warm ≈ 1.9-3.1× on this VM even on an idle machine —
-        # including it pinned the median at ~1.5 regardless of
-        # weather, while the warm-run spread (the actual churn
-        # signal) sits at 1.15-1.3 when quiet.
-        warm = samples[1:]
-        if len(warm) > 1 and min(warm) > 0:
-            dispersions.append(max(warm) / min(warm))
+        ratio, cold = dispersion_sample(samples)
+        if ratio is not None:
+            dispersions.append(ratio)
+            dispersion_cold_inclusive = dispersion_cold_inclusive or cold
 
     # Contention self-diagnosis (VERDICT r7 item 4): the BENCH_r07
     # capture read 2× on every uncontaminated re-run while its
@@ -457,6 +488,7 @@ def main() -> None:
         "sf": float(sf) if sf else None,
         "cpus": cpus,
         "runs_per_query": runs,
+        "subsec_runs_per_query": runs + SUBSEC_EXTRA_RUNS,
         "aggregation": "min",
         "action": "noop_write",
         "anchor_s": anchor_s,
@@ -464,7 +496,13 @@ def main() -> None:
         "anchor_mc_s": anchor_mc_s,
         "anchor_mc_post_s": anchor_mc_post_s,
         "run_dispersion_median": round(disp, 3),
-        "dispersion_def": "warm worst/best per query (cold run 1 excluded), median",
+        "dispersion_def": (
+            "all-runs worst/best per query (COLD-INCLUSIVE fallback: <3 runs"
+            " leaves no warm pair), median"
+            if dispersion_cold_inclusive
+            else "warm worst/best per query (cold run 1 excluded), median"
+        ),
+        "dispersion_cold_inclusive": dispersion_cold_inclusive,
         "quiesce_ratio": quiesce_ratio,
         "quiesce_attempts": quiesce_attempts,
         "contention_suspect": contention_suspect,

@@ -57,15 +57,21 @@ def m2_numerator(n: Column, sx: Column, sxx: Column) -> Column:
     session it yields NULL, which downstream predicates would read as
     "drop this row" — the assert_true guard converts exactly that
     case (NULL result from non-NULL inputs) into a raised error
-    instead (ADVICE r12). NULL inputs (empty group) pass through as
-    NULL: zero observations is no evidence, not an overflow.
+    instead (ADVICE r12). The guard also covers the INPUT sums
+    (ADVICE r13): if Σx or Σx² themselves overflowed their decimal
+    SUM in a non-ANSI session they arrive NULL while n > 0, and the
+    original non-NULL-inputs predicate would have waved that through
+    as a silent NULL — a non-empty group with a NULL input sum now
+    raises too. Only the genuinely-empty case (n NULL or 0, as outer
+    joins and empty groups produce) passes NULL through: zero
+    observations is no evidence, not an overflow.
     """
     nd = n.cast(DEC38)
     sx38 = sx.cast(DEC38)
     prod = nd * sxx.cast(DEC38) - sx38 * sx38
     overflowed = (
         prod.isNull() & n.isNotNull() & sx.isNotNull() & sxx.isNotNull()
-    )
+    ) | (n.isNotNull() & (n > 0) & (sx.isNull() | sxx.isNull()))
     # assert_true yields NULL when the predicate holds and raises
     # otherwise; the when() wrapper threads that NULL away so the
     # guarded expression keeps the product's type and value

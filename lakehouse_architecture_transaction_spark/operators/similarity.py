@@ -835,7 +835,13 @@ _Q6_LAMBDA = (
 
 
 def pca_power_project(
-    emb: DataFrame, id_col: str, vec_col: str, dim: int, iters: int = 12, squarings: int = 2
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    iters: int = 12,
+    squarings: int = 2,
+    partial_bucket_log2: int = 19,
 ) -> DataFrame:
     """Project every vector onto the corpus's top principal component:
     centered covariance → ``squarings`` matrix self-squarings (C→C²→C⁴)
@@ -851,14 +857,24 @@ def pca_power_project(
     The iterative-linear-algebra shape, kept fully deterministic so a
     SQL oracle can replay it:
     - covariance numerators are EXACT: int64 partial sums of
-      HALF_UP-1e6 quantized products per INPUT PARTITION (the hot
+      HALF_UP-1e6 quantized products per bounded ROW BUCKET (the hot
       map-side MACs stay long-typed inside codegen), merged in
       DECIMAL(38,0) — a corpus-wide int64 Σqi·qj would exit 64 bits
       past ~6e8 unit-norm vectors (r13 moment-discipline sweep, the
-      customer_order_value_cv class), while a partition's partial is
-      bounded by maxPartitionBytes (~5e5 vectors → ~8e15 ≪ 2^63) and
-      the decimal merge is exact at d×P cardinality. Accumulation
-      order is irrelevant either way — every term is an integer;
+      customer_order_value_cv class). The bucket is
+      ``monotonically_increasing_id() >> partial_bucket_log2``:
+      the partition id occupies the id's upper bits, so buckets
+      never span partitions, and each holds ≤ 2^partial_bucket_log2
+      rows (default 2^19 ≈ 5.2e5 → partial ≤ ~9e15 ≪ 2^63 at the
+      ~2^34 per-term bound of 1e6-quantized unit-norm-ish
+      embeddings). This bounds the partial STRUCTURALLY — a
+      coalesced / repartitioned / cached input with corpus-scale
+      partitions is safe, not just maxPartitionBytes-sized file
+      scans (ADVICE r13). ``partial_bucket_log2`` must stay ≤ 33
+      (the id's row-offset field width); lower it only if per-term
+      magnitudes exceed the 2^34 contract. The decimal merge is
+      exact at d×(#buckets) cardinality, and accumulation order is
+      irrelevant either way — every term is an integer;
     - each matrix·vector product is a left fold from a 0.0 seed over
       index order (== DuckDB's seedless list_reduce), normalization is
       one correctly-rounded sqrt and one division per element;
@@ -889,15 +905,22 @@ def pca_power_project(
     # partition), but the map side does d² fused multiply-adds per row
     # inside whole-stage codegen instead of materializing d² rows.
     # Two-level exact accumulation (r13): level 1 groups by
-    # (i, input partition) so the d bigint SUM columns stay inside
-    # int64 (bounded by rows-per-partition × max-product); level 2
-    # merges the d×P partial rows in DECIMAL(38,0). Map-side cost is
-    # unchanged — the d² MACs per vector remain long-typed codegen —
-    # and the shuffle volume is the same d×P partial rows the
+    # (i, row bucket) so the d bigint SUM columns stay inside int64 —
+    # the bucket (id >> partial_bucket_log2; partition id in the upper
+    # bits keeps buckets partition-local) caps each partial at
+    # 2^partial_bucket_log2 rows even on corpus-scale partitions
+    # (ADVICE r13); level 2 merges the d×(#buckets) partial rows in
+    # DECIMAL(38,0). Map-side cost is unchanged — the d² MACs per
+    # vector remain long-typed codegen — and for well-sized input
+    # partitions #buckets ≈ P, the same partial-row volume the
     # single-level hash aggregate already moved.
     sums = (
         emb.select(qarr.alias("__q"))
-        .select(F.posexplode("__q").alias("i", "qi"), "__q", F.spark_partition_id().alias("__p"))
+        .select(
+            F.posexplode("__q").alias("i", "qi"),
+            "__q",
+            F.shiftright(F.monotonically_increasing_id(), partial_bucket_log2).alias("__p"),
+        )
         .groupBy("i", "__p")
         .agg(
             *[F.sum(F.expr(f"qi * __q[{j}]")).alias(f"s{j}") for j in range(dim)],

@@ -713,8 +713,9 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (ADVICE r12): the values are localCheckpoint-backed, so an
 #: unbounded memo would pin checkpoint storage for every (app,
 #: sf_dir) pair a long-lived session ever touches; eviction drops the
-#: reference (ContextCleaner reclaims the blocks once the RDD is
-#: collected) after a best-effort unpersist. Cap 4 covers every gate/
+#: reference ONLY (ContextCleaner reclaims the blocks once the RDD is
+#: garbage-collected — never an eager unpersist, which would crash a
+#: still-held evicted frame, ADVICE r13). Cap 4 covers every gate/
 #: bench sweep (one app × ≤3 sf dirs) without re-training thrash.
 _BPE_MERGES_MEMO: dict[tuple[str, str], DataFrame] = {}
 _BPE_MERGES_MEMO_CAP = 4
@@ -722,15 +723,19 @@ _BPE_MERGES_MEMO_CAP = 4
 
 def _lru_touch(memo: dict, key, value, cap: int):
     """Insert/refresh ``key`` (insertion order = recency) and evict
-    past ``cap``, best-effort unpersisting evicted frames."""
+    past ``cap`` by dropping the reference ONLY. The values are
+    localCheckpoint-backed: their lineage is already truncated, so an
+    eager ``unpersist()`` would delete the checkpoint blocks under any
+    still-held reference, turning its next action into a
+    checkpoint-block-not-found crash instead of a recompute (ADVICE
+    r13). Dropping the reference lets ContextCleaner reclaim the
+    blocks once the RDD is garbage-collected — callers that retained
+    an evicted frame keep a working (still block-backed) handle until
+    they release it."""
     memo.pop(key, None)
     memo[key] = value
     while len(memo) > cap:
-        old = memo.pop(next(iter(memo)))
-        try:
-            old.unpersist()
-        except Exception:  # noqa: BLE001 — eviction is best-effort
-            pass
+        memo.pop(next(iter(memo)))
     return value
 
 

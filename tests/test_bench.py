@@ -30,7 +30,9 @@ def _base(times: dict) -> dict:
         "sf": 0.1,
         "cpus": 32,
         "runs_per_query": 3,
+        "subsec_runs_per_query": 7,
         "aggregation": "min",
+        "dispersion_cold_inclusive": False,
         # the round-8 contention diagnostics ride every real payload —
         # the budget tests must model them or the 1900-char fit is
         # tested against a lighter line than the driver sees
@@ -132,6 +134,36 @@ def test_tail_line_carries_anchor_drift_flag():
     parsed = json.loads(tail_line(_base(times)))
     assert parsed["anchor_drift_suspect"] is True
     assert parsed["anchor_drift_vs_committed"] == 1.327
+
+
+# ---------------- sub-second min-of-7 + dispersion fallback (r13) -----
+
+
+def test_subsec_class_runs_min_of_seven():
+    # r13 verdict item 4: the <1 s class gets 4 extra samples — min-of-7
+    # at the default 3-run config — encoding the PLANS.md hand protocol
+    from bench import SUBSEC_EXTRA_RUNS, total_runs_for
+
+    assert SUBSEC_EXTRA_RUNS == 4
+    assert total_runs_for(0.42, runs=3) == 7
+    assert total_runs_for(0.999, runs=3) == 7
+    assert total_runs_for(1.0, runs=3) == 3  # >=1 s: base runs only
+    assert total_runs_for(5.3, runs=2) == 2
+    assert total_runs_for(0.42, runs=2) == 6
+
+
+def test_dispersion_fallback_never_silently_blind():
+    # ADVICE r13: a 2-run config leaves one warm sample per >=1 s query
+    # — the dispersion leg must fall back to the all-runs ratio (flagged
+    # cold-inclusive), not report the 1.0 default
+    from bench import dispersion_sample
+
+    ratio, cold = dispersion_sample([3.0, 1.0, 1.2])  # warm pair exists
+    assert abs(ratio - 1.2) < 1e-9 and cold is False
+    ratio, cold = dispersion_sample([2.0, 1.0])  # one warm sample
+    assert abs(ratio - 2.0) < 1e-9 and cold is True
+    assert dispersion_sample([2.0]) == (None, False)  # no ratio is honest
+    assert dispersion_sample([0.0, 0.0]) == (None, False)  # degenerate
 
 
 # ---------------- broadcast audit metric parsing (r10) ----------------

@@ -83,9 +83,11 @@ ALLOWED: dict[tuple[str, str], tuple[int, str]] = {
         (1, "pagerank mass check: Σ of 1e9-scaled pr over all nodes ≈ 1e9 "
             "(total mass is 1), never near 2^63"),
     ("operators/similarity.py", 'F.expr(f"qi * __q[{j}]")'):
-        (1, "PCA gram LEVEL-1 partial: per-(i, input-partition) int64 sum "
-            "bounded by maxPartitionBytes (~5e5 vectors × ~2^34/term ≈ 8e15 "
-            "≪ 2^63); level 2 merges partials in DECIMAL(38,0)"),
+        (1, "PCA gram LEVEL-1 partial: per-(i, row-bucket) int64 sum bounded "
+            "STRUCTURALLY at 2^partial_bucket_log2 rows (id>>19 bucket, "
+            "partition-local) × ~2^34/term ≈ 9e15 ≪ 2^63 — safe on "
+            "corpus-scale partitions too (ADVICE r13); level 2 merges "
+            "partials in DECIMAL(38,0)"),
     ("operators/text.py", 'F.col("__n_occ") * F.col("__n_bpe")'):
         (1, "BPE corpus totals, ≤ corpus chars ≪ 2^63"),
     ("operators/timeseries.py", 'F.col("__x") * F.col("__y")'):
@@ -206,3 +208,31 @@ def test_m2_numerator_overflow_never_silent(spark):
                 df.select(expr).collect()
     finally:
         spark.conf.set("spark.sql.ansi.enabled", old)
+
+
+def test_m2_numerator_null_input_sum_raises(spark):
+    # ADVICE r13: if Σx or Σx² themselves overflowed their decimal SUM
+    # in a non-ANSI session they arrive NULL while n > 0 — the guard
+    # must raise there too, not wave the NULL through as "empty group".
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_transaction_spark.functions.moments import m2_numerator
+
+    expr = m2_numerator(F.col("n"), F.col("sx"), F.col("sxx")).alias("m2")
+    schema = "n long, sx decimal(38,0), sxx decimal(38,0)"
+    for row in [(10, None, 0), (10, 0, None)]:
+        df = spark.createDataFrame(
+            [(row[0],
+              None if row[1] is None else __import__("decimal").Decimal(row[1]),
+              None if row[2] is None else __import__("decimal").Decimal(row[2]))],
+            schema,
+        )
+        with pytest.raises((PySparkException, Py4JJavaError)):
+            df.select(expr).collect()
+    # the genuinely-empty shapes still pass NULL through: n NULL (outer
+    # join miss) and n == 0 (COUNT of an empty group) with NULL sums
+    for n_val in (None, 0):
+        df = spark.createDataFrame([(n_val, None, None)], schema)
+        assert df.select(expr).collect()[0]["m2"] is None

@@ -779,6 +779,46 @@ def test_pca_projection_matches_numpy_top_eigenvector(spark, sf_dir):
     assert corr > 0.99, corr  # 8 power rounds converge to the top axis
 
 
+def test_pca_gram_partial_bounded_on_coalesced_input(spark):
+    # ADVICE r13: the level-1 gram partial must stay inside int64 even
+    # when the caller hands a coalesced/cached input with corpus-scale
+    # partitions. The row-bucket key (id >> partial_bucket_log2) bounds
+    # it structurally. Probe with large-but-legal quantized terms
+    # (~4e18/term) on a SINGLE partition: a per-partition partial of 3
+    # terms exits 2^63 (≈1.2e19), a 2-row bucket never does.
+    import math
+
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    from lakehouse_architecture_transaction_spark.operators.similarity import pca_power_project
+
+    rows = [(i, [2001.0 + i, 1.0 + i]) for i in range(3)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>").coalesce(1)
+
+    # log2=33 reproduces the old one-bucket-per-partition partial:
+    # Σ qi² over the 3-row partition overflows int64 → ANSI raises
+    # rather than silently wrapping, proving the probe has teeth
+    with pytest.raises((PySparkException, Py4JJavaError)):
+        pca_power_project(
+            emb, "vec_id", "embedding", dim=2, iters=4, partial_bucket_log2=33
+        ).collect()
+
+    # a 2-row bucket keeps every partial ≤ ~8e18 < 2^63 and the
+    # DECIMAL(38,0) merge reproduces the exact projection: the data is
+    # perfectly correlated along (1,1)/√2, so pc1 = ±(-√2, 0, √2)
+    got = {
+        r["vec_id"]: r["pc1"]
+        for r in pca_power_project(
+            emb, "vec_id", "embedding", dim=2, iters=4, partial_bucket_log2=1
+        ).collect()
+    }
+    sign = 1.0 if got[2] > 0 else -1.0
+    for i, want in enumerate([-math.sqrt(2), 0.0, math.sqrt(2)]):
+        assert abs(sign * got[i] - want) < 1e-4, (i, got[i])
+
+
 def test_exact_global_cumsum_matches_window(spark):
     # Bucketed running sum must equal a bare global-window running sum
     # bit-for-bit, ascending AND descending, with ties in the value
@@ -1170,15 +1210,17 @@ def test_gopher_quality_flags_semantics(spark):
 def test_bpe_merges_memo_lru_eviction():
     # ADVICE r12: the trainer memo must not pin checkpoint storage for
     # every (app, sf_dir) pair forever — oldest entries evict past the
-    # cap, with a best-effort unpersist, and a touch refreshes recency
+    # cap and a touch refreshes recency. ADVICE r13: eviction must
+    # drop the reference ONLY — the values are localCheckpoint-backed,
+    # so an eager unpersist would delete blocks under any still-held
+    # reference (lineage already truncated → crash, not recompute).
     from lakehouse_architecture_transaction_spark.plans.queued_r11 import _lru_touch
 
     class Frame:
-        def __init__(self):
-            self.released = False
-
         def unpersist(self):
-            self.released = True
+            raise AssertionError(
+                "evicted localCheckpoint-backed frames must not be unpersisted"
+            )
 
     memo: dict = {}
     frames = {k: Frame() for k in "abcde"}
@@ -1187,6 +1229,20 @@ def test_bpe_merges_memo_lru_eviction():
     _lru_touch(memo, "a", frames["a"], cap=4)  # touch refreshes 'a'
     _lru_touch(memo, "e", frames["e"], cap=4)  # evicts 'b', not 'a'
     assert set(memo) == {"c", "d", "a", "e"}
-    assert frames["b"].released and not frames["a"].released
     # cache hit returns the SAME object (no retrain)
     assert _lru_touch(memo, "c", memo["c"], cap=4) is frames["c"]
+
+
+def test_lru_evicted_checkpoint_frame_still_usable(spark):
+    # ADVICE r13 end-to-end pin: retain a localCheckpoint-backed frame
+    # across >cap touches; the evicted handle must still answer
+    # actions (the block store keeps it until the reference is GC'd)
+    from lakehouse_architecture_transaction_spark.plans.queued_r11 import _lru_touch
+
+    memo: dict = {}
+    retained = spark.range(10).localCheckpoint(eager=True)
+    _lru_touch(memo, "keep", retained, cap=2)
+    for i in range(3):  # push 'keep' out of the memo
+        _lru_touch(memo, f"f{i}", spark.range(1).localCheckpoint(eager=True), cap=2)
+    assert "keep" not in memo
+    assert retained.count() == 10  # not "checkpoint block not found"
