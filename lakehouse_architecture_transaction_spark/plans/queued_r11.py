@@ -813,6 +813,70 @@ SELECT CAST(8 AS BIGINT) AS n_merges,
 """
 
 
+def _alt_cand(arr: str, i: str) -> str:
+    """SQL boolean: 1-indexed position ``i`` of symbol array ``arr``
+    starts the merge pair (mg.l, mg.r). IF (not AND) guards the
+    out-of-bounds element_at — CASE/IF branch evaluation is the only
+    laziness ANSI guarantees."""
+    return (
+        f"IF(({i}) < size({arr}), "
+        f"element_at({arr}, ({i})) = mg.l AND element_at({arr}, ({i}) + 1) = mg.r, "
+        f"false)"
+    )
+
+
+def _alt_act(arr: str, i: str) -> str:
+    """SQL boolean: position ``i`` is an ACTIVE merge site under
+    greedy left-to-right application. Adjacent candidate positions
+    require s[i+1] = r AND s[i+1] = l, so candidate RUNS exist only
+    when l = r; there, greedy consumption alternates, so a candidate
+    is active iff its run of consecutive candidates ending at ``i``
+    has odd length — computed as distance to the nearest
+    non-candidate at or below ``i`` (no fold). When l != r every
+    candidate is active, and the IF keeps the O(i) run scan off that
+    (common) path entirely."""
+    parity = (
+        f"((({i}) - coalesce(array_max("
+        f"filter(sequence(1, ({i})), j -> NOT {_alt_cand(arr, 'j')})), 0)) % 2 = 1)"
+    )
+    return f"IF({_alt_cand(arr, i)}, IF(mg.l != mg.r, true, {parity}), false)"
+
+
+def _bpe_apply_alt_expr(syms: str, merges_array: str) -> str:
+    """INDEPENDENT SQL re-expression of greedy BPE application — the
+    second route behind ``segment_consistent`` (VERDICT r13 item 6).
+
+    operators/text.py ``bpe_apply_expr`` replays each merge as a
+    left fold whose accumulator consumes its own output
+    (``_merge_fold``); this builder computes the SAME function from a
+    different formulation — per pass, mark every candidate position
+    whose consecutive-candidate run-length is odd (``_alt_act``),
+    then rebuild the array positionally (active → merged token, right
+    neighbor of an active site → dropped, else unchanged). The outer
+    rank-order iteration is a plain ``aggregate`` over the broadcast
+    merge array, but the greedy scan itself shares NO fragment with
+    ``_merge_fold`` — so a defect in either scan's internals breaks
+    cross-route agreement instead of cancelling out (the ADVICE r12
+    scope note this replaces: both routes previously folded through
+    ``bpe_apply_expr``, reducing the flag to join/weighting
+    arithmetic). Parity with the primary route AND the from-scratch
+    Python reference is pinned in tests/test_properties.py
+    (test_bpe_alt_route_matches_primary_and_python). Cost: O(len)
+    per word per merge on the l != r path, O(len²) only for l = r
+    merges' candidate positions; vocabulary-cardinality only —
+    measured +0.35 s warm on the sf0.1 bench row (1.43 → 1.78 s), the
+    priced cost of genuine two-route coverage."""
+    one = (
+        "IF(size(acc3) = 0, acc3, "
+        "flatten(transform(sequence(1, size(acc3)), i -> "
+        f"CASE WHEN {_alt_act('acc3', 'i')} THEN array(mg.m) "
+        "WHEN i = 1 THEN array(element_at(acc3, 1)) "
+        f"WHEN {_alt_act('acc3', 'i - 1')} THEN CAST(array() AS array<string>) "
+        "ELSE array(element_at(acc3, i)) END)))"
+    )
+    return f"aggregate({merges_array}, {syms}, (acc3, mg) -> {one})"
+
+
 def docs_bpe_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-checkable invariants of the learned BPE merge table
     (the A16-sketches precedent applied to L98): one row whose hash
@@ -829,7 +893,6 @@ def docs_bpe_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     one 8-row broadcast."""
     from lakehouse_architecture_transaction_spark.operators.text import (
         BPE_MERGES_TABLE_EXPR,
-        bpe_apply_expr,
         bpe_segment,
         tokens_expr,
     )
@@ -864,18 +927,17 @@ def docs_bpe_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     table = merges.groupBy().agg(F.expr(BPE_MERGES_TABLE_EXPR).alias("__merges"))
     # Deliberately a SECOND corpus tokenization alongside the one
-    # inside bpe_segment below. Scope of the flag (ADVICE r12): since
-    # the bpe_segment vocab-fold rewrite, BOTH routes apply the same
-    # bpe_apply_expr fold over the same vocabulary shape, so
-    # segment_consistent guards the per-doc join/weighting arithmetic
-    # around the fold — NOT the fold internals, which are covered
-    # independently by the Python-reference fuzz
-    # (tests/test_properties.py::
-    # test_bpe_learn_and_segment_match_python_reference). Sharing the
-    # tokenized frame itself would still reduce even the arithmetic
-    # check to x == x, hence the second tokenize pass; both routes
-    # aggregate to vocabulary cardinality before the fold, so the
-    # duplicated cost is one extra map-side pass.
+    # inside bpe_segment below — AND a second, independent greedy-scan
+    # formulation (_bpe_apply_alt_expr; VERDICT r13 item 6): the
+    # bpe_segment route folds through operators/text.py
+    # bpe_apply_expr, this route rebuilds each pass positionally from
+    # the active-site/run-parity formulation, so segment_consistent
+    # covers the fold INTERNALS again (a scan defect breaks cross-route
+    # agreement) as well as the per-doc join/weighting arithmetic.
+    # Sharing the tokenized frame would reduce the arithmetic half to
+    # x == x, hence the second tokenize pass; both routes aggregate to
+    # vocabulary cardinality before their scans, so the duplicated
+    # cost is one extra map-side pass at vocab size.
     vocab = (
         docs.select(F.explode(tokens_expr("text")).alias("w"))
         .select(F.lower(F.col("w")).alias("w"))
@@ -885,7 +947,7 @@ def docs_bpe_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     vstats = (
         vocab.select("w", "freq", F.expr("transform(split(w, ''), c -> c)").alias("wsyms"))
         .crossJoin(F.broadcast(table))
-        .select("w", "freq", F.expr(bpe_apply_expr("wsyms", "__merges")).alias("after"))
+        .select("w", "freq", F.expr(_bpe_apply_alt_expr("wsyms", "__merges")).alias("after"))
         .agg(
             F.expr(
                 "CAST(min(CASE WHEN concat_ws('', after) = w THEN 1 ELSE 0 END) = 1 AS INT)"

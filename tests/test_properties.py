@@ -992,6 +992,70 @@ def test_bpe_learn_and_segment_match_python_reference(spark, texts):
         assert seg[i] == (len(words), exp_tokens)
 
 
+def _py_bpe_apply(word, table):
+    # per-pass greedy reference returning the SYMBOL LIST (the
+    # _py_bpe_segment scan, kept separate so it can't drift with it)
+    syms = list(word)
+    for l, r, m in table:
+        out = []
+        for x in syms:
+            if out and out[-1] == l and x == r:
+                out[-1] = m
+            else:
+                out.append(x)
+        syms = out
+    return syms
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    words=st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=12), min_size=1, max_size=6
+    )
+)
+def test_bpe_alt_route_matches_primary_and_python(spark, words):
+    # VERDICT r13 item 6: segment_consistent's two routes must be
+    # genuinely independent scans that agree. The alt route
+    # (plans/queued_r11.py _bpe_apply_alt_expr: active-site/run-parity
+    # positional rebuild) must equal BOTH the primary fold
+    # (operators/text.py bpe_apply_expr) and the from-scratch Python
+    # reference on every word — including the adversarial shapes:
+    # l == r runs (alternating consumption), chained merges whose
+    # outputs feed later ranks, and merge-output tokens that re-match
+    # as LEFT but never as RIGHT within a pass.
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_transaction_spark.operators.text import (
+        BPE_MERGES_TABLE_EXPR,
+        bpe_apply_expr,
+    )
+    from lakehouse_architecture_transaction_spark.plans.queued_r11 import (
+        _bpe_apply_alt_expr,
+    )
+
+    table = [("a", "a", "aa"), ("a", "b", "ab"), ("ab", "b", "abb"), ("aa", "ab", "aaab")]
+    merges = spark.createDataFrame(
+        [(i + 1, l, r, m, 100 - i) for i, (l, r, m) in enumerate(table)],
+        "rank long, left string, right string, merged string, weight long",
+    )
+    tbl = merges.groupBy().agg(F.expr(BPE_MERGES_TABLE_EXPR).alias("__merges"))
+    probe = ["aaaa", "aaab", "abab", "aabb", "bbbb", "abbb", "aaaaa", "a", "b"]
+    df = (
+        spark.createDataFrame([(w,) for w in set(words) | set(probe)], "w string")
+        .select("w", F.expr("transform(split(w, ''), c -> c)").alias("wsyms"))
+        .crossJoin(F.broadcast(tbl))
+        .select(
+            "w",
+            F.expr(bpe_apply_expr("wsyms", "__merges")).alias("primary"),
+            F.expr(_bpe_apply_alt_expr("wsyms", "__merges")).alias("alt"),
+        )
+    )
+    for row in df.collect():
+        want = _py_bpe_apply(row["w"], table)
+        assert list(row["primary"]) == want, (row["w"], row["primary"], want)
+        assert list(row["alt"]) == want, (row["w"], row["alt"], want)
+
+
 def test_tie_aware_bucket_spreads_flag_column(spark):
     # r8 verdict item 6: a 0/1 flag value column must NOT funnel into
     # 1-2 window tasks when a numeric tiebreaker exists — the
