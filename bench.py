@@ -466,11 +466,14 @@ def main() -> None:
     # it rather than normalizing it.
     anchor_post_s = measure_anchor(spark, runs)
     anchor_mc_post_s = measure_anchor_mc(spark, runs, cpus)
-    disp = sorted(dispersions)[len(dispersions) // 2] if dispersions else 1.0
+    # With no ratios at all (a 1-run config) the dispersion leg has no
+    # evidence: report null, not a fake-clean 1.0 (the ADVICE r13
+    # blind-default class), and let the anchor legs carry the gate.
+    disp = sorted(dispersions)[len(dispersions) // 2] if dispersions else None
     contention_suspect = (
         max(anchor_mc_s, anchor_mc_post_s) / min(anchor_mc_s, anchor_mc_post_s) > 1.35
         or max(anchor_s, anchor_post_s) / min(anchor_s, anchor_post_s) > 1.5
-        or disp > 1.6
+        or (disp is not None and disp > 1.6)
     )
 
     families: dict[str, float] = {}
@@ -495,7 +498,7 @@ def main() -> None:
         "anchor_post_s": anchor_post_s,
         "anchor_mc_s": anchor_mc_s,
         "anchor_mc_post_s": anchor_mc_post_s,
-        "run_dispersion_median": round(disp, 3),
+        "run_dispersion_median": round(disp, 3) if disp is not None else None,
         "dispersion_def": (
             "all-runs worst/best per query (COLD-INCLUSIVE fallback: <3 runs"
             " leaves no warm pair), median"
