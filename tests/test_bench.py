@@ -166,6 +166,44 @@ def test_dispersion_fallback_never_silently_blind():
     assert dispersion_sample([0.0, 0.0]) == (None, False)  # degenerate
 
 
+# ---------------- anchor/raw disagreement gate (r14) ------------------
+
+
+def test_bench_delta_flags_anchor_raw_regime_split(tmp_path):
+    # r14: when the anchor moved differently from query throughput the
+    # normalized total is an artifact — the delta tool must say TRUST
+    # RAW (the r13->r14 capture-1 arbitration, automated)
+    import subprocess
+
+    def cap(queries, anchor):
+        return {
+            "queries": queries,
+            "anchor_mc_s": anchor,
+            "anchor_s": 0.8,
+            "action": "noop_write",
+        }
+
+    old = tmp_path / "old.json"
+    split = tmp_path / "split.json"
+    same = tmp_path / "same.json"
+    old.write_text(json.dumps(cap({"q1": 1.0, "q2": 2.0}, 2.9)))
+    # queries flat, anchor 15% faster -> normalized reads ~1.18x fake
+    split.write_text(json.dumps(cap({"q1": 1.0, "q2": 2.0}, 2.45)))
+    # same-weather pair: no warning
+    same.write_text(json.dumps(cap({"q1": 1.02, "q2": 2.02}, 2.92)))
+    repo = Path(__file__).resolve().parents[1]
+    out = subprocess.run(
+        [sys.executable, str(repo / "tools" / "bench_delta.py"), str(old), str(split)],
+        capture_output=True, text=True, cwd=repo,
+    ).stdout
+    assert "TRUST RAW" in out
+    out = subprocess.run(
+        [sys.executable, str(repo / "tools" / "bench_delta.py"), str(old), str(same)],
+        capture_output=True, text=True, cwd=repo,
+    ).stdout
+    assert "TRUST RAW" not in out
+
+
 # ---------------- broadcast audit metric parsing (r10) ----------------
 
 

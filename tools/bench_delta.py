@@ -111,6 +111,26 @@ def main() -> None:
         f"= **{tot_n / tot_o:.2f}×**"
     )
     print(hdr)
+    # Anchor/raw disagreement gate (r14, automating the capture-1
+    # arbitration): when the normalized total and the raw total
+    # disagree by >10%, the anchor moved differently from query
+    # throughput (turbo/regime split — the r7→r8 and r13→r14 pattern)
+    # and the normalized number is an artifact. Flag it and point at
+    # raw; the README rule is "trust raw on an unflagged capture and
+    # investigate the anchors".
+    if not raw and anchor_field != "none":
+        raw_o = sum(old["queries"][q] for q in shared)
+        raw_n = sum(new["queries"][q] for q in shared)
+        if raw_o > 0 and tot_o > 0:
+            norm_ratio, raw_ratio = tot_n / tot_o, raw_n / raw_o
+            if max(norm_ratio, raw_ratio) / min(norm_ratio, raw_ratio) > 1.10:
+                print(
+                    f"WARNING: normalized total ({norm_ratio:.2f}x) and RAW total "
+                    f"({raw_ratio:.2f}x) disagree by >10% — the anchor moved "
+                    "differently from query throughput (regime split). TRUST RAW "
+                    "and investigate the anchors; do not publish the normalized "
+                    "number (README 'Reading bench numbers')."
+                )
     rows.sort(key=lambda r: r[3], reverse=True)
     if md:
         print()
