@@ -51,6 +51,14 @@ def m2_numerator(n: Column, sx: Column, sxx: Column) -> Column:
     """Exact ``n·Σx² − (Σx)²`` (the sample-variance numerator) in
     DECIMAL(38,0), with the non-ANSI silent-overflow guard.
 
+    CONTRACT (ADVICE r14): ``n`` must be the NON-NULL observation
+    count of x — ``COUNT(x)``, or ``COUNT(*)`` over a column that is
+    provably non-nullable. The input-sum guard reads "n > 0 while
+    Σx/Σx² is NULL" as decimal-SUM overflow; a ``COUNT(*)`` over a
+    nullable x makes an all-NULL group hit exactly that shape (SUM
+    over no non-null values is NULL) and raise spuriously. Pinned by
+    tests/test_moment_discipline.py::test_m2_numerator_n_contract.
+
     Inputs are the group's count, Σx, and Σx² (from
     :func:`sum_sq_dec`). The two products are (38,0)×(38,0) and cap
     at 38 digits: under ANSI an overflow raises; in a non-ANSI

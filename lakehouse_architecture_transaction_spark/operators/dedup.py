@@ -57,6 +57,16 @@ def dedup_exact(df: DataFrame, keys: list[str], order_by: list[str] | None = Non
     defaults to the remaining columns so the choice is total. One
     shuffle on ``keys`` — same cost as ``dropDuplicates`` but
     reproducible (parity: reference scripts/glue/script.py:196).
+
+    r15 optimization note (examined, MEASURED, kept as-is): a
+    group-min-of-struct aggregate formulation (survivor = min over a
+    null-flagged (isnull, value) struct tuple; map-side combine, no
+    window sort) computes the identical result but measured ~2×
+    SLOWER at sf0.1 interleaved-A/B (window 4.55 s vs agg 8.70 s
+    min-of-7): Spark's min/max over a STRUCT cannot use the Tungsten
+    hash aggregate (complex-typed buffer), so it falls back to
+    SortAggregate — the same sort this window pays, plus interpreted
+    struct comparisons per merge. The sort+row_number window stays.
     """
     order_cols = order_by or [c for c in df.columns if c not in keys]
     w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc_nulls_last() for c in order_cols])

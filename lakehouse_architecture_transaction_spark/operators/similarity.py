@@ -890,6 +890,16 @@ def pca_power_project(
     map-side projection. O(N·d²) work, O(d²) shuffle, driver never
     holds data.
     """
+    if partial_bucket_log2 > 33:
+        # monotonically_increasing_id packs the row offset in the low
+        # 33 bits; a wider shift folds the PARTITION id into the
+        # bucket, silently merging rows across partitions and
+        # unbounding the int64 level-1 partial this parameter exists
+        # to bound (ADVICE r14).
+        raise ValueError(
+            f"partial_bucket_log2 must be <= 33 (row-offset field width of "
+            f"monotonically_increasing_id), got {partial_bucket_log2}"
+        )
     q6 = _Q6_LAMBDA.format(x="x")
     qarr = F.expr(f"transform({vec_col}, x -> {q6})")
     # SURVEY §6 array-projection hygiene: the quantized array is

@@ -343,11 +343,17 @@ def catalog_inclusion_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic inclusion. The same profile run on an unknown lake is
     how a crawler proposes join keys.
 
-    Scale shape: per column ONE distinct aggregate (map-side partial
-    distinct) at distinct-value cardinality, then a full-outer join
-    of the two distinct sets and a single summary row per edge —
-    never a row-level table join. Counts are exact BIGINTs; the
-    containments are single double divisions of exact ints."""
+    Scale shape (r15 rewrite, guide §2.3/§2.4): per edge the two
+    sides union with a (child, parent) membership flag and collapse
+    in ONE value-keyed aggregate — MAX(flag) per value is the
+    distinct set of each side and the intersection at once, with
+    map-side partial aggregation (each mapper emits one row per
+    distinct value it saw). The r14 shape paid two distinct
+    aggregates plus a full-outer sort-merge join of the distinct
+    sets per edge (6 exchanges + 2 sorts); this is the same exact
+    counts from a single exchange per edge, and the summary stays a
+    1-row aggregate. Counts are exact BIGINTs; the containments are
+    single double divisions of exact ints."""
     from functools import reduce
 
     frames = []
@@ -356,22 +362,25 @@ def catalog_inclusion_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_table(spark, sf_dir, ct)
             .select(F.col(cc).cast("long").alias("v"))
             .filter(F.col("v").isNotNull())
-            .distinct()
-            .withColumn("__c", F.lit(1))
+            .select("v", F.lit(1).alias("__c"), F.lit(0).alias("__p"))
         )
         parent = (
             load_table(spark, sf_dir, pt)
             .select(F.col(pc).cast("long").alias("v"))
             .filter(F.col("v").isNotNull())
-            .distinct()
-            .withColumn("__p", F.lit(1))
+            .select("v", F.lit(0).alias("__c"), F.lit(1).alias("__p"))
         )
-        agg = child.join(parent, "v", "full_outer").agg(
-            F.coalesce(F.sum("__c"), F.lit(0)).cast("bigint").alias("n_child_distinct"),
-            F.coalesce(F.sum("__p"), F.lit(0)).cast("bigint").alias("n_parent_distinct"),
-            F.coalesce(F.sum(F.col("__c") * F.col("__p")), F.lit(0))
-            .cast("bigint")
-            .alias("n_common"),
+        agg = (
+            child.unionAll(parent)
+            .groupBy("v")
+            .agg(F.max("__c").alias("__c"), F.max("__p").alias("__p"))
+            .agg(
+                F.coalesce(F.sum("__c"), F.lit(0)).cast("bigint").alias("n_child_distinct"),
+                F.coalesce(F.sum("__p"), F.lit(0)).cast("bigint").alias("n_parent_distinct"),
+                F.coalesce(F.sum(F.col("__c") * F.col("__p")), F.lit(0))
+                .cast("bigint")
+                .alias("n_common"),
+            )
         )
         frames.append(
             agg.select(

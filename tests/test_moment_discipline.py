@@ -236,3 +236,40 @@ def test_m2_numerator_null_input_sum_raises(spark):
     for n_val in (None, 0):
         df = spark.createDataFrame([(n_val, None, None)], schema)
         assert df.select(expr).collect()[0]["m2"] is None
+
+
+def test_m2_numerator_n_contract(spark):
+    # ADVICE r14: n must be COUNT(x) (the NON-NULL observation count).
+    # A COUNT(x) caller over a nullable column is green even on an
+    # all-NULL group (n == 0 -> NULL result, no raise); the same group
+    # fed COUNT(*) hits the input-sum guard and raises — the contract
+    # is documented in the docstring and pinned here.
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_transaction_spark.functions.moments import (
+        m2_numerator,
+        sum_sq_dec,
+    )
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", None), ("b", 3)], "g string, x long"
+    )
+    agg = df.groupBy("g").agg(
+        F.count("x").alias("n_x"),
+        F.count("*").alias("n_star"),
+        F.sum(F.col("x").cast("decimal(19,0)")).alias("sx"),
+        sum_sq_dec(F.col("x")).alias("sxx"),
+    )
+    # COUNT(x): the all-NULL group "a" has n_x == 0 -> NULL through
+    ok = (
+        agg.select("g", m2_numerator(F.col("n_x"), F.col("sx"), F.col("sxx")).alias("m2"))
+        .orderBy("g")
+        .collect()
+    )
+    assert ok[0]["m2"] is None and ok[1]["m2"] is not None
+    # COUNT(*): group "a" arrives as n=2 with NULL sums — the guard
+    # (correctly, per the documented contract) refuses it
+    with pytest.raises((PySparkException, Py4JJavaError)):
+        agg.select(m2_numerator(F.col("n_star"), F.col("sx"), F.col("sxx"))).collect()
