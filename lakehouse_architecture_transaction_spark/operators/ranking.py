@@ -600,8 +600,15 @@ def grouped_percent_rank(
             cond = cond & left[k].eqNullSafe(r[f"__j_{k}"])
         return left.join(r, cond, how).drop(*[f"__j_{k}" for k in keys])
 
+    # offsets is (groups × buckets) rows by construction — the same
+    # structurally bounded table grouped_exact_rank already ships as a
+    # broadcast; without the hint this join ran as a sort-merge with
+    # its own exchange+sort on BOTH sides (r15 plan audit: the window's
+    # (group, bucket) partitioning was re-shuffled just to meet the
+    # offsets frame, 2 Exchange + 2 Sort for a ≤ groups·num_buckets
+    # row build side).
     ranked = (
-        _ns_join(numbered, off_renamed, [*group_cols, "__rb"])
+        _ns_join(numbered, off_renamed, [*group_cols, "__rb"], broadcast_right=True)
         .transform(lambda d: _ns_join(d, totals, group_cols, broadcast_right=True))
         .withColumn("__le", F.col("__off") + F.col("__le_in"))
         .withColumn("__lt", F.col("__le") - F.col("__cnt"))
