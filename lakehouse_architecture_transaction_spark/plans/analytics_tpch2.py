@@ -505,12 +505,25 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(order, supplier) aggregates + per-order flags — "multi-
     supplier order where exactly this one supplier shipped late"
     (late = >90 days after order date; no receipt/commit dates in
-    the lake). One fact shuffle per aggregation level, no
+    the lake). ONE fact shuffle total (r15, guide §2.4): the
+    (l_orderkey, l_suppkey) aggregate used to plan its own
+    Exchange(ok, sk) — which compresses nothing map-side, the key is
+    ~unique per lineitem — followed by a second Exchange(ok) feeding
+    the per-order flags. Repartitioning the pruned fact ONCE by
+    l_orderkey satisfies the (ok, sk) clustering, the orders join,
+    AND the per-order aggregate from the same exchange (partitioning
+    on a subset of the grouping keys is a valid clustered
+    distribution), so the two cascaded exchanges collapse to one. No
     correlated subqueries."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     supp = load_table(spark, sf_dir, "supplier")
-    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(F.max("l_shipdate").alias("max_ship"))
+    per_os = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .repartition(F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("max_ship"))
+    )
     flagged = per_os.join(orders, per_os.l_orderkey == orders.o_orderkey).select(
         per_os.l_orderkey,
         "l_suppkey",
