@@ -809,29 +809,49 @@ def events_stream_sessions_stateful(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
     src = _stateful_sessions_src(spark, sf_dir)
-    # maxFilesPerTrigger=2 pairs adjacent time-ordered slices: 4
-    # micro-batches (3 slice-pairs + sentinel) instead of 8, each still
-    # crossing a slice boundary mid-session — replay granularity is a
-    # harness knob (r10 verdict item 5: the oracle is cell-exact at any
-    # batching); the per-batch fixed cost (state commit + Arrow round
-    # trip) was 1.5 s/batch at gate SFs.
+    # maxFilesPerTrigger=3 groups adjacent time-ordered slices into 3
+    # micro-batches (two 3-slice spans + the sentinel file alone):
+    # replay granularity is a harness knob (r10 verdict item 5: the
+    # oracle is cell-exact at any batching), and the streaming
+    # coverage is preserved — each data batch still crosses slice
+    # boundaries mid-session, sessions spanning the s2|s3 boundary
+    # still carry state ACROSS batches, and the sentinel still closes
+    # every real session from its own later batch. r15 progress-metric
+    # measurement: addBatch is ~2 s of fixed cost per batch (state
+    # commit + Arrow round trip) even for the 1500-row sentinel batch,
+    # so batch count is the whole cost model (was 4 data batches at
+    # maxFilesPerTrigger=2).
     raw = (
         spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", "2")
+        .option("maxFilesPerTrigger", "3")
         .parquet(src)
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
     name = f"sessfn_{uuid.uuid4().hex[:8]}"
-    with gate_state_partitions(spark):
-        q = (
-            sessionize_stateful(raw, event_time_gap_s=1800, watermark="2 hours")
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    # The final NO-DATA micro-batch exists to fire event-time timers
+    # once the watermark passes end+gap with no new input. Here it is
+    # provably emission-free: the sentinel (1 day past max ts, beyond
+    # any gap) closes every REAL session on the data path in the last
+    # data batch, and sentinel-started sessions have timer = sentinel
+    # ts + gap, which the watermark (sentinel ts − 2 h) never passes —
+    # so the empty batch commits state and emits zero rows (~0.9 s of
+    # pure overhead, r15 progress metrics). Disable it for this
+    # bounded replay, scoped and restored like gate_state_partitions.
+    prev_ndmb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        with gate_state_partitions(spark):
+            q = (
+                sessionize_stateful(raw, event_time_gap_s=1800, watermark="2 hours")
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_ndmb)
     out = (
         spark.table(name)
         .groupBy(F.col("n_events").cast("int").alias("session_size"))
