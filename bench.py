@@ -247,7 +247,7 @@ def tail_line(base: dict, budget: int = TAIL_BUDGET) -> str:
         # degenerate guard: even the no-queries record is over budget —
         # shed the optional fields until the line fits (metric/value/
         # unit/sf/queries are the driver contract and always stay)
-        for field in ("anchor_def", "families", "aggregation", "runs_per_query", "cpus"):
+        for field in ("anchor_def", "anchor_sh_def", "families", "aggregation", "runs_per_query", "cpus"):
             slim.pop(field, None)
             line = json.dumps(slim, separators=(",", ":"))
             if len(line) <= budget:
@@ -299,6 +299,73 @@ def measure_anchor_mc(spark, runs: int, cpus: int) -> float:
         ).collect()
         best = min(best, time.perf_counter() - t0)
     return round(best, 4)
+
+
+#: Shuffle/memory-bound anchor (r14 verdict item 2): the xxhash fold
+#: anchors span only the integer-ALU axis — the r14 incident was two
+#: UNFLAGGED same-code captures a median 1.27× apart in raw seconds
+#: while their CPU anchors agreed within 3% (the resource that moved
+#: was invisible to them). This anchor does constant SHUFFLE + sort
+#: work instead: hash-repartition a fixed range across 2×cpus
+#: partitions, sort within partitions, discard through the noop sink
+#: (the house measurement action). It moves with memory-bandwidth /
+#: shuffle-path weather the ALU anchors cannot see. 20M rows ≈ 1.4 s
+#: at this VM's healthy regime — comparable weight to the mc anchor.
+ANCHOR_SH_ROWS = 20_000_000
+
+
+def measure_anchor_shuffle(spark, runs: int, cpus: int) -> float:
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, ANCHOR_SH_ROWS, 1, cpus)
+            .repartition(2 * cpus, F.col("id"))
+            .sortWithinPartitions("id")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+#: Cross-capture PER-AXIS regime-split gate (r14 verdict items 2+5):
+#: single-axis drift (both anchors moved together) is ordinary VM
+#: weather and already handled by ANCHOR_DRIFT_MAX + normalization.
+#: A SPLIT — the shuffle anchor drifting while the CPU anchor holds —
+#: is the r14 failure mode: normalizing by the CPU anchor then
+#: silently mis-prices every shuffle-bound query. 1.25 catches the
+#: observed 1.27× incident class while staying above the single-axis
+#: drift gate (1.2), since the ratio-of-drifts divides out common
+#: weather.
+REGIME_SPLIT_MAX = 1.25
+
+
+def regime_split(
+    prev: dict | None, anchor_mc_s: float, anchor_sh_s: float | None
+) -> tuple[float | None, bool]:
+    """Compare this capture's CPU-axis drift vs shuffle-axis drift
+    against the previous committed capture. Returns (ratio, suspect):
+    ratio = (anchor_sh_s/prev_sh) / (anchor_mc_s/prev_mc) — 1.0 when
+    both axes moved together, None when either capture lacks an
+    anchor; suspect = ratio outside [1/REGIME_SPLIT_MAX,
+    REGIME_SPLIT_MAX]. A flagged capture labels itself so cross-round
+    deltas are arbitrated per-axis (or refused) instead of normalized
+    by the blind axis."""
+    if not prev or not anchor_sh_s:
+        return None, False
+    old_mc, old_sh = prev.get("anchor_mc_s"), prev.get("anchor_sh_s")
+    if not old_mc or not old_sh:
+        return None, False
+    drift_cpu = anchor_mc_s / float(old_mc)
+    drift_sh = anchor_sh_s / float(old_sh)
+    if drift_cpu <= 0:
+        return None, False
+    ratio = round(drift_sh / drift_cpu, 3)
+    return ratio, ratio > REGIME_SPLIT_MAX or ratio < 1.0 / REGIME_SPLIT_MAX
 
 
 #: Cross-capture anchor drift gate (r9 verdict item 3): the committed
@@ -427,6 +494,7 @@ def main() -> None:
         time.sleep(10.0)
     anchor_s = measure_anchor(spark, runs)
     anchor_mc_s = measure_anchor_mc(spark, runs, cpus)
+    anchor_sh_s = measure_anchor_shuffle(spark, runs, cpus)
     times: dict[str, float] = {}
     dispersions: list[float] = []
     total = 0.0
@@ -466,6 +534,7 @@ def main() -> None:
     # it rather than normalizing it.
     anchor_post_s = measure_anchor(spark, runs)
     anchor_mc_post_s = measure_anchor_mc(spark, runs, cpus)
+    anchor_sh_post_s = measure_anchor_shuffle(spark, runs, cpus)
     # With no ratios at all (a 1-run config) the dispersion leg has no
     # evidence: report null, not a fake-clean 1.0 (the ADVICE r13
     # blind-default class), and let the anchor legs carry the gate.
@@ -473,6 +542,12 @@ def main() -> None:
     contention_suspect = (
         max(anchor_mc_s, anchor_mc_post_s) / min(anchor_mc_s, anchor_mc_post_s) > 1.35
         or max(anchor_s, anchor_post_s) / min(anchor_s, anchor_post_s) > 1.5
+        # 4th leg (r14 verdict item 2): the shuffle-axis anchor moved
+        # mid-capture — churn on the memory/shuffle path the ALU legs
+        # can't see. 1.5 sits above the CPU legs' thresholds because
+        # the shuffle anchor is the noisiest of the three on an idle
+        # box (its work touches the most shared machinery).
+        or max(anchor_sh_s, anchor_sh_post_s) / min(anchor_sh_s, anchor_sh_post_s) > 1.5
         or (disp is not None and disp > 1.6)
     )
 
@@ -498,6 +573,12 @@ def main() -> None:
         "anchor_post_s": anchor_post_s,
         "anchor_mc_s": anchor_mc_s,
         "anchor_mc_post_s": anchor_mc_post_s,
+        "anchor_sh_s": anchor_sh_s,
+        "anchor_sh_post_s": anchor_sh_post_s,
+        "anchor_sh_def": (
+            f"min-of-{runs} repartition(2*cpus)+sortWithinPartitions of "
+            f"range({ANCHOR_SH_ROWS}) through the noop sink (shuffle/memory axis)"
+        ),
         "run_dispersion_median": round(disp, 3) if disp is not None else None,
         "dispersion_def": (
             "all-runs worst/best per query (COLD-INCLUSIVE fallback: <3 runs"
@@ -516,7 +597,8 @@ def main() -> None:
     # the capture when the machine was in a different regime — deltas
     # should then come from same-anchor captures (README recipe).
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    drift_ratio, drift_suspect = anchor_drift(_committed_capture(repo_dir), anchor_mc_s)
+    prev_capture = _committed_capture(repo_dir)
+    drift_ratio, drift_suspect = anchor_drift(prev_capture, anchor_mc_s)
     base["anchor_drift_vs_committed"] = drift_ratio
     base["anchor_drift_suspect"] = drift_suspect
     if drift_suspect:
@@ -524,6 +606,22 @@ def main() -> None:
             f"WARNING: anchor_mc_s drifted {drift_ratio}x vs the last committed "
             "capture — different machine weather; read cross-round deltas from "
             "same-anchor captures (tools/bench_delta.py normalizes, but flag up).",
+            file=sys.stderr,
+        )
+    # Per-axis regime-split verdict IN the capture (r14 verdict item
+    # 5): a capture whose shuffle axis drifted while its CPU axis held
+    # says so itself, so the commit-time checklist can refuse it like
+    # contention_suspect instead of discovering the split at
+    # comparison time (bench_delta's TRUST-RAW warning).
+    split_ratio, split_suspect = regime_split(prev_capture, anchor_mc_s, anchor_sh_s)
+    base["regime_split_vs_committed"] = split_ratio
+    base["regime_split_suspect"] = split_suspect
+    if split_suspect:
+        print(
+            f"WARNING: per-axis regime split vs the last committed capture — "
+            f"shuffle-axis drift / CPU-axis drift = {split_ratio}x. CPU-anchor "
+            "normalization mis-prices shuffle-bound queries in this regime; "
+            "arbitrate per-axis or retake the capture.",
             file=sys.stderr,
         )
     # Full per-query record → bench_full.json (the driver's harness

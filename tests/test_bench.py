@@ -49,6 +49,16 @@ def _base(times: dict) -> dict:
         "anchor_drift_vs_committed": 1.327,
         "anchor_drift_suspect": True,
         "anchor_def": "min-of-3 bit_xor(xxhash64(id)) over range(4000000000)",
+        # the r15 shuffle-axis anchor + per-axis regime-split verdict
+        # ride every payload too (r14 verdict items 2+5)
+        "anchor_sh_s": 1.4118,
+        "anchor_sh_post_s": 1.5426,
+        "anchor_sh_def": (
+            "min-of-3 repartition(2*cpus)+sortWithinPartitions of "
+            "range(20000000) through the noop sink (shuffle/memory axis)"
+        ),
+        "regime_split_vs_committed": 1.02,
+        "regime_split_suspect": False,
     }
 
 
@@ -202,6 +212,67 @@ def test_bench_delta_flags_anchor_raw_regime_split(tmp_path):
         capture_output=True, text=True, cwd=repo,
     ).stdout
     assert "TRUST RAW" not in out
+
+
+# ---------------- per-axis regime-split gate (r15, verdict r14 #2/#5) -
+
+
+def test_regime_split_flags_cross_axis_drift():
+    # The r14 incident: two same-code captures a median 1.27x apart in
+    # raw seconds while the CPU anchors agreed within 3% — the shuffle
+    # axis moved alone. The per-axis gate must flag exactly that.
+    from bench import regime_split
+
+    prev = {"anchor_mc_s": 2.9, "anchor_sh_s": 1.4}
+    # CPU axis flat (3%), shuffle axis 1.30x -> split
+    ratio, suspect = regime_split(prev, 2.99, 1.4 * 1.30 * (2.99 / 2.9))
+    assert suspect and ratio == 1.3
+    # both axes move together 1.4x (ordinary weather): NOT a split —
+    # that's ANCHOR_DRIFT_MAX's business, not this gate's
+    ratio, suspect = regime_split(prev, 2.9 * 1.4, 1.4 * 1.4)
+    assert not suspect and ratio == 1.0
+    # split the other way (shuffle axis got FASTER) flags too
+    ratio, suspect = regime_split(prev, 2.9, 1.4 / 1.3)
+    assert suspect and ratio < 1.0
+    # no prior capture / prior capture without the sh anchor / this
+    # capture without one: no basis, no flag
+    assert regime_split(None, 2.9, 1.4) == (None, False)
+    assert regime_split({"anchor_mc_s": 2.9}, 2.9, 1.4) == (None, False)
+    assert regime_split(prev, 2.9, None) == (None, False)
+
+
+def test_bench_delta_warns_on_per_axis_anchor_split(tmp_path):
+    # bench_delta must surface the axis decoupling when both captures
+    # carry the shuffle anchor — one denominator cannot price both
+    # CPU-bound and shuffle-bound queries in a split regime
+    import subprocess
+
+    def cap(anchor_mc, anchor_sh):
+        return {
+            "queries": {"q1": 1.0, "q2": 2.0},
+            "anchor_mc_s": anchor_mc,
+            "anchor_sh_s": anchor_sh,
+            "anchor_s": 0.8,
+            "action": "noop_write",
+        }
+
+    old = tmp_path / "old.json"
+    split = tmp_path / "split.json"
+    same = tmp_path / "same.json"
+    old.write_text(json.dumps(cap(2.9, 1.4)))
+    split.write_text(json.dumps(cap(2.9, 1.4 * 1.4)))  # shuffle axis alone
+    same.write_text(json.dumps(cap(2.95, 1.45)))
+    repo = Path(__file__).resolve().parents[1]
+    out = subprocess.run(
+        [sys.executable, str(repo / "tools" / "bench_delta.py"), str(old), str(split)],
+        capture_output=True, text=True, cwd=repo,
+    ).stdout
+    assert "per-axis regime split" in out
+    out = subprocess.run(
+        [sys.executable, str(repo / "tools" / "bench_delta.py"), str(old), str(same)],
+        capture_output=True, text=True, cwd=repo,
+    ).stdout
+    assert "per-axis regime split" not in out
 
 
 # ---------------- broadcast audit metric parsing (r10) ----------------

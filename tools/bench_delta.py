@@ -131,6 +131,23 @@ def main() -> None:
                     "and investigate the anchors; do not publish the normalized "
                     "number (README 'Reading bench numbers')."
                 )
+    # Per-axis drift check (r14 verdict item 2): when both captures
+    # carry the shuffle-axis anchor, compare its drift against the CPU
+    # axis's. Same 1.25 gate as bench.regime_split — the ratio of
+    # drifts divides out common weather, so >1.25 means the two axes
+    # genuinely decoupled and ONE normalization denominator cannot be
+    # right for both CPU-bound and shuffle-bound queries.
+    if old.get("anchor_sh_s") and new.get("anchor_sh_s") and old.get("anchor_mc_s") and new.get("anchor_mc_s"):
+        drift_cpu = new["anchor_mc_s"] / old["anchor_mc_s"]
+        drift_sh = new["anchor_sh_s"] / old["anchor_sh_s"]
+        axis_ratio = drift_sh / drift_cpu
+        if max(axis_ratio, 1 / axis_ratio) > 1.25:
+            print(
+                f"WARNING: per-axis regime split — CPU-anchor drift {drift_cpu:.2f}x "
+                f"vs shuffle-anchor drift {drift_sh:.2f}x (ratio {axis_ratio:.2f}). "
+                "No single normalization is valid across query classes; arbitrate "
+                "per-axis or re-capture in matching weather."
+            )
     rows.sort(key=lambda r: r[3], reverse=True)
     if md:
         print()
