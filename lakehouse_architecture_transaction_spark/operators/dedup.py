@@ -176,17 +176,25 @@ def shingle_novelty(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Da
     whole-doc and pairwise dedup both miss when every page differs a
     little.
 
-    Plan: one shingle-keyed aggregate for per-shingle min-id, one
-    shingle-keyed join back, one doc-keyed aggregate — every shuffle
-    bounded by the (doc, shingle) pair count, no pairwise stage at
-    all (cost is linear where contamination_pairs is match-bounded).
+    Plan: per-shingle min-id as a WINDOW over the shingle key, then
+    one doc-keyed aggregate — every shuffle bounded by the
+    (doc, shingle) pair count, no pairwise stage at all (cost is
+    linear where contamination_pairs is match-bounded).
     novelty_ratio is one double division of exact BIGINTs. Docs with
     < n tokens have no shingles and no output row (same absence rule
-    as hash_embed)."""
+    as hash_embed).
+
+    r15: restructured from aggregate-min + shingle join-back to the
+    window form boilerplate_score already uses — the min and the
+    flag read the SAME shuffle instead of shuffling the pair frame
+    for the aggregate and again for the join (guide §2.4 "window
+    partitioned like the aggregation shares the shuffle").
+    Interleaved A/B at sf0.1: 1.528 → 1.228 s (0.80×), rowset
+    bit-identical on all 5,000 docs."""
     sh = _doc_shingles(df, text_col, id_col, n)
-    firsts = sh.groupBy("shingle").agg(F.min(id_col).alias("__first"))
+    w = Window.partitionBy("shingle")
     per_doc = (
-        sh.join(firsts, on="shingle")
+        sh.withColumn("__first", F.min(id_col).over(w))
         .groupBy(id_col)
         .agg(
             F.count("*").cast("bigint").alias("n_shingles"),

@@ -244,11 +244,15 @@ def lm_familiarity(
     the cheap perplexity stand-in quality pipelines use to drop
     gibberish (a doc whose bigrams never recur anywhere scores 0).
 
-    Scale shape: the corpus bigram table and the per-doc occurrence
-    stream are both keyed by (w1, w2), so the self-statistics join is
-    ONE shuffle key reused twice (groupBy bigram → join bigram), then
-    a doc-keyed count with map-side combine. No driver-side model: the
-    "LM" stays a distributed table, joined not broadcast, because at
+    Scale shape: the corpus bigram count is a WINDOW over the
+    (w1, w2) key on the occurrence stream — the count and the
+    known-flag read ONE bigram shuffle (r15: restructured from
+    groupBy-bigram + join-back, which shuffled the occurrence frame
+    once for the aggregate and again for the join; guide §2.4).
+    Interleaved A/B at sf0.1: 2.057 → 1.585 s (0.77×), rowset
+    bit-identical on all 5,000 docs. Then a doc-keyed count with
+    map-side combine. No driver-side model: the "LM" stays a
+    distributed computation, windowed not broadcast, because at
     100 TB the bigram vocabulary is itself huge. The score is one
     double division of exact counts.
     """
@@ -271,18 +275,13 @@ def lm_familiarity(
             )
         ).alias("bg"),
     ).select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    corpus = (
-        bg.groupBy("w1", "w2")
-        .agg(F.count("*").alias("__c"))
-        .filter(F.col("__c") >= min_count)
-        .select("w1", "w2", F.lit(1).alias("__known"))
-    )
+    w = Window.partitionBy("w1", "w2")
     per = (
-        bg.join(corpus, on=["w1", "w2"], how="left")
+        bg.withColumn("__c", F.count("*").over(w))
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.count("__known").alias("n_known"),
+            F.sum(F.when(F.col("__c") >= min_count, 1).otherwise(0)).alias("n_known"),
         )
     )
     return (
