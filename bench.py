@@ -230,13 +230,22 @@ HEADLINE = list(HEADLINE_FAMILIES)
 TAIL_BUDGET = 1900
 
 
-def tail_line(base: dict, budget: int = TAIL_BUDGET) -> str:
+def tail_line(base: dict, budget: int = TAIL_BUDGET, pin: tuple | list = ()) -> str:
     """The single stdout JSON line, guaranteed ≤ ``budget`` chars.
 
     Per-family subtotals and the headline total always fit; per-query
-    entries are added slowest-first until the budget is reached (the
-    slow tail is where regressions live; the full per-query dict is in
-    bench_full.json, referenced by ``queries_full``)."""
+    entries are added until the budget is reached (the full per-query
+    dict is in bench_full.json, referenced by ``queries_full``).
+
+    Entry order (r16, VERDICT r15 item 3): the ``pin`` names — the
+    queries the PREVIOUS round's driver-parsed tail reported — are
+    added FIRST (slowest-first among themselves), then the remaining
+    queries slowest-first. Without the pin, a query left the reported
+    set by getting FASTER and entered it by spiking, so the driver's
+    common-set comparison rotated with churn and systematically
+    dropped each round's wins from its own geomean. Pinning the
+    previous set makes round-over-round per-query deltas stable; new
+    slow entries still appear in the remaining budget."""
     times = base["queries"]
     slim = dict(base)
     slim["queries"] = {}
@@ -252,7 +261,12 @@ def tail_line(base: dict, budget: int = TAIL_BUDGET) -> str:
             line = json.dumps(slim, separators=(",", ":"))
             if len(line) <= budget:
                 break
-    for name in sorted(times, key=times.get, reverse=True):
+    pinned = [n for n in pin if n in times]
+    rest = [n for n in times if n not in set(pinned)]
+    order = sorted(pinned, key=times.get, reverse=True) + sorted(
+        rest, key=times.get, reverse=True
+    )
+    for name in order:
         trial = dict(slim)
         trial["queries"] = {**slim["queries"], name: round(times[name], 2)}
         trial["queries_omitted"] = len(times) - len(trial["queries"])
@@ -261,6 +275,51 @@ def tail_line(base: dict, budget: int = TAIL_BUDGET) -> str:
             break
         slim, line = trial, t_line
     return line
+
+
+def prev_round_tail_names(repo_dir: str) -> list[str]:
+    """The query names the LAST round's driver-parsed tail reported
+    (highest-numbered BENCH_r{N}.json, ``parsed.queries`` keys) — the
+    pin set for :func:`tail_line`. Returns [] when no prior round
+    record exists or it carried no per-query entries."""
+    import glob
+    import re
+
+    best, names = -1, []
+    for path in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(path))
+        if not m or int(m.group(1)) <= best:
+            continue
+        try:
+            with open(path) as f:
+                parsed = json.load(f).get("parsed") or {}
+        except (OSError, ValueError):
+            continue
+        q = parsed.get("queries") or {}
+        if q:
+            best, names = int(m.group(1)), list(q)
+    return names
+
+
+def geomean_vs_committed(prev: dict | None, times: dict) -> tuple[float | None, int]:
+    """Geometric mean of now/prev per-query seconds over ALL queries
+    common with the last committed capture (ratio > 1 = slower), plus
+    the common-set size. Unlike the driver's tail-derived common set,
+    this covers the full headline, so it cannot rotate with the
+    reported tail (VERDICT r15 item 3)."""
+    import math
+
+    if not prev:
+        return None, 0
+    old = prev.get("queries") or {}
+    logs = [
+        math.log(times[n] / float(old[n]))
+        for n in times
+        if n in old and times[n] > 0 and float(old[n]) > 0
+    ]
+    if not logs:
+        return None, 0
+    return round(math.exp(sum(logs) / len(logs)), 3), len(logs)
 
 
 #: Constant-work CPU anchor: xxhash64 over a fixed 4B-row range,
@@ -616,6 +675,12 @@ def main() -> None:
     split_ratio, split_suspect = regime_split(prev_capture, anchor_mc_s, anchor_sh_s)
     base["regime_split_vs_committed"] = split_ratio
     base["regime_split_suspect"] = split_suspect
+    # Full-headline geomean vs the committed capture (r16, VERDICT r15
+    # item 3): a tail-rotation-proof round-over-round scalar in the
+    # driver-visible line itself.
+    gm, gm_n = geomean_vs_committed(prev_capture, times)
+    base["geomean_vs_committed"] = gm
+    base["geomean_n_common"] = gm_n
     if split_suspect:
         print(
             f"WARNING: per-axis regime split vs the last committed capture — "
@@ -630,7 +695,17 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as f:
         json.dump(base, f, indent=1, sort_keys=True)
         f.write("\n")
-    print(tail_line(base))
+    # The three *_def strings are static documentation (~270 chars)
+    # that bench_full.json already carries — shedding them from the
+    # stdout line only buys ~9 more per-query entries inside the
+    # driver's 2000-char window. Every NUMBER the driver parsed in
+    # prior rounds is still present (r16; additive change otherwise).
+    tail_base = {
+        k: v
+        for k, v in base.items()
+        if k not in ("anchor_def", "anchor_sh_def", "dispersion_def")
+    }
+    print(tail_line(tail_base, pin=prev_round_tail_names(repo_dir)))
     spark.stop()
 
 

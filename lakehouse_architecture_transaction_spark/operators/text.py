@@ -151,7 +151,16 @@ def tfidf_top_terms(docs: DataFrame, id_col: str, text_col: str, k: int = 3) -> 
     two-level distinct aggregate; the window reads the already-
     aggregated tf frame (guide §2.4). Interleaved A/B at sf0.1:
     2.312 → 1.745 s (0.75×), rowset bit-identical on all 15,000
-    output rows."""
+    output rows.
+
+    NULL contract (ADVICE r15): the window df counts every tf row in
+    the term group, while a COUNT(DISTINCT id) df would skip a NULL
+    id — the two diverge ONLY for documents with a NULL ``id_col``.
+    Non-null doc ids are a PRECONDITION of this operator (the corpus
+    loader's ids are parquet-non-null, every downstream rank/join
+    keys on the id, and tests/test_properties.py pins the contract);
+    do not feed it NULL-id rows expecting COUNT-DISTINCT df
+    semantics."""
     toks = docs.select(
         F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok")
     ).select(F.col(id_col), F.lower(F.col("tok")).alias("term"))

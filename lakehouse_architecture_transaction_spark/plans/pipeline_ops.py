@@ -1935,8 +1935,13 @@ def docs_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cheap-perplexity quality score (operators/text.py
     lm_familiarity): fraction of each doc's bigram occurrences whose
     corpus count is >= 2 — the LM-based gibberish filter, scored
-    against the corpus's own bigram table via a bigram-keyed join
-    (never a broadcast model)."""
+    against the corpus's own bigram statistics computed as a COUNT
+    window over the (w1, w2) key on the occurrence frame itself (r15
+    window form — never a broadcast model, no bigram join-back).
+    Skew note (ADVICE r15): window partitions cannot be
+    AQE-skew-split, so the hottest bigram ('of the'-class) bounds one
+    task at its occurrence count — see the SCALE.md hot-bigram probe
+    row."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     return T.lm_familiarity(docs, id_col="doc_id", text_col="text", min_count=_FAM_MIN_COUNT)
 

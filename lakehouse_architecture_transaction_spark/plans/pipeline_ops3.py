@@ -389,8 +389,16 @@ def docs_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py shingle_novelty): fraction of each doc's
     distinct 3-gram shingles first seen in an earlier doc — the
     incremental-crawl signal that catches template farms and scraped
-    mirrors where every page differs slightly. Linear cost: one
-    shingle-keyed min-id aggregate, one shingle join-back, one
-    doc-keyed aggregate — no pairwise stage."""
+    mirrors where every page differs slightly. Linear cost (r15
+    window form): the per-shingle min-id is a WINDOW over the
+    shingle key on the exploded occurrence frame — statistic and
+    novelty flag read the one shuffle the frame already pays; then
+    one doc-keyed aggregate — no join, no pairwise stage. Skew note
+    (ADVICE r15): a window partition cannot be AQE-skew-split, so a
+    Zipf-head shingle funnels its occurrences into one task; the
+    per-partition bound is the hottest shingle's occurrence count
+    (same bound the old aggregate side carried — only the join-back's
+    splittable side is given up). See operators/dedup.py
+    shingle_novelty and the SCALE.md hot-shingle probe row."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     return D.shingle_novelty(docs, "text", "doc_id", n=3).orderBy("doc_id")

@@ -448,21 +448,29 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = o.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
     # For oriented edge u→v, adj[u] ∩ adj[v] is exactly the set of w
     # with u→w AND v→w: triangle (u, v, w) enumerated once, at its
-    # unique lowest-ordered edge. Inner joins are exact: an edge whose
-    # endpoint has no out-neighbors cannot close a triangle.
+    # unique lowest-ordered edge. An inner join is exact: an edge
+    # whose endpoint has no out-neighbors cannot close a triangle.
+    # r16 (guide §2.4): the u side needs no join at all — EXPLODING
+    # adj reproduces every oriented edge WITH its nbrs_u already
+    # attached (edge u→v exists iff v ∈ adj[u]), so the r15 shape's
+    # first join (o ⋈ adj on src, plus its sort) disappears and the
+    # only join left is the v-side adjacency lookup. That join's
+    # right side is adj itself, already hash(src)-partitioned at
+    # n_shuffle by the groupBy, so it re-shuffles nothing.
     tri_edges = (
-        o.join(
-            adj.select(F.col("src").alias("u_key"), F.col("nbrs").alias("nbrs_u")),
-            F.col("src") == F.col("u_key"),
+        adj.select(
+            F.col("src").alias("u"),
+            F.col("nbrs").alias("nbrs_u"),
+            F.explode("nbrs").alias("v"),
         )
-        .repartition(n_shuffle, "dst")
+        .repartition(n_shuffle, "v")
         .join(
             adj.select(F.col("src").alias("v_key"), F.col("nbrs").alias("nbrs_v")),
-            F.col("dst") == F.col("v_key"),
+            F.col("v") == F.col("v_key"),
         )
         .select(
-            F.col("src").alias("u"),
-            F.col("dst").alias("v"),
+            "u",
+            "v",
             F.array_intersect("nbrs_u", "nbrs_v").alias("common"),
         )
         .filter(F.size("common") > 0)

@@ -343,57 +343,78 @@ def catalog_inclusion_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic inclusion. The same profile run on an unknown lake is
     how a crawler proposes join keys.
 
-    Scale shape (r15 rewrite, guide §2.3/§2.4): per edge the two
-    sides union with a (child, parent) membership flag and collapse
-    in ONE value-keyed aggregate — MAX(flag) per value is the
-    distinct set of each side and the intersection at once, with
-    map-side partial aggregation (each mapper emits one row per
-    distinct value it saw). The r14 shape paid two distinct
-    aggregates plus a full-outer sort-merge join of the distinct
-    sets per edge (6 exchanges + 2 sorts); this is the same exact
-    counts from a single exchange per edge, and the summary stays a
-    1-row aggregate. Counts are exact BIGINTs; the containments are
-    single double divisions of exact ints."""
-    from functools import reduce
+    Scale shape (r15 rewrite, guide §2.3/§2.4; r16 scan fusion,
+    guide §6): per edge the two sides carry a (child, parent)
+    membership flag and collapse in ONE value-keyed aggregate —
+    MAX(flag) per (edge, value) is the distinct set of each side and
+    the intersection at once, with map-side partial aggregation
+    (each mapper emits one row per distinct (edge, value) it saw).
+    The r14 shape paid two distinct aggregates plus a full-outer
+    sort-merge join of the distinct sets per edge; r15 collapsed
+    that to one exchange per edge but still scanned every edge side
+    separately (16 scans, 8 independent aggregate pipelines). r16
+    stacks all edges into ONE (edge, v, flags) frame built from ONE
+    scan per table (lineitem's three FK columns ride a single pass,
+    orders/customer/part/supplier/nation each fold their child and
+    parent roles into one scan) and collapses the whole profile in
+    one (edge, v) exchange + one 8-row summary aggregate. At 100 TB
+    this is the difference between 16 full table passes and 7.
+    Counts are exact BIGINTs; the containments are single double
+    divisions of exact ints. Edges with empty inputs keep their
+    (0, 0, 0) row via the left join from the 8-row edge spine."""
+    from collections import defaultdict
 
+    # one scan per table: every (edge, column, role) on that table is
+    # emitted by a single explode over per-edge structs
+    by_table: dict[str, list[tuple[int, str, int, int]]] = defaultdict(list)
+    for i, (ct, cc, pt, pc) in enumerate(_INCLUSION_PAIRS):
+        by_table[ct].append((i, cc, 1, 0))
+        by_table[pt].append((i, pc, 0, 1))
     frames = []
-    for ct, cc, pt, pc in _INCLUSION_PAIRS:
-        child = (
-            load_table(spark, sf_dir, ct)
-            .select(F.col(cc).cast("long").alias("v"))
-            .filter(F.col("v").isNotNull())
-            .select("v", F.lit(1).alias("__c"), F.lit(0).alias("__p"))
-        )
-        parent = (
-            load_table(spark, sf_dir, pt)
-            .select(F.col(pc).cast("long").alias("v"))
-            .filter(F.col("v").isNotNull())
-            .select("v", F.lit(0).alias("__c"), F.lit(1).alias("__p"))
-        )
-        agg = (
-            child.unionAll(parent)
-            .groupBy("v")
-            .agg(F.max("__c").alias("__c"), F.max("__p").alias("__p"))
-            .agg(
-                F.coalesce(F.sum("__c"), F.lit(0)).cast("bigint").alias("n_child_distinct"),
-                F.coalesce(F.sum("__p"), F.lit(0)).cast("bigint").alias("n_parent_distinct"),
-                F.coalesce(F.sum(F.col("__c") * F.col("__p")), F.lit(0))
-                .cast("bigint")
-                .alias("n_common"),
-            )
+    for tbl, sides in by_table.items():
+        rows = F.array(
+            *[
+                F.struct(
+                    F.lit(e).alias("e"),
+                    F.col(c).cast("long").alias("v"),
+                    F.lit(is_c).alias("__c"),
+                    F.lit(is_p).alias("__p"),
+                )
+                for e, c, is_c, is_p in sides
+            ]
         )
         frames.append(
-            agg.select(
-                F.lit(ct).alias("child_table"),
-                F.lit(cc).alias("child_col"),
-                F.lit(pt).alias("parent_table"),
-                F.lit(pc).alias("parent_col"),
-                "n_child_distinct",
-                "n_parent_distinct",
-                "n_common",
-            )
+            load_table(spark, sf_dir, tbl)
+            .select(F.explode(rows).alias("x"))
+            .select("x.*")
+            .filter(F.col("v").isNotNull())
         )
-    u = reduce(lambda a, b: a.unionAll(b), frames)
+    from functools import reduce
+
+    counts = (
+        reduce(lambda a, b: a.unionAll(b), frames)
+        .groupBy("e", "v")
+        .agg(F.max("__c").alias("__c"), F.max("__p").alias("__p"))
+        .groupBy("e")
+        .agg(
+            F.sum("__c").cast("bigint").alias("__nc"),
+            F.sum("__p").cast("bigint").alias("__np"),
+            F.sum(F.col("__c") * F.col("__p")).cast("bigint").alias("__ncommon"),
+        )
+    )
+    spine = spark.createDataFrame(
+        [(i, ct, cc, pt, pc) for i, (ct, cc, pt, pc) in enumerate(_INCLUSION_PAIRS)],
+        "e int, child_table string, child_col string, parent_table string, parent_col string",
+    )
+    u = spine.join(F.broadcast(counts), "e", "left").select(
+        "child_table",
+        "child_col",
+        "parent_table",
+        "parent_col",
+        F.coalesce(F.col("__nc"), F.lit(0)).cast("bigint").alias("n_child_distinct"),
+        F.coalesce(F.col("__np"), F.lit(0)).cast("bigint").alias("n_parent_distinct"),
+        F.coalesce(F.col("__ncommon"), F.lit(0)).cast("bigint").alias("n_common"),
+    )
     return (
         u.select(
             "*",

@@ -97,6 +97,55 @@ def test_tail_line_includes_all_when_budget_allows():
     assert parsed["queries_omitted"] == 0
 
 
+def test_tail_line_pins_previous_round_entries_first(tmp_path):
+    # r16 (VERDICT r15 item 3): queries the previous round's driver
+    # tail reported must stay in the line even when they got FAST —
+    # otherwise each round's wins rotate out of the driver's common-set
+    # comparison and the geomean over-counts churn spikes.
+    times = {f"query_name_padded_out_{i:03d}": float(i) for i in range(200)}
+    pin = ["query_name_padded_out_000", "query_name_padded_out_001"]  # the two FASTEST
+    parsed = json.loads(tail_line(_base(times), pin=pin))
+    for name in pin:
+        assert name in parsed["queries"], f"pinned {name} dropped from the tail"
+    # and the remaining budget still goes to the current slowest
+    unpinned = [n for n in parsed["queries"] if n not in pin]
+    assert unpinned and max(times[n] for n in times if n not in parsed["queries"]) <= min(
+        times[n] for n in unpinned
+    )
+    # pin names not in this capture are ignored, never invented
+    parsed = json.loads(tail_line(_base({"q1": 1.0}), pin=["ghost_query"]))
+    assert "ghost_query" not in parsed["queries"]
+
+
+def test_prev_round_tail_names_reads_highest_round(tmp_path):
+    from bench import prev_round_tail_names
+
+    (tmp_path / "BENCH_r08.json").write_text(
+        json.dumps({"parsed": {"queries": {"old_q": 1.0}}})
+    )
+    (tmp_path / "BENCH_r11.json").write_text(
+        json.dumps({"parsed": {"queries": {"new_q": 2.0, "other_q": 1.5}}})
+    )
+    # non-round captures (e.g. the 8-cpu scaling record) are ignored
+    (tmp_path / "BENCH_r12_c8.json").write_text(
+        json.dumps({"parsed": {"queries": {"c8_q": 9.0}}})
+    )
+    assert prev_round_tail_names(str(tmp_path)) == ["new_q", "other_q"]
+    assert prev_round_tail_names(str(tmp_path / "nowhere")) == []
+
+
+def test_geomean_vs_committed_covers_full_common_set():
+    from bench import geomean_vs_committed
+
+    prev = {"queries": {"a": 1.0, "b": 4.0, "c": 2.0}}
+    # a doubled, b halved -> geomean exactly 1.0 over the common set;
+    # d is new and ignored
+    gm, n = geomean_vs_committed(prev, {"a": 2.0, "b": 2.0, "d": 9.0})
+    assert (gm, n) == (1.0, 2)
+    assert geomean_vs_committed(None, {"a": 1.0}) == (None, 0)
+    assert geomean_vs_committed({"queries": {}}, {"a": 1.0}) == (None, 0)
+
+
 # ---------------- bench_delta anchor selection (r8 verdict item 2) ----
 
 

@@ -240,18 +240,34 @@ def test_seasonal_decompose_single_scan_and_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, "phase means must broadcast"
 
 
-def test_inclusion_profile_scans_read_single_columns(spark, sf_dir):
-    # The FK-discovery profile must push column pruning to every scan:
-    # 8 candidate edges × 2 sides = 16 scans, each reading EXACTLY its
-    # one key column (a multi-column ReadSchema means the distinct
-    # aggregate stopped pruning).
+def test_inclusion_profile_one_scan_per_table_pruned(spark, sf_dir):
+    # The FK-discovery profile reads each table EXACTLY ONCE (r16 scan
+    # fusion: all of a table's edge sides ride one stacked explode —
+    # 16 per-side scans became 7 table scans), and each scan is pruned
+    # to exactly the key columns its edges need. A scan count above 7
+    # means an edge side grew its own pipeline again; an over-wide
+    # ReadSchema means the explode stopped pruning.
     from lakehouse_architecture_transaction_spark.plans import queued_r10 as Q
 
+    expected_cols = {
+        ("o_custkey", "o_orderkey"),  # orders: child e0, parent e1/e7
+        ("l_orderkey", "l_partkey", "l_suppkey"),  # lineitem: 3 children
+        ("p_partkey",),  # part: parent e2 + child e7 share the column
+        ("s_nationkey", "s_suppkey"),  # supplier
+        ("c_custkey", "c_nationkey"),  # customer
+        ("n_nationkey",),  # nation: parent of e4+e5
+        ("user_id",),  # events
+    }
     plan = _formatted_plan(Q.catalog_inclusion_profile(spark, sf_dir))
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
-    assert len(schemas) == 16, f"expected 16 single-table scans, saw {len(schemas)}"
-    multi = [s for s in schemas if "," in s]
-    assert not multi, f"scans must read exactly one column, saw: {multi[:3]}"
+    assert len(schemas) == 7, f"expected 7 single-pass table scans, saw {len(schemas)}"
+    got = {tuple(sorted(c.split(":")[0] for c in s.split(","))) for s in schemas}
+    assert got == expected_cols, f"scan pruning drifted: {sorted(got)}"
+    # the whole profile collapses in ONE (edge, value) exchange + the
+    # 8-row summary/spine/sort machinery — the r15 shape's 32 exchanges
+    # (4 per edge) must not come back
+    n_exchanges = len(re.findall(r"\n\s*\(\d+\) Exchange", plan))
+    assert n_exchanges <= 4, f"expected <=4 exchanges after fusion, saw {n_exchanges}"
 
 
 def test_vocab_growth_two_scans_and_broadcast_cuts(spark, sf_dir):
@@ -392,3 +408,44 @@ def test_r13_dispersion_single_scan_no_rank_machinery(spark, sf_dir):
     assert cols == ["p_retailprice", "p_type"], f"unpruned scan: {schemas[0]}"
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "Window"):
         assert bad not in plan, f"dispersion must not plan a {bad}"
+
+
+def test_shj_session_config_is_size_conditioned(spark):
+    # r16 (VERDICT r15 item 7): the session-wide shuffled-hash-join
+    # enablement (session.py preferSortMergeJoin=false) must stay
+    # SIZE-CONDITIONED — SHJ only when the planner can prove the build
+    # side's per-partition hash map fits (canBuildLocalHashMap =
+    # stats size < autoBroadcastJoinThreshold x shuffle partitions,
+    # AND 3x smaller than the probe side); sort-merge remains the
+    # fallback for large build sides, which is what makes the config
+    # safe at 100 TB where stats may be stale. spark.range carries
+    # exact 8-byte/row statistics, so the two shapes below pin both
+    # planner legs deterministically (explain-only, nothing executes).
+    from pyspark.sql import functions as F
+
+    thresh = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    local_map_cap = thresh * nparts
+    big_rows = 4 * local_map_cap // 8  # comfortably above the cap
+    small_rows = min(local_map_cap // 32, big_rows // 8)  # fits, and ≪ probe
+    assert small_rows * 8 > thresh, "small side must still exceed broadcast"
+    big = spark.range(big_rows).select(F.col("id").alias("k"))
+    small = spark.range(small_rows).select(F.col("id").alias("k"))
+
+    assert spark.conf.get("spark.sql.join.preferSortMergeJoin") == "false"
+    plan = _formatted_plan(big.join(small, "k"))
+    assert "ShuffledHashJoin" in plan, (
+        "build side fits its local map: the tuned session must pick SHJ"
+    )
+    plan = _formatted_plan(big.join(spark.range(big_rows).select(F.col("id").alias("k")), "k"))
+    assert "SortMergeJoin" in plan and "ShuffledHashJoin" not in plan, (
+        "build side above the local-map bound must FALL BACK to sort-merge"
+    )
+    # the env-parameterised escape hatch restores the default planner
+    prev = spark.conf.get("spark.sql.join.preferSortMergeJoin")
+    try:
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+        plan = _formatted_plan(big.join(small, "k"))
+        assert "SortMergeJoin" in plan and "ShuffledHashJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", prev)

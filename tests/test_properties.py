@@ -1226,3 +1226,24 @@ def test_rank_degradation_logs_once_per_query(spark, caplog):
         "second offending query was silent on the log channel — the "
         "once-per-query guarantee is broken"
     )
+
+
+def test_tfidf_window_df_matches_count_distinct_on_nonnull_ids(spark):
+    # ADVICE r15: tfidf's df is COUNT(*) over the term window of the
+    # (doc, term) tf frame — equal to COUNT(DISTINCT doc) exactly when
+    # doc ids are non-null, which is this operator's documented
+    # precondition. Pin the equivalence on a corpus where terms repeat
+    # within and across docs.
+    from lakehouse_architecture_transaction_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "beta gamma"), (3, "alpha gamma gamma delta")],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, "doc_id", "text", k=10).collect()
+    expected_df = {"alpha": 2, "beta": 2, "gamma": 2, "delta": 1}
+    assert out, "tfidf produced no rows"
+    for row in out:
+        assert row["df"] == expected_df[row["term"]], (
+            f"window df diverged from count-distinct df for {row['term']}"
+        )
