@@ -861,7 +861,15 @@ def events_stream_sessions_stateful(spark: SparkSession, sf_dir: str) -> DataFra
     prev_ndmb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
-        with gate_state_partitions(spark):
+        # Width 16, not the family default 8 (r16, guide §5/§2.6): this
+        # replay's per-batch cost is the Arrow state FUNCTION fanned
+        # across the state partitions (Python-side work per 1500-key
+        # batch), not store commits — wider means more state-fn tasks
+        # in flight on 32 cores. Interleaved width probe 8/16/32 =
+        # 5.08/4.51/5.18 s min (0.89x at 16; at 32 the doubled store
+        # instances' commit overhead overtakes the extra parallelism).
+        # Emitted rows are exact at any width, as above.
+        with gate_state_partitions(spark, 16):
             q = (
                 sessionize_stateful(raw, event_time_gap_s=1800, watermark="2 hours")
                 .writeStream.format("memory")

@@ -838,7 +838,16 @@ def events_stream_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _stream_events_src(spark, sf_dir)
     name = f"stream_clicks_{uuid.uuid4().hex[:8]}"
-    with gate_state_partitions(spark):
+    # Width 4, not the family default 8 (r16, guide §5): a
+    # stream-stream join runs FOUR state stores per partition, so this
+    # replay's per-micro-batch commit cost is 4x the single-store
+    # replays' — at width 8 that is 32 store instances per batch of
+    # pure fixed overhead. Emitted rows are exact at ANY width (state
+    # hash-partitioning is internal, same contract as the module
+    # constant), 4 keeps the replay multi-partition, and the
+    # interleaved width probe read 8/4/2 = 4.46/3.36/3.17 s min
+    # (0.75x at 4; 2 forfeits distribution coverage for 6% more).
+    with gate_state_partitions(spark, 4):
         q = (
             click_purchase_join(read_event_stream(spark, src), watermark="3650 days")
             .writeStream.format("memory")
