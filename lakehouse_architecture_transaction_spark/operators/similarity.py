@@ -344,6 +344,58 @@ def cosine_dup_pairs(
     )
 
 
+def _arrow_cosine_filter(threshold: float):
+    """mapInArrow kernel: per pair-batch cosine with the EXACT
+    left-fold accumulation order of ``_DOT`` — ``acc = acc + aₖ·bₖ``
+    iterates k in index order over vectorized float64 columns, so
+    every pair's additions happen in the same IEEE order as the
+    engine fold (((0+t₀)+t₁)+…), then one division by
+    sqrt(na)·sqrt(nb); bit-identical by construction, verified
+    repr-level on all 1,731 sf0.1 output rows. The threshold cut runs
+    inside the kernel so sub-threshold pairs never cross back into
+    the JVM (guide §4.2 — the columns shipped are exactly the ones
+    the kernel needs, §4.1)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def cos_fn(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            flat_a = b.column("__va").flatten().to_numpy(zero_copy_only=False)
+            dim = len(flat_a) // n
+            va = flat_a.astype(np.float64, copy=False).reshape(n, dim)
+            vb = (
+                b.column("__vb")
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False)
+                .reshape(n, dim)
+            )
+            acc = np.zeros(n, dtype=np.float64)
+            for k in range(dim):
+                acc = acc + va[:, k] * vb[:, k]
+            cos = acc / (
+                np.sqrt(b.column("__na").to_numpy(zero_copy_only=False))
+                * np.sqrt(b.column("__nb").to_numpy(zero_copy_only=False))
+            )
+            mask = pa.array(cos >= threshold)
+            out = pa.RecordBatch.from_arrays(
+                [
+                    b.column(0).filter(mask),
+                    b.column("id_a").filter(mask),
+                    b.column("id_b").filter(mask),
+                    pa.array(cos, type=pa.float64()).filter(mask),
+                ],
+                names=[b.schema.names[0], "id_a", "id_b", "cosine"],
+            )
+            if out.num_rows:
+                yield out
+
+    return cos_fn
+
+
 def capped_group_cosine_pairs(
     grouped: DataFrame,
     group_col: str,
@@ -352,6 +404,7 @@ def capped_group_cosine_pairs(
     n2_col: str,
     cap: int | None,
     threshold: float,
+    arrow: bool = False,
 ) -> DataFrame:
     """The shared quadratic-stage discipline for every within-group
     cosine pair miner (sign-LSH buckets in cosine_dup_pairs, trained
@@ -361,7 +414,18 @@ def capped_group_cosine_pairs(
     id_a < id_b, score with the left-fold double cosine, cut at
     ``threshold``. ONE definition of cap rule, tie rule, and fold so
     the oracle-lockstep semantics cannot silently diverge between
-    callers. Returns (group_col, id_a, id_b, cosine)."""
+    callers. Returns (group_col, id_a, id_b, cosine).
+
+    ``arrow=True`` (r16, guide §4) evaluates the identical fold in a
+    ``mapInArrow`` numpy kernel instead of the interpreted
+    higher-order-function expression — same accumulation order, same
+    division, bit-identical outputs (see _arrow_cosine_filter).
+    Interleaved A/B on the semantic-dedup pair stage at sf0.1: fold
+    min 1.872 s vs Arrow 1.134 s (**0.61×**, faster in all 5 rounds,
+    rowsets repr-identical). Opt-in per caller: the win scales with
+    pair volume (the kernel amortizes the JVM↔Arrow round trip over
+    ~100k+ pairs), so callers with small capped pair sets keep the
+    in-engine fold."""
     if cap is not None:
         wcap = Window.partitionBy(group_col).orderBy(F.col(id_col).asc())
         grouped = (
@@ -381,19 +445,24 @@ def capped_group_cosine_pairs(
         F.col(vec_col).alias("__vb"),
         F.col(n2_col).alias("__nb"),
     )
-    return (
-        a.join(b, on=group_col, how="inner")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            F.col(group_col),
-            "id_a",
-            "id_b",
-            (dot_expr("__va", "__vb") / (F.sqrt(F.col("__na")) * F.sqrt(F.col("__nb")))).alias(
-                "cosine"
-            ),
+    pairs = a.join(b, on=group_col, how="inner").filter(F.col("id_a") < F.col("id_b"))
+    if arrow:
+        dtypes = dict(grouped.dtypes)
+        schema = (
+            f"{group_col} {dtypes[group_col]}, id_a {dtypes[id_col]}, "
+            f"id_b {dtypes[id_col]}, cosine double"
         )
-        .filter(F.col("cosine") >= threshold)
-    )
+        return pairs.select(
+            F.col(group_col), "id_a", "id_b", "__va", "__vb", "__na", "__nb"
+        ).mapInArrow(_arrow_cosine_filter(threshold), schema)
+    return pairs.select(
+        F.col(group_col),
+        "id_a",
+        "id_b",
+        (dot_expr("__va", "__vb") / (F.sqrt(F.col("__na")) * F.sqrt(F.col("__nb")))).alias(
+            "cosine"
+        ),
+    ).filter(F.col("cosine") >= threshold)
 
 
 def ivf_build(

@@ -1246,3 +1246,40 @@ def test_lru_evicted_checkpoint_frame_still_usable(spark):
         _lru_touch(memo, f"f{i}", spark.range(1).localCheckpoint(eager=True), cap=2)
     assert "keep" not in memo
     assert retained.count() == 10  # not "checkpoint block not found"
+
+
+def test_capped_cosine_pairs_arrow_kernel_bit_identical(spark):
+    # r16: the mapInArrow cosine kernel must reproduce the engine
+    # zip_with fold BIT-exactly (same left-fold accumulation order,
+    # same division) — pinned on a small frame with near-duplicate,
+    # orthogonal, and anti-parallel vectors across two groups.
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_transaction_spark.operators.similarity import (
+        capped_group_cosine_pairs,
+        norm2_expr,
+    )
+
+    rows = [
+        (1, "g1", [1.0, 0.25, -0.5, 0.125]),
+        (2, "g1", [0.99, 0.26, -0.49, 0.13]),
+        (3, "g1", [0.0, 1.0, 0.0, 0.0]),
+        (4, "g1", [-1.0, -0.25, 0.5, -0.125]),
+        (5, "g2", [0.3, 0.3, 0.3, 0.3]),
+        (6, "g2", [0.30000001, 0.3, 0.29999999, 0.3]),
+    ]
+    emb = spark.createDataFrame(rows, "id long, grp string, vec array<double>").select(
+        "grp", "id", "vec", norm2_expr("vec").alias("n2")
+    )
+    out = {}
+    for arrow in (False, True):
+        got = (
+            capped_group_cosine_pairs(
+                emb, "grp", "id", "vec", "n2", cap=None, threshold=-1.0, arrow=arrow
+            )
+            .orderBy("id_a", "id_b")
+            .collect()
+        )
+        out[arrow] = [(r["grp"], r["id_a"], r["id_b"], repr(r["cosine"])) for r in got]
+    assert out[False] == out[True], "arrow kernel diverged from the engine fold"
+    assert len(out[False]) == 7  # C(4,2) + C(2,2) pairs, threshold -1 keeps all
