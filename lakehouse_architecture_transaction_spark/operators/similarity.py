@@ -344,6 +344,17 @@ def cosine_dup_pairs(
     )
 
 
+#: The engine fold divides by sqrt(na)·sqrt(nb) under ANSI, where a
+#: zero divisor is a query-killing DIVIDE_BY_ZERO — the Arrow kernel
+#: raises the same class of error instead of silently emitting
+#: NaN/Inf, so both paths refuse zero-norm vectors identically.
+_ZERO_NORM_MSG = (
+    "[DIVIDE_BY_ZERO] zero-norm vector reached the cosine pair stage "
+    "(the engine fold's ANSI divide would fail identically); filter "
+    "zero-norm embeddings upstream"
+)
+
+
 def _arrow_cosine_filter(threshold: float):
     """mapInArrow kernel: per pair-batch cosine with the EXACT
     left-fold accumulation order of ``_DOT`` — ``acc = acc + aₖ·bₖ``
@@ -357,30 +368,81 @@ def _arrow_cosine_filter(threshold: float):
     the kernel needs, §4.1)."""
     import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _cosines(b, n):
+        """(cosine array, valid mask) per row; valid=False marks rows
+        where the engine fold would yield NULL. Fast path: no nulls,
+        one uniform vector length — the production shape. Degenerate
+        rows (NULL vectors, NULL elements, ragged lengths — the
+        empty-input sweep's layouts) take the row loop, which replays
+        the fold's NULL semantics: zip_with pads the shorter list
+        with NULL, any NULL term nullifies the sum, and a NULL cosine
+        never passes the τ cut."""
+        va_col, vb_col = b.column("__va"), b.column("__vb")
+        na_col, nb_col = b.column("__na"), b.column("__nb")
+        la = pc.list_value_length(va_col)
+        if (
+            va_col.null_count == 0
+            and vb_col.null_count == 0
+            and na_col.null_count == 0
+            and nb_col.null_count == 0
+        ):
+            mm_a = pc.min_max(la)
+            mm_b = pc.min_max(pc.list_value_length(vb_col))
+            flat_a = va_col.flatten()
+            if (
+                mm_a["min"] == mm_a["max"] == mm_b["min"] == mm_b["max"]
+                and flat_a.null_count == 0
+                and vb_col.flatten().null_count == 0
+            ):
+                dim = mm_a["min"].as_py()
+                va = flat_a.to_numpy(zero_copy_only=False).astype(np.float64, copy=False).reshape(n, dim)
+                vb = (
+                    vb_col.flatten()
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.float64, copy=False)
+                    .reshape(n, dim)
+                )
+                acc = np.zeros(n, dtype=np.float64)
+                for k in range(dim):
+                    acc = acc + va[:, k] * vb[:, k]
+                denom = np.sqrt(na_col.to_numpy(zero_copy_only=False)) * np.sqrt(
+                    nb_col.to_numpy(zero_copy_only=False)
+                )
+                if (denom == 0.0).any():
+                    raise ArithmeticError(_ZERO_NORM_MSG)
+                return acc / denom, np.ones(n, dtype=bool)
+        cos = np.full(n, np.nan)
+        valid = np.zeros(n, dtype=bool)
+        for i in range(n):
+            va, vb = va_col[i].as_py(), vb_col[i].as_py()
+            na, nb = na_col[i].as_py(), nb_col[i].as_py()
+            if va is None or vb is None or na is None or nb is None:
+                continue
+            if len(va) != len(vb) or any(x is None for x in va) or any(x is None for x in vb):
+                continue  # fold: NULL-padded zip_with nullifies the sum
+            acc = np.float64(0.0)
+            for x, y in zip(va, vb):
+                acc = acc + np.float64(x) * np.float64(y)
+            denom = np.sqrt(np.float64(na)) * np.sqrt(np.float64(nb))
+            if denom == 0.0:
+                raise ArithmeticError(_ZERO_NORM_MSG)
+            cos[i] = acc / denom
+            valid[i] = True
+        return cos, valid
 
     def cos_fn(batches):
         for b in batches:
             n = b.num_rows
             if n == 0:
                 continue
-            flat_a = b.column("__va").flatten().to_numpy(zero_copy_only=False)
-            dim = len(flat_a) // n
-            va = flat_a.astype(np.float64, copy=False).reshape(n, dim)
-            vb = (
-                b.column("__vb")
-                .flatten()
-                .to_numpy(zero_copy_only=False)
-                .astype(np.float64, copy=False)
-                .reshape(n, dim)
-            )
-            acc = np.zeros(n, dtype=np.float64)
-            for k in range(dim):
-                acc = acc + va[:, k] * vb[:, k]
-            cos = acc / (
-                np.sqrt(b.column("__na").to_numpy(zero_copy_only=False))
-                * np.sqrt(b.column("__nb").to_numpy(zero_copy_only=False))
-            )
-            mask = pa.array(cos >= threshold)
+            cos, valid = _cosines(b, n)
+            # Spark's SQL comparison orders NaN ABOVE every double, so
+            # the engine filter keeps a NaN cosine (were one to occur);
+            # NULL cosines (valid=False) never pass. Mirror both.
+            with np.errstate(invalid="ignore"):
+                mask = pa.array(valid & ((cos >= threshold) | np.isnan(cos)))
             out = pa.RecordBatch.from_arrays(
                 [
                     b.column(0).filter(mask),

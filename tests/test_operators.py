@@ -1283,3 +1283,56 @@ def test_capped_cosine_pairs_arrow_kernel_bit_identical(spark):
         out[arrow] = [(r["grp"], r["id_a"], r["id_b"], repr(r["cosine"])) for r in got]
     assert out[False] == out[True], "arrow kernel diverged from the engine fold"
     assert len(out[False]) == 7  # C(4,2) + C(2,2) pairs, threshold -1 keeps all
+
+
+def test_capped_cosine_pairs_arrow_kernel_degenerate_inputs(spark):
+    # The Arrow kernel must survive AND match the engine fold on the
+    # degenerate layouts the empty-input sweep feeds every query:
+    # NULL vectors, NULL elements, ragged lengths (fold -> NULL cosine
+    # -> dropped by the threshold). Zero-norm vectors are asserted to
+    # FAIL LOUDLY on both paths (the fold's ANSI divide-by-zero; the
+    # kernel raises the matching ArithmeticError).
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_transaction_spark.operators.similarity import (
+        capped_group_cosine_pairs,
+        norm2_expr,
+    )
+
+    rows = [
+        (1, "g", [1.0, 2.0]),
+        (2, "g", None),          # NULL vector
+        (3, "g", [1.0, None]),   # NULL element
+        (4, "g", [1.0]),         # ragged length
+        (6, "g", [2.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "id long, grp string, vec array<double>").select(
+        "grp", "id", "vec", norm2_expr("vec").alias("n2")
+    )
+    out = {}
+    for arrow in (False, True):
+        got = (
+            capped_group_cosine_pairs(
+                emb, "grp", "id", "vec", "n2", cap=None, threshold=0.5, arrow=arrow
+            )
+            .orderBy("id_a", "id_b")
+            .collect()
+        )
+        out[arrow] = [(r["id_a"], r["id_b"], repr(r["cosine"])) for r in got]
+    assert out[False] == out[True], (
+        f"arrow kernel diverged on degenerate inputs: {out[False]} vs {out[True]}"
+    )
+    kept = {(a, b) for a, b, _ in out[False]}
+    assert (1, 6) in kept  # the one clean above-threshold pair
+    # zero-norm vectors: both paths refuse (ANSI divide / kernel raise)
+    import pytest as _pytest
+
+    zrows = [(1, "g", [1.0, 2.0]), (5, "g", [0.0, 0.0])]
+    zemb = spark.createDataFrame(zrows, "id long, grp string, vec array<double>").select(
+        "grp", "id", "vec", norm2_expr("vec").alias("n2")
+    )
+    for arrow in (False, True):
+        with _pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+            capped_group_cosine_pairs(
+                zemb, "grp", "id", "vec", "n2", cap=None, threshold=0.5, arrow=arrow
+            ).collect()

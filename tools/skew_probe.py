@@ -44,6 +44,31 @@ SKEWED = {
     "documents": ["source"],
 }
 
+#: Third layout (r16, ADVICE r15): hot TEXT-CONTENT keys. The join/
+#: window keys above never skew what the text operators aggregate on
+#: — shingles and bigrams — yet the r15 window restructures
+#: (shingle_novelty, lm_familiarity, tfidf df) moved those statistics
+#: into WINDOW partitions, which AQE cannot skew-split. This layout
+#: replaces runs of 3 consecutive tokens (positions i%8 ∈ {0,1,2}) in
+#: EVERY document with one constant token: the (hot,hot) bigram then
+#: carries ~2/8 of all bigram occurrences and the (hot,hot,hot)
+#: 3-shingle ~1/8 of all shingles — a true Zipf head at unchanged
+#: token volume — while the uniform corpus spreads both keys thinly.
+HOT_TOKEN = "zzhotzz"
+_HOT_TEXT_EXPR = (
+    "array_join(transform(filter(split(text, '\\\\s+'), x -> x != ''), "
+    f"(t, i) -> CASE WHEN i % 8 < 3 THEN '{HOT_TOKEN}' ELSE t END), ' ')"
+)
+
+#: text operators whose per-key statistic runs in a window over the
+#: content key (cannot be AQE-skew-split — the probe measures the
+#: hottest key's one-task bound staying proportionate, not exploding)
+TEXT_PROBES = [
+    "docs_shingle_novelty",    # min(doc) window over shingle
+    "docs_lm_familiarity",     # count(*) window over (w1, w2)
+    "docs_tfidf_top_terms",    # count(*) df window over term
+]
+
 #: window/join shapes where a hot key would funnel one task
 PROBES = [
     "top3_orders_per_customer",        # per-custkey window
@@ -156,6 +181,8 @@ def build(spark, variant: str) -> str:
                     col,
                     F.when(F.pmod(key_expr, F.lit(3)) == 0, F.lit(hot)).otherwise(F.col(col)),
                 )
+        if variant == "hot_text" and t == "documents":
+            df = df.withColumn("text", F.expr(_HOT_TEXT_EXPR))
         df.repartition(N_FILES).write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
     with open(marker, "w") as f:
         f.write("ok\n")
@@ -193,9 +220,65 @@ def max_task_ms(spark, seen: set) -> float:
     return mx
 
 
+def text_main(spark) -> None:
+    """The hot-CONTENT-key leg (r16, ADVICE r15): uniform vs hot_text
+    on the three window-statistic text operators. Separate from the
+    join/window-key table so its rows stay comparable round to round."""
+    from lakehouse_architecture_transaction_spark.operators.dedup import release_persisted
+    from tools.scale_probe import shuffle_write_bytes
+
+    dirs = {v: build(spark, v) for v in ("uniform", "hot_text")}
+    seen_stages: set = set()
+    max_task_ms(spark, seen_stages)  # absorb warmup/build stages
+    rows = []
+    for name in TEXT_PROBES:
+        t, sh, mt = {}, {}, {}
+        for v, d in dirs.items():
+            best = float("inf")
+            s0 = shuffle_write_bytes(spark)
+            for _ in range(3):
+                t0 = time.perf_counter()
+                force_full_result(_fn(name)(spark, d))
+                best = min(best, time.perf_counter() - t0)
+                release_persisted()
+            s1 = shuffle_write_bytes(spark)
+            sh[v] = (s1 - s0) / 3 / 1e6 if s0 >= 0 and s1 >= 0 else float("nan")
+            t[v] = best
+            mt[v] = max_task_ms(spark, seen_stages) / 1e3
+        ratio = t["hot_text"] / t["uniform"] if t["uniform"] else float("nan")
+        mratio = mt["hot_text"] / mt["uniform"] if mt["uniform"] else float("nan")
+        rows.append(
+            (name, t["uniform"], t["hot_text"], ratio, sh["uniform"], sh["hot_text"],
+             mt["uniform"], mt["hot_text"], mratio)
+        )
+        print(
+            f"{name:32s} uniform={t['uniform']:.2f}s/{sh['uniform']:.1f}MB "
+            f"hot_text={t['hot_text']:.2f}s/{sh['hot_text']:.1f}MB ratio={ratio:.1f}x "
+            f"maxtask={mt['uniform']:.2f}s->{mt['hot_text']:.2f}s ({mratio:.1f}x)",
+            flush=True,
+        )
+    lines = [
+        "| query | uniform (s · MB) | hot-text (s · MB) | time hot/uniform | max task (s) u→h | max-task ratio |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, u, s, r, su, ss, mu, ms, mr in rows:
+        lines.append(
+            f"| `{name}` | {u:.2f} · {su:.1f} | {s:.2f} · {ss:.1f} | {r:.1f}× "
+            f"| {mu:.2f} → {ms:.2f} | {mr:.1f}× |"
+        )
+    table = "\n".join(lines)
+    print(table)
+    if "--update-md" in sys.argv:
+        _update_text_md(table)
+        print("SCALE.md updated (text block)")
+
+
 def main() -> None:
     spark = get_spark("skew-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")), ui=True)
     REGISTRY["q1_pricing_summary"].fn(spark, BASE).count()  # warmup
+    if "--text-only" in sys.argv:
+        text_main(spark)
+        return
     dirs = {v: build(spark, v) for v in ("uniform", "skewed")}
 
     from lakehouse_architecture_transaction_spark.operators.dedup import release_persisted
@@ -253,6 +336,29 @@ def main() -> None:
 
 BEGIN = "<!-- SKEW-PROBE:BEGIN -->"
 END = "<!-- SKEW-PROBE:END -->"
+TBEGIN = "<!-- SKEW-PROBE-TEXT:BEGIN -->"
+TEND = "<!-- SKEW-PROBE-TEXT:END -->"
+
+
+def _update_text_md(table: str) -> None:
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md")
+    block = (
+        f"{TBEGIN}\nHot CONTENT keys (r16, ADVICE r15): runs of 3 consecutive\n"
+        f"tokens (positions i%8<3) in EVERY document replaced by one constant\n"
+        f"token, so the hottest bigram carries ~2/8 of all bigram occurrences\n"
+        f"and the hottest 3-shingle ~1/8 of all shingles at unchanged token\n"
+        f"volume. These operators compute their per-key statistic as a WINDOW\n"
+        f"over the content key (the r15 restructures), which AQE cannot\n"
+        f"skew-split — the max-task column is the hot key's one-task bound:\n"
+        f"it must grow proportionately to the head's share (O(hot\n"
+        f"occurrences) work in one task), not explode quadratically.\n\n{table}\n{TEND}"
+    )
+    txt = open(path).read()
+    if TBEGIN in txt and TEND in txt:
+        pre, post = txt.split(TBEGIN)[0], txt.split(TEND)[1]
+        open(path, "w").write(pre + block + post)
+    else:
+        open(path, "a").write("\n## Skew probe — hot content keys (window statistics)\n\n" + block + "\n")
 
 
 def _update_md(table: str) -> None:
